@@ -1,0 +1,236 @@
+"""SparkEntropyEngine: Shannon entropies of column subsets of a DataFrame.
+
+Replaces the reference's three entropy backends — full-scan counting
+(`entropy/ExternalFileDataSet.java:44-166`), H2 inverted-index SQL
+(`entropy/CompressedDB.java`), and column-range-partitioned k-way joins
+(`entropy/MasterCompressedDB.java`) — with one Spark-native design:
+
+  H(X) = log2(N) - (1/N) * sum over groups g of X of (c_g * log2(c_g))
+
+computed as ``df.groupBy(*X).count()`` + a scalar aggregate: one shuffle of
+exactly the columns in X (Catalyst prunes the parquet scan to X), partial
+map-side aggregation, and a one-row collect. The reference's dictionary
+encoding (A3), inverted indexes (A4), tid joins (A6), and HAVING-singleton
+correction (`entropy/CompressedDB.java:275-284,330-340`) all exist to make a
+single-node SQL engine do this cheaply; on Spark they are subsumed by the
+shuffle-based hash aggregate and Parquet's native dictionary encoding, so
+none of them are materialized here.
+
+Batching (A8, `ExternalFileDataSet.computeEntropies:111-166` — one scan
+feeding many count maps) maps to SQL ``GROUP BY GROUPING SETS``: one scan +
+one shuffle computes every subset's histogram, with ``grouping_id()``
+separating subsets. Each grouping set replicates every input row once into
+the shuffle, so batch width is capped (default 16 sets/job — the analogue of
+MasterCompressedDB's RangeSize bound) and large requests are chunked.
+
+Scale notes (100 TB):
+- Entropy is algebraic: sum(c*log2(c)) over a group-by — partial aggregation
+  means shuffled bytes are O(#distinct groups), not O(rows).
+- High-cardinality subsets (worst case: near-key column sets) shuffle one
+  row per group; AQE coalescing keeps partition counts sane. No driver-side
+  data beyond the final scalar ever materializes.
+- The driver-side cache (A9) is the real optimizer: lattice searches re-ask
+  the same subsets constantly; the reference relies on the same memoization
+  (`entropy/ExternalFileDataSet.java:15,44-48`).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+from collections.abc import Iterable, Sequence
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.attrset import attrset, sorted_cols
+
+# Cap on grouping sets per job: each set replicates the scan's rows into the
+# shuffle, so width w multiplies shuffle input by w. 16 matches the spirit of
+# the reference's RangeSize envelope (5-16, `search/MinimalJDGenerator.java:
+# 1142-1162`) and keeps a 100 TB scan's shuffle at ~1.6 PB worst case spread
+# over the cluster rather than unbounded.
+DEFAULT_MAX_GROUPING_SETS = 16
+
+
+def entropy_from_counts(counts: Iterable[int], num_rows: int) -> float:
+    """Driver-side oracle: H from a histogram (AbstractDataset.java:187-201)."""
+    if num_rows <= 0:
+        return 0.0
+    s = sum(c * math.log2(c) for c in counts if c > 1)
+    return math.log2(num_rows) - s / num_rows
+
+
+class SparkEntropyEngine:
+    """Entropy measure engine over a single DataFrame (IDataset analogue,
+    `entropy/IDataset.java:9-20`).
+
+    Duplicate-row semantics follow the reference's entropy path: duplicates
+    count as probability mass (§1.1 of SURVEY.md). ``num_distinct`` exposes
+    the deduplicated count used by the decomposition-validation path.
+    """
+
+    def __init__(self, df: DataFrame, max_grouping_sets: int = DEFAULT_MAX_GROUPING_SETS,
+                 cache_input: bool = True):
+        self.df = df
+        self.schema_cols: tuple[str, ...] = tuple(df.columns)
+        self.max_grouping_sets = max_grouping_sets
+        self._cache: dict[frozenset[str], float] = {}
+        self._lock = threading.Lock()
+        self._num_rows: int | None = None
+        self._num_distinct: int | None = None
+        # Stats mirroring the reference's scan instrumentation
+        # (entropy/IDataset.java:18-19): how many Spark jobs we launched and
+        # how many entropies they produced.
+        self.jobs_run = 0
+        self.entropies_computed = 0
+        if cache_input:
+            # Iterative mining re-scans the relation constantly; persisting
+            # the (column-pruned) input is the moral equivalent of the
+            # reference ingesting into H2 once (CompressedDB.init).
+            self.df = df.persist()
+
+    # ----- cardinalities ---------------------------------------------------
+
+    @property
+    def num_rows(self) -> int:
+        if self._num_rows is None:
+            self._num_rows = self.df.count()
+        return self._num_rows
+
+    @property
+    def num_distinct(self) -> int:
+        """COUNT(*) of SELECT DISTINCT * (A16,
+        `entropy/NewSmallDBInMemory.java:271-281`)."""
+        if self._num_distinct is None:
+            self._num_distinct = self.df.distinct().count()
+        return self._num_distinct
+
+    # ----- single-subset entropy ------------------------------------------
+
+    def entropy(self, cols: Iterable[str] | str) -> float:
+        """H(X), cached. Degenerate cases short-circuit without a scan:
+        H(∅) = 0 (`ExternalFileDataSet.java:91-96`). Unlike the reference we
+        do NOT assume H(R) = log2(N) for the full column set — that only
+        holds for duplicate-free inputs; we compute it honestly and let the
+        cache absorb the cost."""
+        x = attrset(cols)
+        hit = self._cache.get(x)
+        if hit is not None:
+            return hit
+        if not x:
+            return 0.0
+        h = self._compute_single(x)
+        with self._lock:
+            self._cache[x] = h
+        return h
+
+    def _compute_single(self, x: frozenset[str]) -> float:
+        cols = sorted_cols(x, self.schema_cols)
+        n = self.num_rows
+        gb = self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+        row = gb.agg(
+            F.sum(F.col("cnt") * F.log2("cnt")).alias("clogc")
+        ).first()
+        self.jobs_run += 1
+        self.entropies_computed += 1
+        clogc = row["clogc"] or 0.0
+        return math.log2(n) - clogc / n if n > 0 else 0.0
+
+    # ----- batched entropies (A8) -------------------------------------------
+
+    def entropies(self, subsets: Iterable[Iterable[str]],
+                  strategy: str = "grouping_sets") -> dict[frozenset[str], float]:
+        """Compute H(X) for many subsets; returns {frozenset: H}.
+
+        strategy='grouping_sets': chunks of <= max_grouping_sets subsets per
+        Spark job via GROUP BY GROUPING SETS — one scan + one shuffle per
+        chunk regardless of subset count.
+        strategy='concurrent': one groupBy job per subset submitted from a
+        thread pool against the persisted input — wins when subsets are few
+        and wide (grouping-set row replication would dominate).
+        """
+        wanted = [attrset(s) for s in subsets]
+        todo = []
+        seen = set()
+        for x in wanted:
+            if x and x not in self._cache and x not in seen:
+                seen.add(x)
+                todo.append(x)
+        if todo:
+            if strategy == "concurrent":
+                self._batch_concurrent(todo)
+            else:
+                for i in range(0, len(todo), self.max_grouping_sets):
+                    self._batch_grouping_sets(todo[i:i + self.max_grouping_sets])
+        return {x: (0.0 if not x else self._cache[x]) for x in wanted}
+
+    def _batch_grouping_sets(self, subsets: list[frozenset[str]]) -> None:
+        if len(subsets) == 1:
+            x = subsets[0]
+            with self._lock:
+                self._cache[x] = self._compute_single(x)
+            return
+        union_cols = sorted_cols(frozenset().union(*subsets), self.schema_cols)
+        n = self.num_rows
+        # grouping_id() bit i (MSB-first over union_cols) is 1 when that
+        # column is aggregated (absent from the set) — Spark SQL semantics.
+        def gid_of(x: frozenset[str]) -> int:
+            g = 0
+            for c in union_cols:
+                g = (g << 1) | (0 if c in x else 1)
+            return g
+
+        gid_to_set = {gid_of(x): x for x in subsets}
+        sets_sql = ", ".join(
+            "(" + ", ".join(f"`{c}`" for c in sorted_cols(x, self.schema_cols)) + ")"
+            for x in subsets
+        )
+        view = f"__rd_entropy_{id(self) & 0xFFFF:x}"
+        self.df.createOrReplaceTempView(view)
+        inner = (
+            f"SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
+            f"GROUP BY GROUPING SETS ({sets_sql})"
+        )
+        outer = (
+            f"SELECT gid, sum(cnt * log2(cnt)) AS clogc "
+            f"FROM ({inner}) GROUP BY gid"
+        )
+        rows = self.df.sparkSession.sql(outer).collect()
+        self.jobs_run += 1
+        got = {}
+        for r in rows:
+            x = gid_to_set.get(r["gid"])
+            if x is None:
+                continue  # duplicate-set gid collision impossible; ignore strays
+            clogc = r["clogc"] or 0.0
+            got[x] = math.log2(n) - clogc / n if n > 0 else 0.0
+        missing = [x for x in subsets if x not in got]
+        # A grouping set over an empty relation yields no rows; only possible
+        # when n == 0 — define H = 0 there.
+        for x in missing:
+            got[x] = 0.0 if n == 0 else self._compute_single(x)
+        with self._lock:
+            self._cache.update(got)
+            self.entropies_computed += len(got)
+
+    def _batch_concurrent(self, subsets: list[frozenset[str]]) -> None:
+        _ = self.num_rows  # materialize before fan-out
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            results = list(pool.map(self._compute_single, subsets))
+        with self._lock:
+            for x, h in zip(subsets, results):
+                self._cache[x] = h
+
+    # ----- cache management -------------------------------------------------
+
+    @property
+    def cache_size(self) -> int:
+        return len(self._cache)
+
+    def preload(self, values: dict[frozenset[str], float]) -> None:
+        with self._lock:
+            self._cache.update(values)
+
+    def unpersist(self) -> None:
+        self.df.unpersist()

@@ -1,0 +1,106 @@
+"""Entropy engine vs. pure-Python oracle (the dual-implementation test
+pattern from SURVEY.md §5: CompressedDB.compareTest vs ExternalFileDataSet)."""
+
+import itertools
+import math
+
+import pytest
+
+from relationaldecomposition_spark.engine.entropy import (
+    SparkEntropyEngine, entropy_from_counts)
+from tests.conftest import load
+
+
+def oracle_entropy(rows, idxs):
+    """Naive histogram entropy over tuple projections (duplicates = mass)."""
+    from collections import Counter
+    n = len(rows)
+    if n == 0 or not idxs:
+        return 0.0
+    counts = Counter(tuple(r[i] for i in idxs) for r in rows)
+    return -sum((c / n) * math.log2(c / n) for c in counts.values())
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # duplicates on purpose: entropy path must count them as mass
+    data = [
+        ("a", 1, "x"), ("a", 1, "x"), ("a", 2, "y"),
+        ("b", 1, "x"), ("b", 2, "y"), ("b", 2, "z"),
+        ("c", 3, "z"), ("c", 3, "z"),
+    ]
+    df = spark.createDataFrame(data, ["u", "v", "w"])
+    return df, data
+
+
+def test_single_subsets_match_oracle(tiny):
+    df, data = tiny
+    eng = SparkEntropyEngine(df)
+    cols = df.columns
+    for r in range(1, len(cols) + 1):
+        for combo in itertools.combinations(range(len(cols)), r):
+            subset = [cols[i] for i in combo]
+            expected = oracle_entropy(data, combo)
+            assert eng.entropy(subset) == pytest.approx(expected, abs=1e-9), subset
+    eng.unpersist()
+
+
+def test_degenerate_and_cache(tiny):
+    df, data = tiny
+    eng = SparkEntropyEngine(df)
+    assert eng.entropy([]) == 0.0
+    h1 = eng.entropy(["u"])
+    jobs = eng.jobs_run
+    assert eng.entropy(["u"]) == h1  # cache hit
+    assert eng.jobs_run == jobs
+    assert eng.num_rows == 8
+    assert eng.num_distinct == 6  # two injected duplicates
+    eng.unpersist()
+
+
+def test_batched_grouping_sets_match_singles(tiny):
+    df, data = tiny
+    cols = df.columns
+    all_subsets = [
+        [cols[i] for i in combo]
+        for r in range(1, len(cols) + 1)
+        for combo in itertools.combinations(range(len(cols)), r)
+    ]
+    eng_batch = SparkEntropyEngine(df, max_grouping_sets=4)
+    got = eng_batch.entropies(all_subsets)
+    for combo_cols, h in got.items():
+        idxs = [cols.index(c) for c in combo_cols]
+        assert h == pytest.approx(oracle_entropy(data, idxs), abs=1e-9), combo_cols
+    # the 7 subsets should have used ceil(7/4)=2 grouping-set jobs
+    assert eng_batch.jobs_run <= 3
+    eng_batch.unpersist()
+
+
+def test_concurrent_strategy(tiny):
+    df, data = tiny
+    eng = SparkEntropyEngine(df)
+    got = eng.entropies([["u"], ["v"], ["u", "w"]], strategy="concurrent")
+    for s, h in got.items():
+        idxs = [df.columns.index(c) for c in s]
+        assert h == pytest.approx(oracle_entropy(data, idxs), abs=1e-9)
+    eng.unpersist()
+
+
+def test_entropy_from_counts_helper():
+    assert entropy_from_counts([2, 2], 4) == pytest.approx(1.0)
+    assert entropy_from_counts([1, 1, 1, 1], 4) == pytest.approx(2.0)
+    assert entropy_from_counts([4], 4) == pytest.approx(0.0)
+    assert entropy_from_counts([], 0) == 0.0
+
+
+def test_on_sf0001_lineitem(spark):
+    df = load(spark, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity")
+    eng = SparkEntropyEngine(df)
+    rows = [tuple(r) for r in df.collect()]
+    for subset in [["l_returnflag"], ["l_returnflag", "l_linestatus"],
+                   ["l_returnflag", "l_linestatus", "l_quantity"]]:
+        idxs = [df.columns.index(c) for c in subset]
+        assert eng.entropy(subset) == pytest.approx(
+            oracle_entropy(rows, idxs), abs=1e-9)
+    eng.unpersist()
