@@ -1,0 +1,220 @@
+"""Decomposition validation: spurious-tuple counting + normalized output.
+
+Re-expresses the reference's SQLite-based validators Spark-first:
+
+- A12 cluster projection: ``SELECT DISTINCT cols, CAST(1 AS BIGINT) cnt``
+  (`entropy/NewSmallDBInMemory.java:481-502`) → ``df.select(*cols)
+  .distinct()`` + a literal count column.
+- A13 Yannakakis-style pairwise fold with count aggregation
+  (`entropy/NewSmallDBInMemory.java:354-452` proccessDecomposition): join
+  the running relation with the next cluster projection on their shared
+  attributes, keep SUM(cnt1*cnt2) grouped by exactly the attributes still
+  needed by the remaining clusters. The final SUM(cnt) is the size of the
+  full natural join; spurious = that − |distinct base|.
+- A14 join-tree ordering (`entropy/SmallDBInMemory.java:496-681`): same
+  fold, ordered leaf→root — here, a greedy max-shared-attributes order that
+  avoids cartesian intermediates (the result is order-invariant; only the
+  plan changes).
+- A15 naive multi-way join + DISTINCT count
+  (`entropy/SmallDBInMemory.java:207-334` testDecomposition): kept as a
+  test oracle.
+- A16 distinct base count (`entropy/NewSmallDBInMemory.java:271-281`).
+- A21 DecompositionInfo metrics (`entropy/NewSmallDBInMemory.java:547-576`).
+
+Duplicate-row semantics follow the reference's validation path: the base
+relation is deduplicated before anything else (worker copies are
+``SELECT DISTINCT *``, `NewSmallDBInMemory.java:180-187`).
+
+Scale notes (100 TB):
+- Each projection is one shuffle on its own columns (column-pruned scan of
+  a persisted dedup'd base). Projection row counts are computed anyway for
+  DecompositionInfo, so the fold broadcasts any side known to be small —
+  exactly the "broadcast small dims" rule, driven by real counts instead of
+  stats guesses. AQE handles skewed join keys.
+- The group-by after every join keeps intermediates at most as wide as the
+  union of remaining separators — the Yannakakis guarantee that
+  intermediate size is bounded by output size for acyclic decompositions.
+- The fold never collects anything but per-cluster counts and one final
+  scalar.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..core.attrset import attrset, sorted_cols
+
+# Broadcast a fold side when its (exactly known) distinct row count is below
+# this. ~1M narrow rows ≈ tens of MB serialized: safely under default
+# executor memory while saving a shuffle of the big side.
+BROADCAST_MAX_ROWS = 1_000_000
+
+
+@dataclass
+class DecompositionInfo:
+    """Mirror of `entropy/NewSmallDBInMemory.java:547-576`."""
+
+    smallest_relation: int = -1
+    largest_relation: int = -1
+    total_tuples: int = 0
+    total_cells: int = 0
+    spurious_tuples: int = 0
+    cluster_sizes: dict = field(default_factory=dict)
+
+    def add(self, cluster: frozenset[str], count: int) -> None:
+        if self.smallest_relation < 0 or count < self.smallest_relation:
+            self.smallest_relation = count
+        if count > self.largest_relation:
+            self.largest_relation = count
+        self.total_tuples += count
+        self.total_cells += count * len(cluster)
+        self.cluster_sizes[tuple(sorted(cluster))] = count
+
+
+def project_cluster(base: DataFrame, cluster, schema_cols=None,
+                    with_cnt: bool = True) -> DataFrame:
+    """A12: distinct projection of one cluster, with the literal cnt column
+    the count-fold multiplies through."""
+    cols = sorted_cols(attrset(cluster), schema_cols or base.columns)
+    proj = base.select(*cols).distinct()
+    if with_cnt:
+        proj = proj.withColumn("cnt", F.lit(1).cast("bigint"))
+    return proj
+
+
+def _greedy_order(clusters: list[frozenset[str]]) -> list[frozenset[str]]:
+    """Order clusters so each join shares attributes with the accumulated
+    set when possible (message-passing order for connected join trees);
+    falls back to the largest-overlap-first heuristic on ties."""
+    remaining = list(clusters)
+    # start with the largest cluster: biggest side stays un-broadcast first
+    start = max(remaining, key=len)
+    remaining.remove(start)
+    order = [start]
+    acc = set(start)
+    while remaining:
+        best = max(remaining, key=lambda c: (len(acc & c), -len(c)))
+        remaining.remove(best)
+        order.append(best)
+        acc |= best
+    return order
+
+
+class DecompositionValidator:
+    """Spurious-tuple counting for a set of clusters over one relation."""
+
+    def __init__(self, df: DataFrame, broadcast_max_rows: int = BROADCAST_MAX_ROWS):
+        self.schema_cols = tuple(df.columns)
+        # validation-path semantics: dedup the base once, keep it hot
+        self.base = df.distinct().persist()
+        self._num_tuples: int | None = None
+        self.broadcast_max_rows = broadcast_max_rows
+
+    @property
+    def num_tuples(self) -> int:
+        """A16: |SELECT DISTINCT * FROM base|."""
+        if self._num_tuples is None:
+            self._num_tuples = self.base.count()
+        return self._num_tuples
+
+    # -- A13/A14 count fold ---------------------------------------------------
+
+    def process_decomposition(self, clusters, order: str = "greedy") -> DecompositionInfo:
+        """Join-size counting fold (proccessDecomposition). Returns
+        DecompositionInfo with spurious_tuples = |⋈ projections| − |base|."""
+        cl = [attrset(c) for c in clusters]
+        info = DecompositionInfo()
+        if not cl:
+            return info
+        if order == "greedy":
+            cl = _greedy_order(cl)
+
+        counts: dict[frozenset[str], int] = {}
+        projs: dict[frozenset[str], DataFrame] = {}
+        for c in cl:
+            p = project_cluster(self.base, c, self.schema_cols).persist()
+            projs[c] = p
+            counts[c] = p.count()
+            info.add(c, counts[c])
+
+        acc_attrs = cl[0]
+        acc = projs[cl[0]]
+        acc_count = counts[cl[0]]
+        for i in range(1, len(cl)):
+            c2 = cl[i]
+            p2 = projs[c2].withColumnRenamed("cnt", "cnt_r")
+            join_cols = sorted_cols(acc_attrs & c2, self.schema_cols)
+            new_attrs = acc_attrs | c2
+            # attributes still needed: anything a remaining cluster mentions
+            needed = frozenset().union(*cl[i + 1:]) if i + 1 < len(cl) else frozenset()
+            group_cols = sorted_cols(needed & new_attrs, self.schema_cols)
+
+            left, right = acc, p2
+            if counts[c2] <= self.broadcast_max_rows:
+                right = F.broadcast(right)
+            elif acc_count <= self.broadcast_max_rows:
+                left = F.broadcast(left)
+            joined = (left.join(right, on=join_cols) if join_cols
+                      else left.crossJoin(right))
+            prod = (F.sum(F.col("cnt") * F.col("cnt_r"))).alias("cnt")
+            if group_cols:
+                acc = joined.groupBy(*group_cols).agg(prod)
+            else:
+                acc = joined.agg(prod)
+            acc_attrs = new_attrs
+            # after the group-by the running count is unknown; disable
+            # count-based broadcast of the accumulator from here on (AQE
+            # still upgrades it at runtime if it turns out small)
+            acc_count = self.broadcast_max_rows + 1
+
+        row = acc.agg(F.sum("cnt").alias("total")).first()
+        total = row["total"] or 0
+        for p in projs.values():
+            p.unpersist()
+        info.spurious_tuples = int(total) - self.num_tuples
+        return info
+
+    # -- A15 naive oracle -----------------------------------------------------
+
+    def naive_join_spurious(self, clusters) -> int:
+        """Test oracle: natural-join all projections, DISTINCT, count, minus
+        base count (testDecomposition)."""
+        cl = [attrset(c) for c in clusters]
+        cl = _greedy_order(cl)
+        dfs = [project_cluster(self.base, c, self.schema_cols, with_cnt=False)
+               for c in cl]
+
+        def nat_join(a, b):
+            shared = sorted_cols(set(a.columns) & set(b.columns), self.schema_cols)
+            return a.join(b, on=shared) if shared else a.crossJoin(b)
+
+        joined = reduce(nat_join, dfs)
+        return joined.distinct().count() - self.num_tuples
+
+    def close(self) -> None:
+        self.base.unpersist()
+
+
+def write_decomposition(df: DataFrame, clusters, base_path: str,
+                        fmt: str = "parquet") -> dict[str, int]:
+    """The ETL deliverable: materialize each cluster projection as a table
+    (normalization as a schema transformation). Returns {path: row_count}.
+
+    Each output is a distinct projection — one shuffle per cluster — written
+    columnar so downstream reads prune and push down.
+    """
+    base = df.distinct().persist()
+    out: dict[str, int] = {}
+    try:
+        for i, cluster in enumerate(clusters):
+            cols = sorted_cols(attrset(cluster), df.columns)
+            proj = base.select(*cols).distinct()
+            path = f"{base_path}/cluster_{i:03d}"
+            proj.write.mode("overwrite").format(fmt).save(path)
+            out[path] = proj.count()
+    finally:
+        base.unpersist()
+    return out
