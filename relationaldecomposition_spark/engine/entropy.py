@@ -171,10 +171,19 @@ class SparkEntropyEngine:
             with self._lock:
                 self._cache[x] = self._compute_single(x)
             return
-        union_cols = sorted_cols(frozenset().union(*subsets), self.schema_cols)
+        # grouping_id() bit positions follow the first appearance of each
+        # grouping expression across the GROUPING SETS clause (MSB-first),
+        # NOT table schema order — build the union in exactly the order we
+        # emit the SQL below.
+        union_cols: list[str] = []
+        seen_cols: set[str] = set()
+        for x in subsets:
+            for c in sorted_cols(x, self.schema_cols):
+                if c not in seen_cols:
+                    seen_cols.add(c)
+                    union_cols.append(c)
         n = self.num_rows
-        # grouping_id() bit i (MSB-first over union_cols) is 1 when that
-        # column is aggregated (absent from the set) — Spark SQL semantics.
+        # bit i is 1 when that column is aggregated (absent from the set)
         def gid_of(x: frozenset[str]) -> int:
             g = 0
             for c in union_cols:

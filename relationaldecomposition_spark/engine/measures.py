@@ -9,11 +9,14 @@ jobs and usually zero.
 Reference semantics kept verbatim:
 - measures within ±1e-7 of zero clamp to exactly zero
   (`entropy/AbstractDataset.java:20` THRESHOLD; `:224-226`, `:249-252`).
-- H(R) ("total entropy") is log2(num_rows) — `AbstractDataset.
-  getTotalEntropy:203-207` — which equals the true joint entropy only for
-  duplicate-free relations. ``MeasureEngine(honest_total=True)`` computes it
-  honestly instead (groupBy over all columns); default False matches the
-  reference.
+- H(R) ("total entropy") in the reference is log2(num_rows)
+  (`AbstractDataset.getTotalEntropy:203-207`) — correct only for
+  duplicate-free relations; on duplicated rows it overstates H(R) and MVD/JD
+  measures go negative (violating I(Y;Z|X) >= 0). We default to
+  ``honest_total=True`` — compute H(R) by group-by over all columns — which
+  equals the reference's value exactly on duplicate-free inputs and is the
+  mathematically correct generalization otherwise. Pass False for the
+  reference's literal shortcut.
 - MVD with X ∪ Y = R degenerates to H(R) - H(X)
   (`AbstractDataset.computeMVD:222-228`).
 """
@@ -35,7 +38,7 @@ def _clamp(x: float) -> float:
 class MeasureEngine:
     """FD/MVD/JD measures over one relation (the IDataset measure surface)."""
 
-    def __init__(self, engine: SparkEntropyEngine, honest_total: bool = False):
+    def __init__(self, engine: SparkEntropyEngine, honest_total: bool = True):
         self.engine = engine
         self.schema_cols = engine.schema_cols
         self.honest_total = honest_total

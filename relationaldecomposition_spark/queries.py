@@ -1,0 +1,402 @@
+"""Driver-facing query registry: one entry per implemented operator from
+SURVEY.md §2, each with a DuckDB oracle-SQL twin.
+
+Contract (TESTDATA.md / __spark_entry__.py): every callable takes
+``(spark, sf_dir)`` and returns a DataFrame; ``ORACLES[name]`` is ANSI SQL
+DuckDB runs against the same parquet tables registered as views. Column
+names AND types are aligned on both sides; float outputs are rounded to 6
+decimals on both sides (same half-up behavior for the non-negative values
+we emit) so value hashes match.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F, types as T
+
+from .core.deps import MEASURE_CLAMP
+from .engine.decompose import DecompositionValidator
+from .engine.entropy import SparkEntropyEngine
+from .engine.measures import MeasureEngine
+from .sources.tables import DENORM_SQL, denorm_customer_nation_region, load_table
+
+ROUND = 6
+
+# ---------------------------------------------------------------------------
+# shared fixtures: the subsets/decompositions both sides agree on
+# ---------------------------------------------------------------------------
+
+ENTROPY_BATCH_SUBSETS = [
+    ("l_returnflag",),
+    ("l_linestatus",),
+    ("l_returnflag", "l_linestatus"),
+    ("l_quantity",),
+    ("l_returnflag", "l_linestatus", "l_quantity"),
+    ("l_partkey", "l_suppkey"),
+]
+
+DENORM_COLS = ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+               "c_mktsegment", "n_name", "n_regionkey", "r_name"]
+
+FD_CANDIDATES = [
+    (("c_nationkey",), ("n_name",)),          # exact: planted by the join
+    (("c_nationkey",), ("r_name",)),          # exact: transitively
+    (("c_custkey",), ("c_name",)),            # exact: key
+    (("c_mktsegment",), ("n_name",)),         # approximate only
+]
+
+MVD_CANDIDATES = [
+    (("c_nationkey",), ("n_name", "n_regionkey", "r_name")),  # exact
+    (("n_regionkey",), ("r_name",)),                          # exact (FD => MVD)
+    (("c_mktsegment",), ("n_name",)),                         # approximate
+]
+
+CUST_CLUSTER = ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+NATION_CLUSTER = ("c_nationkey", "n_name", "n_regionkey")
+REGION_CLUSTER = ("n_regionkey", "r_name")
+
+JD_CANDIDATES = [
+    ("good", ("c_nationkey",),
+     (("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+      ("n_name", "n_regionkey", "r_name"))),
+    ("lossy", ("c_mktsegment",),
+     (("c_custkey", "c_name", "c_acctbal"),
+      ("c_nationkey", "n_name", "n_regionkey", "r_name"))),
+]
+
+DECOMPOSITIONS = [
+    ("good", (CUST_CLUSTER, NATION_CLUSTER, REGION_CLUSTER)),
+    ("bad", (("c_custkey", "c_name", "c_acctbal", "c_mktsegment"),
+             ("c_custkey", "c_nationkey", "n_name"),
+             ("n_regionkey", "r_name", "c_mktsegment"))),
+]
+
+# ---------------------------------------------------------------------------
+# oracle-SQL generators (DuckDB dialect = ANSI here)
+# ---------------------------------------------------------------------------
+
+
+def _sql_entropy(rel: str, cols) -> str:
+    """Scalar subquery: H(cols) of relation expression `rel` using the same
+    log2(N) - sum(c*log2(c))/N form the Spark engine uses."""
+    collist = ", ".join(cols)
+    return (
+        f"(SELECT log2(t.n) - coalesce(s.clogc, 0) / t.n FROM "
+        f"(SELECT sum(c * log2(c)) AS clogc FROM "
+        f"(SELECT count(*) AS c FROM {rel} GROUP BY {collist}) g) s, "
+        f"(SELECT count(*) AS n FROM {rel}) t)"
+    )
+
+
+def _sql_clamp(expr: str) -> str:
+    return (f"(CASE WHEN abs({expr}) <= {MEASURE_CLAMP} THEN 0.0 "
+            f"ELSE ({expr}) END)")
+
+
+DENORM_CTE = f"WITH denorm AS ({DENORM_SQL})"
+
+
+def _sql_fd_measure(lhs, rhs) -> str:
+    xy = sorted(set(lhs) | set(rhs))
+    return _sql_clamp(f"{_sql_entropy('denorm', xy)} - {_sql_entropy('denorm', sorted(lhs))}")
+
+
+def _sql_total_entropy() -> str:
+    # honest H(R): group-by over all columns (equals log2(N) when the
+    # relation is duplicate-free, as denorm is — see MeasureEngine docstring)
+    return _sql_entropy("denorm", sorted(DENORM_COLS))
+
+
+def _sql_mvd_measure(lhs, rhs) -> str:
+    xy = sorted(set(lhs) | set(rhs))
+    r_minus_y = sorted(set(DENORM_COLS) - set(rhs))
+    return _sql_clamp(
+        f"{_sql_entropy('denorm', xy)} + {_sql_entropy('denorm', r_minus_y)} "
+        f"- {_sql_entropy('denorm', sorted(lhs))} "
+        f"- {_sql_total_entropy()}"
+    )
+
+
+def _sql_jd_measure(lhs, components) -> str:
+    parts = [
+        _sql_entropy("denorm", sorted(set(lhs) | set(c))) for c in components
+    ]
+    k = len(components)
+    raw = (" + ".join(parts)
+           + f" - {k - 1} * {_sql_entropy('denorm', sorted(lhs))}"
+           + f" - {_sql_total_entropy()}")
+    return f"greatest({_sql_clamp(raw)}, 0.0)"
+
+
+def _sql_spurious(clusters) -> str:
+    """Natural join of distinct projections, count, minus distinct base."""
+    projs = []
+    for i, c in enumerate(clusters):
+        projs.append(f"p{i} AS (SELECT DISTINCT {', '.join(sorted(c))} FROM denorm)")
+    # fold: duckdb resolves USING-chains; build explicit join conditions
+    join_sql = "p0"
+    seen = set(clusters[0])
+    for i, c in enumerate(clusters[1:], start=1):
+        shared = sorted(seen & set(c))
+        if shared:
+            join_sql += f" JOIN p{i} USING ({', '.join(shared)})"
+        else:
+            join_sql += f" CROSS JOIN p{i}"
+        seen |= set(c)
+    return (
+        ", " + ", ".join(projs)
+        + f" SELECT (SELECT count(*) FROM {join_sql}) - "
+        f"(SELECT count(*) FROM (SELECT DISTINCT * FROM denorm)) "
+    )
+
+
+def _subset_id(cols) -> str:
+    return ",".join(sorted(cols))
+
+
+def _fmt_set(cols) -> str:
+    return "{" + ",".join(sorted(cols)) + "}"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+
+def q_a02_attr_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 attribute-count sniffing (Main.java:224-237): #columns of lineitem."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return spark.createDataFrame([(len(df.columns),)], "num_atts bigint")
+
+
+def q_a03_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 dictionary encoding (CompressedDB.java:139-161): dense int codes,
+    1-based, per distinct value. Scale path: the window runs over the tiny
+    *distinct* frame, never the base table; encoded base = broadcast join."""
+    from pyspark.sql import Window
+    df = load_table(spark, sf_dir, "customer")
+    distinct_vals = df.select(F.col("c_mktsegment").alias("value")).distinct()
+    w = Window.orderBy("value")
+    return distinct_vals.select(
+        "value", F.dense_rank().over(w).cast("bigint").alias("code"))
+
+
+def q_a05_groupby_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 frequency histogram with HAVING cnt>1 (CompressedDB.java:275-284)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return (df.groupBy("l_returnflag", "l_linestatus", "l_quantity")
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .where(F.col("cnt") > 1))
+
+
+def q_a07_entropy_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 entropy from counts (AbstractDataset.java:187-201)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    eng = SparkEntropyEngine(df, cache_input=False)
+    h = eng.entropy(["l_returnflag", "l_linestatus"])
+    return spark.createDataFrame(
+        [( _subset_id(["l_returnflag", "l_linestatus"]), float(h))],
+        "subset string, h double",
+    ).select("subset", F.round("h", ROUND).alias("h"))
+
+
+def q_a08_entropy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 batched multi-subset entropy in one grouping-sets pass
+    (ExternalFileDataSet.computeEntropies:111-166)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    eng = SparkEntropyEngine(df, cache_input=False)
+    got = eng.entropies([frozenset(s) for s in ENTROPY_BATCH_SUBSETS])
+    rows = [(_subset_id(s), float(got[frozenset(s)]))
+            for s in ENTROPY_BATCH_SUBSETS]
+    return (spark.createDataFrame(rows, "subset string, h double")
+            .select("subset", F.round("h", ROUND).alias("h")))
+
+
+def q_a12_projection_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 distinct projection with count tag (NewSmallDBInMemory.java:481-502)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    return (df.select("l_returnflag", "l_linestatus").distinct()
+              .withColumn("cnt", F.lit(1).cast("bigint")))
+
+
+def q_a16_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 distinct base-relation count (NewSmallDBInMemory.java:271-281)."""
+    df = load_table(spark, sf_dir, "customer")
+    n = df.distinct().count()
+    return spark.createDataFrame([(n,)], "n bigint")
+
+
+def _measure_df(spark, rows, id_cols: str) -> DataFrame:
+    return (spark.createDataFrame(rows, f"{id_cols}, mu double")
+            .select(*[c.split()[0] for c in id_cols.split(", ")],
+                    F.round("mu", ROUND).alias("mu")))
+
+
+def q_a18_fd_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18 FD measure H(XY)-H(X) (AbstractDataset.java:102-123)."""
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    meng = MeasureEngine(SparkEntropyEngine(denorm))
+    rows = [(_fmt_set(l), _fmt_set(r), float(meng.fd_measure(l, r)))
+            for l, r in FD_CANDIDATES]
+    meng.engine.unpersist()
+    return _measure_df(spark, rows, "lhs string, rhs string")
+
+
+def q_a19_mvd_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19 MVD measure I(Y;Z|X) (AbstractDataset.java:211-242)."""
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    meng = MeasureEngine(SparkEntropyEngine(denorm))
+    rows = [(_fmt_set(l), _fmt_set(r), float(meng.mvd_measure(l, r)))
+            for l, r in MVD_CANDIDATES]
+    meng.engine.unpersist()
+    return _measure_df(spark, rows, "lhs string, rhs string")
+
+
+def q_a20_jd_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20 JD measure (AbstractDataset.java:244-277)."""
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    meng = MeasureEngine(SparkEntropyEngine(denorm))
+    rows = [(name, float(meng.jd_measure(lhs, comps)))
+            for name, lhs, comps in JD_CANDIDATES]
+    meng.engine.unpersist()
+    return _measure_df(spark, rows, "jd string")
+
+
+def q_a13_spurious_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 Yannakakis count-fold spurious tuples
+    (NewSmallDBInMemory.proccessDecomposition:354-452)."""
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    v = DecompositionValidator(denorm)
+    rows = [(name, v.process_decomposition(clusters).spurious_tuples)
+            for name, clusters in DECOMPOSITIONS]
+    v.close()
+    return spark.createDataFrame(rows, "decomp string, spurious bigint")
+
+
+def q_a15_naive_spurious(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 naive multi-way join + distinct count (SmallDBInMemory:207-334)."""
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    v = DecompositionValidator(denorm)
+    rows = [(name, v.naive_join_spurious(clusters))
+            for name, clusters in DECOMPOSITIONS]
+    v.close()
+    return spark.createDataFrame(rows, "decomp string, spurious bigint")
+
+
+def q_a21_decomp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21 decomposition size metrics (NewSmallDBInMemory.java:547-576)."""
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    v = DecompositionValidator(denorm)
+    info = v.process_decomposition(DECOMPOSITIONS[0][1])
+    rows = [(",".join(c), n, n * len(c)) for c, n in sorted(info.cluster_sizes.items())]
+    v.close()
+    return spark.createDataFrame(rows, "cluster string, tuples bigint, cells bigint")
+
+
+# ---------------------------------------------------------------------------
+# registry + oracles
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a02_attr_count": q_a02_attr_count,
+    "a03_dict_encode": q_a03_dict_encode,
+    "a05_groupby_count_having": q_a05_groupby_count_having,
+    "a07_entropy_single": q_a07_entropy_single,
+    "a08_entropy_batch": q_a08_entropy_batch,
+    "a12_projection_distinct": q_a12_projection_distinct,
+    "a16_distinct_count": q_a16_distinct_count,
+    "a18_fd_measures": q_a18_fd_measures,
+    "a19_mvd_measures": q_a19_mvd_measures,
+    "a20_jd_measures": q_a20_jd_measures,
+    "a13_spurious_fold": q_a13_spurious_fold,
+    "a15_naive_spurious": q_a15_naive_spurious,
+    "a21_decomp_metrics": q_a21_decomp_metrics,
+}
+
+
+def _oracle_entropy_batch() -> str:
+    selects = []
+    for s in ENTROPY_BATCH_SUBSETS:
+        selects.append(
+            f"SELECT '{_subset_id(s)}' AS subset, "
+            f"round({_sql_entropy('lineitem', sorted(s))}, {ROUND}) AS h"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _oracle_fd_measures() -> str:
+    selects = []
+    for l, r in FD_CANDIDATES:
+        selects.append(
+            f"SELECT '{_fmt_set(l)}' AS lhs, '{_fmt_set(r)}' AS rhs, "
+            f"round({_sql_fd_measure(l, r)}, {ROUND}) AS mu")
+    return DENORM_CTE + " " + " UNION ALL ".join(selects)
+
+
+def _oracle_mvd_measures() -> str:
+    selects = []
+    for l, r in MVD_CANDIDATES:
+        selects.append(
+            f"SELECT '{_fmt_set(l)}' AS lhs, '{_fmt_set(r)}' AS rhs, "
+            f"round({_sql_mvd_measure(l, r)}, {ROUND}) AS mu")
+    return DENORM_CTE + " " + " UNION ALL ".join(selects)
+
+
+def _oracle_jd_measures() -> str:
+    selects = []
+    for name, lhs, comps in JD_CANDIDATES:
+        selects.append(
+            f"SELECT '{name}' AS jd, "
+            f"round({_sql_jd_measure(lhs, comps)}, {ROUND}) AS mu")
+    return DENORM_CTE + " " + " UNION ALL ".join(selects)
+
+
+def _oracle_spurious() -> str:
+    selects = []
+    for name, clusters in DECOMPOSITIONS:
+        selects.append(
+            f"SELECT '{name}' AS decomp, ({DENORM_CTE}"
+            f"{_sql_spurious(clusters)})::BIGINT AS spurious")
+    return " UNION ALL ".join(selects)
+
+
+def _oracle_decomp_metrics() -> str:
+    selects = []
+    for c in sorted(tuple(sorted(cl)) for cl in DECOMPOSITIONS[0][1]):
+        cols = ", ".join(c)
+        selects.append(
+            f"SELECT '{','.join(c)}' AS cluster, "
+            f"(SELECT count(*) FROM (SELECT DISTINCT {cols} FROM denorm))::BIGINT AS tuples, "
+            f"((SELECT count(*) FROM (SELECT DISTINCT {cols} FROM denorm)) * {len(c)})::BIGINT AS cells")
+    return DENORM_CTE + " " + " UNION ALL ".join(selects)
+
+
+ORACLES: dict[str, str] = {
+    "a02_attr_count": (
+        "SELECT count(*)::BIGINT AS num_atts FROM "
+        "(DESCRIBE SELECT * FROM lineitem)"),
+    "a03_dict_encode": (
+        "SELECT value, dense_rank() OVER (ORDER BY value)::BIGINT AS code "
+        "FROM (SELECT DISTINCT c_mktsegment AS value FROM customer)"),
+    "a05_groupby_count_having": (
+        "SELECT l_returnflag, l_linestatus, l_quantity, count(*)::BIGINT AS cnt "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity "
+        "HAVING count(*) > 1"),
+    "a07_entropy_single": (
+        "SELECT 'l_linestatus,l_returnflag' AS subset, "
+        f"round({_sql_entropy('lineitem', ['l_returnflag', 'l_linestatus'])}, {ROUND}) AS h"),
+    "a08_entropy_batch": _oracle_entropy_batch(),
+    "a12_projection_distinct": (
+        "SELECT DISTINCT l_returnflag, l_linestatus, CAST(1 AS BIGINT) AS cnt "
+        "FROM lineitem"),
+    "a16_distinct_count": (
+        "SELECT count(*)::BIGINT AS n FROM (SELECT DISTINCT * FROM customer)"),
+    "a18_fd_measures": _oracle_fd_measures(),
+    "a19_mvd_measures": _oracle_mvd_measures(),
+    "a20_jd_measures": _oracle_jd_measures(),
+    "a13_spurious_fold": _oracle_spurious(),
+    "a15_naive_spurious": _oracle_spurious(),
+    "a21_decomp_metrics": _oracle_decomp_metrics(),
+}

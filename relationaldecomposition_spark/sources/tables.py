@@ -1,0 +1,64 @@
+"""Table loading for the driver's synthetic star schema (TESTDATA.md) plus
+the reference's CSV reading semantics.
+
+The reference reads comma-separated CSV, trims fields, treats missing
+trailing fields as the sentinel "EMPTY", optional header, attribute count
+sniffed from the first line (`entropy/ExternalFileDataSet.java:44-89`,
+`entropy/CompressedDB.java:114-144`, `Main.java:224-237`). ``read_csv_ref``
+reproduces that contract on Spark's distributed CSV reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+EMPTY_SENTINEL = "EMPTY"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def denorm_customer_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region flattened — the denormalized relation whose
+    known normalization is the planted decomposition to rediscover
+    (FIXTURES.md F6). nation/region are tiny: broadcast both."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment", "n_name", "n_regionkey", "r_name")
+    )
+
+
+# SQL for the same denormalized relation, used by oracle queries (duckdb).
+DENORM_SQL = """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           n_name, n_regionkey, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def read_csv_ref(spark: SparkSession, path: str, header: bool = False,
+                 num_atts: int | None = None) -> DataFrame:
+    """CSV scan with the reference's untyped semantics (A1/A2): every field
+    a trimmed string, missing trailing fields = "EMPTY", columns named
+    att0..attN-1 positionally."""
+    df = spark.read.option("header", header).csv(path)
+    if num_atts is not None and len(df.columns) > num_atts:
+        df = df.select(df.columns[:num_atts])
+    cols = []
+    for i, c in enumerate(df.columns):
+        name = c if header else f"att{i}"
+        cols.append(
+            F.when(F.col(f"`{c}`").isNull(), F.lit(EMPTY_SENTINEL))
+            .otherwise(F.trim(F.col(f"`{c}`"))).alias(name))
+    return df.select(*cols)

@@ -76,6 +76,21 @@ def test_batched_grouping_sets_match_singles(tiny):
     eng_batch.unpersist()
 
 
+def test_batched_appearance_order_differs_from_schema(tiny):
+    # regression: grouping_id bit order follows first appearance in the
+    # GROUPING SETS clause, not schema order — put 'w' first to force a
+    # mismatch between the two orders
+    df, data = tiny
+    cols = df.columns  # [u, v, w]
+    eng = SparkEntropyEngine(df)
+    subsets = [["w"], ["v"], ["u", "v"], ["u", "w"], ["u"]]
+    got = eng.entropies(subsets)
+    for s, h in got.items():
+        idxs = [cols.index(c) for c in s]
+        assert h == pytest.approx(oracle_entropy(data, idxs), abs=1e-9), s
+    eng.unpersist()
+
+
 def test_concurrent_strategy(tiny):
     df, data = tiny
     eng = SparkEntropyEngine(df)
