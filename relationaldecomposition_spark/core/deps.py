@@ -295,6 +295,14 @@ class DependencySet:
     def get(self, dep: Dependency) -> Dependency | None:
         return self._by_key.get((type(dep).__name__, dep.lhs, dep.rhs))
 
+    def contains_lr(self, lhs: frozenset[str], rhs: frozenset[str]) -> bool:
+        """Membership by (lhs, rhs) only, ignoring dependency type —
+        DependencySet.contains(lhs, rhs) in the reference."""
+        for d in self._by_lhs.get(lhs, ()):
+            if d.rhs == rhs:
+                return True
+        return False
+
     def with_lhs(self, lhs: frozenset[str]) -> set[Dependency]:
         return self._by_lhs.get(lhs, set())
 

@@ -1,0 +1,284 @@
+"""Minimal-separator + join-dependency mining (the SIGMOD'20 pipeline).
+
+Driver-plane re-implementation of `search/MinimalJDGenerator.java` (B6-B12)
+and `search/JDGeneratorGivenLHS.java`'s consistent-reduction idea (B7). All
+entropies flow through SparkEntropyEngine's cache; the Spark cluster only
+ever sees batched group-by jobs.
+
+Pieces and their reference counterparts:
+- pairwise component I-measure  (calcuateIMeasure, :244-267)
+- elemental MVD measure         (calculateElementalMVD, :219-233)
+- most-specific JD              (mostSpecificJD, :269-298)
+- consistent-JD reduction       (getConsistentJDCandidate + mergeIfNeeded,
+                                 :498-600): repeatedly merge component pairs
+                                 with I > eps; fail if X,Y land together or
+                                 one component remains
+- mine JDs with given lhs       (mineAllJDsWithLHS{DFS,BFS}, :320-496):
+                                 search over component merges for JDs with
+                                 measure <= eps, pruning via the
+                                 (k-2)*eps bound, X,Y never merged
+- minimal-separator reduction   (reduceToMinJDReturnJD, :604-647)
+- seed min-seps per pair        (initSetOfMinSeps, :657-698)
+- enumerate ALL minimal (X,Y)-separators via minimal hypergraph
+  transversals                  (mineAllMinSeps, :726-790)
+- mine all full MVDs            (mineAllFullMVDs, :853-875)
+
+Tolerance semantics kept verbatim: measure comparisons use
+ACCURACY = 1e-5 (`isGreaterThanEpsilon`, :213-217).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections import deque
+
+from ..core.deps import JD, MEASURE_ACCURACY
+from ..engine.measures import MeasureEngine
+
+
+def is_greater_than_eps(measure: float, alpha: float) -> bool:
+    return (measure - alpha) > MEASURE_ACCURACY
+
+
+class JDMiner:
+    def __init__(self, meng: MeasureEngine, epsilon: float,
+                 stop_flag=None):
+        self.meng = meng
+        self.eng = meng.engine
+        self.epsilon = epsilon
+        self.schema = list(meng.schema_cols)
+        self.full = frozenset(self.schema)
+        # results
+        self.min_pairwise_seps: dict[tuple[str, str], set[frozenset[str]]] = {}
+        self.mined_min_seps: set[frozenset[str]] = set()
+        self.mined_jds: set[JD] = set()
+        self.full_mvds: set[JD] = set()
+        # cooperative cancellation (B18): callable returning True to stop
+        self._stop = stop_flag or (lambda: False)
+
+    # -- measures ------------------------------------------------------------
+
+    def imeasure(self, first, second, lhs) -> float:
+        """I(A;B|X) = H(XA) + H(XB) - H(X) - H(XAB)."""
+        a, b, x = frozenset(first), frozenset(second), frozenset(lhs)
+        got = self.eng.entropies([x | a, x | b, x, x | a | b])
+        return got[x | a] + got[x | b] - got[x] - got[x | a | b]
+
+    def elemental_mvd(self, ax: str, ay: str) -> float:
+        """I(ax; ay | R - {ax,ay})."""
+        return self.imeasure({ax}, {ay}, self.full - {ax, ay})
+
+    def jd_measure(self, jd: JD) -> float:
+        m = self.meng.jd_measure(jd.lhs, jd.components)
+        jd.measure.update_upper(m)
+        jd.measure.update_lower(m)
+        return m
+
+    # -- B7: consistent-JD reduction ------------------------------------------
+
+    def consistent_jd_candidate(self, lhs, start: JD, x: str | None = None,
+                                y: str | None = None) -> JD | None:
+        """Merge component pairs whose pairwise I-measure > eps until stable.
+        Returns None if X and Y end up merged, or only one component
+        remains. Entropies for each round are fetched in one batched job."""
+        lhs = frozenset(lhs)
+        if x is not None and y is not None:
+            # quick refutation: can X and Y even be separated given lhs?
+            basic = self.imeasure({x}, {y}, lhs)
+            if is_greater_than_eps(basic, self.epsilon):
+                return None
+        comps = [frozenset(c) for c in start.components]
+        while True:
+            # batch every entropy this round can need: H(lhs ∪ Ci) and
+            # H(lhs ∪ Ci ∪ Cj)
+            subsets = [lhs] + [lhs | c for c in comps] + \
+                [lhs | a | b for a, b in itertools.combinations(comps, 2)]
+            got = self.eng.entropies(subsets)
+            h_lhs = got[lhs]
+            merged = None
+            for i, j in itertools.combinations(range(len(comps)), 2):
+                a, b = comps[i], comps[j]
+                im = got[lhs | a] + got[lhs | b] - got[lhs | a | b] - h_lhs
+                if is_greater_than_eps(im, self.epsilon):
+                    merged = (i, j)
+                    break
+            if merged is None:
+                break
+            i, j = merged
+            new_comp = comps[i] | comps[j]
+            if x is not None and y is not None and x in new_comp and y in new_comp:
+                return None
+            comps = [c for k, c in enumerate(comps) if k not in (i, j)]
+            comps.append(new_comp)
+        if len(comps) <= 1:
+            return None
+        return JD(lhs, frozenset(comps))
+
+    # -- B8: mine all JDs with a given lhs -------------------------------------
+
+    def mine_jds_with_lhs(self, lhs, limit: int = 0, x: str | None = None,
+                          y: str | None = None,
+                          start: JD | None = None) -> set[JD]:
+        """Search over component merges of the consistent starting JD for
+        JDs with measure <= eps. X,Y (when given) are never merged into one
+        component. limit=0 means unlimited."""
+        lhs = frozenset(lhs)
+        if start is None:
+            start = self.consistent_jd_candidate(
+                lhs, JD.most_specific(lhs, self.schema), x, y)
+        if start is None:
+            return set()
+        # abort bound: each merge can reduce the measure by at most eps
+        m0 = self.jd_measure(start)
+        if is_greater_than_eps(m0, (len(start.components) - 1) * self.epsilon):
+            return set()
+
+        found: set[JD] = set()
+        visited: set[frozenset[frozenset[str]]] = {start.components}
+        queue: deque[JD] = deque([start])
+        while queue and not self._stop():
+            jd = queue.popleft()
+            m = self.jd_measure(jd)
+            if not is_greater_than_eps(m, self.epsilon):
+                found.add(jd)
+                if limit > 0 and len(found) >= limit:
+                    break
+                continue
+            comps = sorted(jd.components, key=sorted)
+            if len(comps) <= 2:
+                continue  # merging to one component can't be a JD
+            for i, j in itertools.combinations(range(len(comps)), 2):
+                a, b = comps[i], comps[j]
+                if x is not None and y is not None:
+                    ab = a | b
+                    if x in ab and y in ab:
+                        continue  # never merge X's and Y's components
+                merged = jd.merge_components(a, b)
+                cand = self.consistent_jd_candidate(lhs, merged, x, y)
+                if cand is None or cand.components in visited:
+                    continue
+                mc = self.jd_measure(cand)
+                if is_greater_than_eps(mc, (len(cand.components) - 2) * self.epsilon):
+                    continue
+                visited.add(cand.components)
+                queue.append(cand)
+        return found
+
+    # -- B9: minimal-separator reduction ----------------------------------------
+
+    def reduce_to_min_jd(self, x: str, y: str, lhs) -> JD | None:
+        """Greedily drop lhs attributes while an (x,y)-separating JD with
+        measure <= eps survives (reduceToMinJDReturnJD)."""
+        cur = frozenset(lhs)
+        start = self.consistent_jd_candidate(
+            cur, JD.most_specific(cur, self.schema), x, y)
+        if start is None:
+            return None
+        jds = self.mine_jds_with_lhs(cur, limit=1, x=x, y=y, start=start)
+        if not jds:
+            return None
+        best = next(iter(jds))
+        for attr in [c for c in self.schema if c in cur]:
+            cand_lhs = cur - {attr}
+            start = self.consistent_jd_candidate(
+                cand_lhs, JD.most_specific(cand_lhs, self.schema), x, y)
+            if start is None:
+                continue
+            jds = self.mine_jds_with_lhs(cand_lhs, limit=1, x=x, y=y, start=start)
+            if jds:
+                cur = cand_lhs
+                best = next(iter(jds))
+        return best
+
+    # -- B10: seed minimal separators per pair ------------------------------------
+
+    def init_min_seps(self) -> None:
+        for i, ax in enumerate(self.schema):
+            if self._stop():
+                break
+            for ay in self.schema[i + 1:]:
+                if self._stop():
+                    break
+                pair = (ax, ay)
+                if pair in self.min_pairwise_seps:
+                    continue
+                rest = self.full - {ax, ay}
+                if is_greater_than_eps(self.elemental_mvd(ax, ay), self.epsilon):
+                    continue  # not separable even by the largest lhs
+                jd = self.reduce_to_min_jd(ax, ay, rest)
+                if jd is None:
+                    continue
+                self.min_pairwise_seps[pair] = {jd.lhs}
+                self.mined_min_seps.add(jd.lhs)
+                self.mined_jds.add(jd)
+
+    # -- B11: all minimal separators via transversals -------------------------------
+
+    def mine_all_min_seps_for_pair(self, ax: str, ay: str) -> None:
+        from .transversals import Transversals
+
+        pair = (ax, ay)
+        if pair not in self.min_pairwise_seps:
+            self.min_pairwise_seps[pair] = set()
+            return
+        seps = self.min_pairwise_seps[pair]
+        first = next(iter(seps))
+        if len(seps) == 1 and len(first) == len(self.schema) - 2:
+            return  # the only possible separator is R-{x,y}
+        tr = Transversals(seps)
+        while not self._stop():
+            ctr_jd = None
+            while tr.has_next():
+                t = next(tr)
+                # candidate lhs = complement of the transversal minus {x,y}
+                cand_lhs = self.full - t - {ax, ay}
+                start = self.consistent_jd_candidate(
+                    cand_lhs, JD.most_specific(cand_lhs, self.schema), ax, ay)
+                if start is None:
+                    continue
+                jds = self.mine_jds_with_lhs(cand_lhs, limit=1, x=ax, y=ay,
+                                             start=start)
+                if jds:
+                    ctr_jd = next(iter(jds))
+                    break
+            if ctr_jd is None:
+                return
+            new_jd = self.reduce_to_min_jd(ax, ay, ctr_jd.lhs)
+            if new_jd is None:
+                return
+            self.mined_min_seps.add(new_jd.lhs)
+            self.mined_jds.add(new_jd)
+            seps.add(new_jd.lhs)
+            tr.add_hyperedge(new_jd.lhs)
+
+    def mine_all_min_seps(self) -> set[frozenset[str]]:
+        """B10+B11+B12 driver: seed, then enumerate all minimal separators
+        for every attribute pair."""
+        self.init_min_seps()
+        for i, ax in enumerate(self.schema):
+            if self._stop():
+                break
+            for ay in self.schema[i + 1:]:
+                if self._stop():
+                    break
+                self.mine_all_min_seps_for_pair(ax, ay)
+        out: set[frozenset[str]] = set()
+        for seps in self.min_pairwise_seps.values():
+            out |= seps
+        return out
+
+    # -- B12: all full MVDs (JDs) of mined minimal separators ----------------------
+
+    def mine_all_full_mvds(self) -> set[JD]:
+        self.full_mvds |= self.mined_jds
+        for (ax, ay), seps in self.min_pairwise_seps.items():
+            if self._stop():
+                break
+            for sep in seps:
+                start = self.consistent_jd_candidate(
+                    sep, JD.most_specific(sep, self.schema), ax, ay)
+                if start is None:
+                    continue
+                self.full_mvds |= self.mine_jds_with_lhs(
+                    sep, limit=0, x=ax, y=ay, start=start)
+        return self.full_mvds
