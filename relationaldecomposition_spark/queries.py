@@ -295,6 +295,94 @@ def q_a21_decomp_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cluster string, tuples bigint, cells bigint")
 
 
+DENORM6_COLS = ["c_custkey", "c_nationkey", "c_mktsegment", "n_name",
+                "n_regionkey", "r_name"]
+
+
+def _denorm6(spark, sf_dir):
+    return denorm_customer_nation_region(spark, sf_dir).select(*DENORM6_COLS)
+
+
+def q_a14_spurious_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 join-tree-ordered count fold (SmallDBInMemory.spuritousTuples:
+    496-681): build the join tree of two compatible JDs, validate its
+    clusters."""
+    from .schema.acyclic import AcyclicSchema, validate_schema
+
+    from .core.deps import JD
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+    jds = [
+        JD(frozenset(["c_nationkey"]),
+           frozenset([frozenset(["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]),
+                      frozenset(["n_name", "n_regionkey", "r_name"])])),
+        JD(frozenset(["n_regionkey"]),
+           frozenset([frozenset(["c_custkey", "c_name", "c_acctbal",
+                                 "c_mktsegment", "c_nationkey", "n_name"]),
+                      frozenset(["r_name"])])),
+    ]
+    schema = AcyclicSchema(DENORM_COLS, jds)
+    schema.build_join_tree()
+    v = DecompositionValidator(denorm)
+    info = validate_schema(v, schema)
+    v.close()
+    return spark.createDataFrame(
+        [(len(schema.clusters), int(info.spurious_tuples))],
+        "n_clusters bigint, spurious bigint")
+
+
+def q_b01_fd_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1 top-down lattice FD search at alpha=0, restricted to single-column
+    determinants (which the oracle can enumerate exhaustively in SQL)."""
+    from .core.deps import FD
+    from .mining.lattice import TopDownSearch
+
+    denorm = _denorm6(spark, sf_dir)
+    meng = MeasureEngine(SparkEntropyEngine(denorm))
+    found = TopDownSearch(meng, FD, alpha=0.0).search()
+    meng.engine.unpersist()
+    rows = sorted((next(iter(d.lhs)), next(iter(d.rhs)))
+                  for d in found if len(d.lhs) == 1)
+    return spark.createDataFrame(rows, "lhs string, rhs string")
+
+
+def q_b11_min_seps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10+B11 minimal-separator mining (rows-only check: the search
+    algorithm is not SQL-expressible)."""
+    from .mining.jd_miner import JDMiner
+
+    denorm = _denorm6(spark, sf_dir)
+    miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+    seps = miner.mine_all_min_seps()
+    miner.eng.unpersist()
+    rows = sorted([(",".join(sorted(s)), len(s)) for s in seps])
+    return spark.createDataFrame(rows, "separator string, size bigint")
+
+
+def q_b15_enumerate_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B14-B16 acyclic-schema enumeration over mined JDs + per-schema
+    validation (rows-only check)."""
+    from .mining.jd_miner import JDMiner
+    from .schema.acyclic import AcyclicSchemaEnumerator, validate_schema
+
+    denorm = _denorm6(spark, sf_dir)
+    miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+    miner.mine_all_min_seps()
+    v = DecompositionValidator(denorm)
+    rows = []
+    for i, schema in enumerate(AcyclicSchemaEnumerator(DENORM6_COLS,
+                                                       sorted(miner.mined_jds,
+                                                              key=str))):
+        if i >= 3:
+            break
+        info = validate_schema(v, schema)
+        rows.append((";".join(sorted(",".join(sorted(c)) for c in schema.clusters)),
+                     len(schema.clusters), int(info.spurious_tuples)))
+    v.close()
+    miner.eng.unpersist()
+    return spark.createDataFrame(sorted(rows),
+                                 "clusters string, n_clusters bigint, spurious bigint")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -311,8 +399,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a19_mvd_measures": q_a19_mvd_measures,
     "a20_jd_measures": q_a20_jd_measures,
     "a13_spurious_fold": q_a13_spurious_fold,
+    "a14_spurious_tree": q_a14_spurious_tree,
     "a15_naive_spurious": q_a15_naive_spurious,
     "a21_decomp_metrics": q_a21_decomp_metrics,
+    "b01_fd_search": q_b01_fd_search,
+    "b11_min_seps": q_b11_min_seps,
+    "b15_enumerate_schemas": q_b15_enumerate_schemas,
 }
 
 
@@ -373,6 +465,30 @@ def _oracle_decomp_metrics() -> str:
     return DENORM_CTE + " " + " UNION ALL ".join(selects)
 
 
+def _oracle_fd_search() -> str:
+    """All single-column FDs X -> Y of denorm6: |distinct X| = |distinct X,Y|."""
+    selects = []
+    for x in DENORM6_COLS:
+        for y in DENORM6_COLS:
+            if x == y:
+                continue
+            selects.append(
+                f"SELECT '{x}' AS lhs, '{y}' AS rhs WHERE "
+                f"(SELECT count(DISTINCT {x}) FROM denorm6) = "
+                f"(SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM denorm6))")
+    cte = (f"WITH denorm AS ({DENORM_SQL}), denorm6 AS "
+           f"(SELECT {', '.join(DENORM6_COLS)} FROM denorm)")
+    return cte + " " + " UNION ALL ".join(selects)
+
+
+def _oracle_spurious_tree() -> str:
+    clusters = (("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey"),
+                ("c_nationkey", "n_name", "n_regionkey"),
+                ("n_regionkey", "r_name"))
+    return (f"SELECT 3::BIGINT AS n_clusters, ({DENORM_CTE}"
+            f"{_sql_spurious(clusters)})::BIGINT AS spurious")
+
+
 ORACLES: dict[str, str] = {
     "a02_attr_count": (
         "SELECT count(*)::BIGINT AS num_atts FROM "
@@ -397,6 +513,10 @@ ORACLES: dict[str, str] = {
     "a19_mvd_measures": _oracle_mvd_measures(),
     "a20_jd_measures": _oracle_jd_measures(),
     "a13_spurious_fold": _oracle_spurious(),
+    "a14_spurious_tree": _oracle_spurious_tree(),
     "a15_naive_spurious": _oracle_spurious(),
     "a21_decomp_metrics": _oracle_decomp_metrics(),
+    "b01_fd_search": _oracle_fd_search(),
+    # b11_min_seps, b15_enumerate_schemas: search algorithms, not
+    # SQL-expressible -> rows-only checks (driver records the weaker check)
 }
