@@ -1,0 +1,93 @@
+"""Engine-portable hashing and tokenization expressions.
+
+Every dedup/similarity/text operator needs hash functions that produce
+IDENTICAL values in Spark and in the DuckDB oracle. Neither engine's native
+hash is portable (xxhash64 vs duckdb hash), so everything here derives from
+md5 — bit-identical in both — via: take the first 15 hex chars (60 bits,
+fits a signed 64-bit int), parse as an integer.
+
+Spark side emits Column expressions; the ``sql_*`` twins emit DuckDB SQL
+strings from the same constants. Keep them in lockstep.
+
+Scale: md5 on the JVM inside whole-stage codegen; no Python involved.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, functions as F
+
+# Universal-hash modulus: smallest prime > 2^32. With h < 2^32 and
+# a,b < 2^30, a*h + b < 2^62 — no 64-bit overflow in either engine.
+MERSENNE_P = 4294967311
+H32_MOD = 4294967296  # 2^32
+
+
+def portable_hash64(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (JVM-side)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash64(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def portable_hash32(col: Column) -> Column:
+    return portable_hash64(col) % F.lit(H32_MOD)
+
+
+def sql_hash32(expr: str) -> str:
+    return f"({sql_hash64(expr)} % {H32_MOD})"
+
+
+def minhash_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
+    """n deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, 1 << 30), rng.randrange(0, 1 << 30))
+            for _ in range(n)]
+
+
+def affine_hash(h32_col: Column, a: int, b: int) -> Column:
+    return (h32_col * F.lit(a) + F.lit(b)) % F.lit(MERSENNE_P)
+
+
+def sql_affine_hash(h32_expr: str, a: int, b: int) -> str:
+    return f"(({h32_expr} * {a} + {b}) % {MERSENNE_P})"
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (text is whitespace-separated in both engines)
+# ---------------------------------------------------------------------------
+
+TOKEN_RE = r"\S+"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens as an array (empty array for blank text)."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != F.lit(""))
+
+
+def sql_tokens(expr: str) -> str:
+    return f"regexp_extract_all(trim({expr}), '{TOKEN_RE}')"
+
+
+def word_shingles(col: Column, k: int) -> Column:
+    """k-word shingles (w-shingling), space-joined; [] when fewer than k
+    tokens. Array ops stay inside codegen — no UDF."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def sql_word_shingles(expr: str, k: int) -> str:
+    toks = sql_tokens(expr)
+    return (
+        f"(CASE WHEN len({toks}) >= {k} THEN "
+        f"list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> array_to_string(({toks})[i:i+{k - 1}], ' ')) "
+        f"ELSE [] END)"
+    )

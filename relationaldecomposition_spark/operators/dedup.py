@@ -1,0 +1,179 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies, all expressed as DataFrame pipelines (no Python in the hot
+path) over the portable hash primitives in functions/hashing.py:
+
+- exact:       hash-groupBy on normalized content, keep min-id survivor
+- MinHash+LSH: shingle -> n minhashes -> band -> bucket self-join ->
+               candidate pairs with estimated Jaccard
+- SimHash:     bit-majority signature over token hashes (32-bit)
+- n-gram Jaccard: shingle self-join with exact Jaccard
+- embedding cosine: exact pairwise cosine over array<float> (the LSH-
+               bucketed scale path lives in operators/similarity.py)
+
+Scale notes (100 TB):
+- exact dedup is one shuffle on the content hash; survivors resolved with
+  min(id) — no window over a global sort.
+- LSH candidate generation shuffles (band_id, band_signature) — rows per
+  bucket are the only quadratic term, and band width bounds bucket size.
+- the n-gram join is quadratic per shared shingle: always LSH first at
+  scale; the exact join is the verifier/oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import (
+    MERSENNE_P, affine_hash, minhash_params, portable_hash32, portable_hash64,
+    tokens, word_shingles)
+
+DEFAULT_N_HASHES = 8
+DEFAULT_BANDS = 4
+DEFAULT_SHINGLE_K = 3
+
+
+def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
+    """Exact dedup on `cols`: one surviving row id per distinct content.
+    Returns (content hash, min id, dup count)."""
+    key = portable_hash64(F.concat_ws("\x1f", *cols))
+    return (df.select(key.alias("content_hash"), F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("keep_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = DEFAULT_N_HASHES,
+                       shingle_k: int = DEFAULT_SHINGLE_K,
+                       seed: int = 42) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): min over shingles of (a_i*h32(shingle)+b_i)%P.
+    Documents with no shingles get sentinel P (impossible hash value).
+    One explode + one groupBy — two narrow shuffles regardless of n."""
+    params = minhash_params(n_hashes, seed)
+    sh = df.select(F.col(id_col),
+                   F.explode_outer(word_shingles(F.col(text_col), shingle_k))
+                    .alias("shingle"))
+    h = sh.withColumn("h32", portable_hash32(F.col("shingle")))
+    aggs = [F.min(F.when(F.col("shingle").isNotNull(),
+                         affine_hash(F.col("h32"), a, b)))
+            .alias(f"mh_{i}") for i, (a, b) in enumerate(params)]
+    out = h.groupBy(id_col).agg(*aggs)
+    # sentinel for shingle-less docs so their bands never collide with real ones
+    fills = {f"mh_{i}": MERSENNE_P + i for i in range(n_hashes)}
+    return out.fillna(fills)
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n_hashes: int = DEFAULT_N_HASHES,
+                        bands: int = DEFAULT_BANDS,
+                        shingle_k: int = DEFAULT_SHINGLE_K,
+                        min_est: float = 0.5,
+                        seed: int = 42) -> DataFrame:
+    """MinHash-LSH near-duplicate candidates: docs sharing any band bucket,
+    scored by estimated Jaccard = fraction of agreeing minhashes.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    # shingle-less docs carry the sentinel signature: Jaccard over empty
+    # shingle sets is undefined, so they never participate in pairing
+    sigs = sigs.where(F.col("mh_0") != MERSENNE_P)
+    mh_cols = [f"mh_{i}" for i in range(n_hashes)]
+    band_structs = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(",", *[F.col(mh_cols[b * rows_per_band + r])
+                                    for r in range(rows_per_band)]).alias("sig"))
+        for b in range(bands)])
+    banded = sigs.select(id_col, *mh_cols,
+                         F.explode(band_structs).alias("bk")) \
+                 .select(id_col, *mh_cols, "bk.band", "bk.sig")
+    left = banded
+    right = banded.select(F.col(id_col).alias("_rid"), F.col("band").alias("_rband"),
+                          F.col("sig").alias("_rsig"),
+                          *[F.col(c).alias(f"_r{c}") for c in mh_cols])
+    pairs = (left.join(right, (F.col("band") == F.col("_rband"))
+                       & (F.col("sig") == F.col("_rsig"))
+                       & (F.col(id_col) < F.col("_rid")))
+             .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"),
+                     *[(F.col(c) == F.col(f"_r{c}")).cast("int").alias(f"eq_{c}")
+                       for c in mh_cols])
+             .distinct())
+    est = sum(F.col(f"eq_{c}") for c in mh_cols) / F.lit(float(len(mh_cols)))
+    return (pairs.select("id_a", "id_b", est.alias("est_jaccard"))
+                 .where(F.col("est_jaccard") >= min_est))
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """SimHash signature: bit k of the signature is 1 iff the majority of
+    token hashes have bit k set. Explode tokens x bits -> two aggregations;
+    everything stays in codegen."""
+    tk = df.select(F.col(id_col),
+                   F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+    h = tk.withColumn("h", F.when(F.col("tok").isNotNull(),
+                                  portable_hash64(F.col("tok"))))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = (h.select(id_col, "h", bit)
+               .withColumn("sign",
+                           F.when(F.col("h").isNull(), F.lit(0))
+                            .when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
+                            .otherwise(F.lit(-1))))
+    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
+    sig = (bitsum.groupBy(id_col)
+           .agg(F.sum(F.when(F.col("s") > 0,
+                             F.expr("shiftleft(cast(1 as bigint), bit)"))
+                      .otherwise(F.lit(0))).alias("simhash")))
+    return sig
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        shingle_k: int = DEFAULT_SHINGLE_K,
+                        tau: float = 0.2) -> DataFrame:
+    """Exact n-gram Jaccard similarity via shingle-set self-join:
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tau, id_a < id_b."""
+    sh = (df.select(F.col(id_col),
+                    F.explode(F.array_distinct(
+                        word_shingles(F.col(text_col), shingle_k))).alias("sh")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    inter = (a.join(b, ["sh"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    (F.col("inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+                    .alias("jaccard"))
+            .where(F.col("jaccard") >= tau))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, v: acc + v))
+
+
+def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,
+                           tau: float = 0.95) -> DataFrame:
+    """Exact near-duplicate pairs by cosine >= tau. O(n^2) — the baseline /
+    verifier; use similarity.lsh_bucketed at scale."""
+    dbl = df.select(F.col(id_col),
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("v"))
+    withn = dbl.withColumn("n", _norm(F.col("v")))
+    a = withn.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+    b = withn.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
+    return (a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .where(F.col("cosine") >= tau))

@@ -1,0 +1,309 @@
+"""Driver-contract queries + DuckDB oracles for the pipeline operators
+(dedup / similarity / text / multimodal) over the `documents` and
+`embeddings` tables. Shared constants drive both sides; float outputs are
+rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.hashing import (
+    MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
+    sql_tokens, sql_word_shingles)
+from ..sources.tables import load_table
+from . import dedup, multimodal, similarity, text
+
+ROUND = 6
+
+N_HASHES = 8
+BANDS = 4
+SHINGLE_K = 3
+MINHASH_SEED = 42
+LSH_MIN_EST = 0.5
+JACCARD_TAU = 0.2
+COSINE_TAU = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
+TOPK_QUERY_IDS = list(range(10))
+TOPK_K = 5
+N_PLANES = 8
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_o01_exact_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, ["text"], "doc_id")
+
+
+def q_o02_minhash_sigs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signatures(docs, "text", "doc_id", N_HASHES,
+                                    SHINGLE_K, MINHASH_SEED)
+
+
+def q_o03_lsh_pairs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", N_HASHES,
+                                      BANDS, SHINGLE_K, LSH_MIN_EST,
+                                      MINHASH_SEED)
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", ROUND).alias("est_jaccard"))
+
+
+def q_o04_simhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=32)
+
+
+def q_o05_ngram_jaccard(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "text", "doc_id", SHINGLE_K,
+                                      JACCARD_TAU)
+    return pairs.select("id_a", "id_b", F.round("jaccard", ROUND).alias("jaccard"))
+
+
+def q_o06_cosine_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(emb, "embedding", "vec_id", COSINE_TAU)
+    return pairs.select("id_a", "id_b", F.round("cosine", ROUND).alias("cosine"))
+
+
+def q_o07_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_topk(emb, "embedding", "vec_id", TOPK_QUERY_IDS, TOPK_K)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", ROUND).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_o08_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucketed_topk(emb, "embedding", "vec_id",
+                                       TOPK_QUERY_IDS, TOPK_K, N_PLANES, EMB_DIM)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", ROUND).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_o09_token_counts(spark, sf_dir):
+    return text.token_counts(load_table(spark, sf_dir, "documents"),
+                             "text", "doc_id")
+
+
+def q_o10_lang_id(spark, sf_dir):
+    return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_o11_quality(spark, sf_dir):
+    return text.quality_score(load_table(spark, sf_dir, "documents"),
+                              "text", "doc_id")
+
+
+def q_o12_fingerprint(spark, sf_dir):
+    return text.fingerprint(load_table(spark, sf_dir, "documents"),
+                            "text", "doc_id")
+
+
+def q_o13_media_features(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.extract_features(media, multimodal.FakeDecoder())
+
+
+def q_o14_frame_sample(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    return multimodal.frame_sample(media, every_n_bytes=64)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+def _sql_minhash_sig_cte() -> str:
+    """CTE `sig`: doc_id + mh_0..mh_{n-1} (sentinel P+i when no shingles)."""
+    params = minhash_params(N_HASHES, MINHASH_SEED)
+    sh = sql_word_shingles("text", SHINGLE_K)
+    mh_cols = []
+    for i, (a, b) in enumerate(params):
+        ah = sql_affine_hash(sql_hash32("s"), a, b)
+        mh_cols.append(
+            f"coalesce(list_min(list_transform(shl, s -> {ah})), "
+            f"{MERSENNE_P + i}) AS mh_{i}")
+    return (f"sig AS (SELECT doc_id, {', '.join(mh_cols)} FROM "
+            f"(SELECT doc_id, {sh} AS shl FROM documents))")
+
+
+def _oracle_minhash() -> str:
+    return f"WITH {_sql_minhash_sig_cte()} SELECT * FROM sig"
+
+
+def _oracle_lsh_pairs() -> str:
+    rows_per_band = N_HASHES // BANDS
+    band_selects = []
+    for b in range(BANDS):
+        cols = ", ".join(f"mh_{b * rows_per_band + r}"
+                         for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig "
+            f"FROM sig WHERE mh_0 != {MERSENNE_P}")
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES))
+    return f"""
+      WITH {_sql_minhash_sig_cte()},
+      band AS ({' UNION ALL '.join(band_selects)}),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+         AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b, round(({eq_sum}) / {float(N_HASHES)}, {ROUND}) AS est_jaccard
+      FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
+      WHERE ({eq_sum}) / {float(N_HASHES)} >= {LSH_MIN_EST}"""
+
+
+def _oracle_simhash() -> str:
+    h = sql_hash64("tok")
+    return f"""
+      WITH tk AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok
+                  FROM documents),
+      bits AS (SELECT doc_id, b,
+                      sum(CASE WHEN ({h} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM tk, (SELECT unnest(range(0, 32)) AS b)
+               GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+              FROM bits GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(sig.sh, 0)::BIGINT AS simhash
+      FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id"""
+
+
+def _oracle_ngram_jaccard() -> str:
+    sh = sql_word_shingles("text", SHINGLE_K)
+    return f"""
+      WITH sh AS (SELECT doc_id, unnest(list_distinct({sh})) AS s FROM documents),
+      sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT id_a, id_b,
+             round(i / (sa.sz + sb.sz - i), {ROUND}) AS jaccard
+      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                 JOIN sizes sb ON sb.doc_id = id_b
+      WHERE i / (sa.sz + sb.sz - i) >= {JACCARD_TAU}"""
+
+
+_SQL_DOT = ("list_sum(list_transform(range(1, {dim} + 1), "
+            "i -> (CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))")
+_SQL_NORM = ("sqrt(list_sum(list_transform(range(1, {dim} + 1), "
+             "i -> (CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE)))))")
+
+
+def _oracle_cosine_pairs() -> str:
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    return f"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round({dot} / ({na} * {nb}), {ROUND}) AS cosine
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id AND {dot} / ({na} * {nb}) >= {COSINE_TAU}"""
+
+
+def _oracle_cosine_topk() -> str:
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    qids = ", ".join(map(str, TOPK_QUERY_IDS))
+    return f"""
+      WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {dot} / ({na} * {nb}) AS cos
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id IN ({qids}) AND b.vec_id != a.vec_id)
+      SELECT query_id, neighbor_id, round(cos, {ROUND}) AS cosine, rank
+      FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {TOPK_K}"""
+
+
+def _oracle_lsh_topk() -> str:
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    qids = ", ".join(map(str, TOPK_QUERY_IDS))
+    planes = similarity.random_hyperplanes(N_PLANES, EMB_DIM)
+    sig_terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(f"{x:.1f}" for x in plane)
+        dotp = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+                f"i -> (CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])))")
+        sig_terms.append(f"(CASE WHEN {dotp} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)")
+    return f"""
+      WITH bk AS (SELECT vec_id, ({' + '.join(sig_terms)}) AS bucket FROM embeddings),
+      scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {dot} / ({na} * {nb}) AS cos
+        FROM embeddings a JOIN bk ba ON ba.vec_id = a.vec_id,
+             embeddings b JOIN bk bb ON bb.vec_id = b.vec_id
+        WHERE a.vec_id IN ({qids}) AND b.vec_id != a.vec_id
+          AND ba.bucket = bb.bucket)
+      SELECT query_id, neighbor_id, round(cos, {ROUND}) AS cosine, rank
+      FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {TOPK_K}"""
+
+
+OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "o01_exact_dedup": q_o01_exact_dedup,
+    "o02_minhash_sigs": q_o02_minhash_sigs,
+    "o03_lsh_pairs": q_o03_lsh_pairs,
+    "o04_simhash": q_o04_simhash,
+    "o05_ngram_jaccard": q_o05_ngram_jaccard,
+    "o06_cosine_pairs": q_o06_cosine_pairs,
+    "o07_cosine_topk": q_o07_cosine_topk,
+    "o08_lsh_topk": q_o08_lsh_topk,
+    "o09_token_counts": q_o09_token_counts,
+    "o10_lang_id": q_o10_lang_id,
+    "o11_quality": q_o11_quality,
+    "o12_fingerprint": q_o12_fingerprint,
+    "o13_media_features": q_o13_media_features,
+    "o14_frame_sample": q_o14_frame_sample,
+}
+
+OPERATOR_ORACLES: dict[str, str] = {
+    "o01_exact_dedup": (
+        f"SELECT {sql_hash64('text')} AS content_hash, "
+        f"min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies "
+        f"FROM documents GROUP BY 1"),
+    "o02_minhash_sigs": _oracle_minhash(),
+    "o03_lsh_pairs": _oracle_lsh_pairs(),
+    "o04_simhash": _oracle_simhash(),
+    "o05_ngram_jaccard": _oracle_ngram_jaccard(),
+    "o06_cosine_pairs": _oracle_cosine_pairs(),
+    "o07_cosine_topk": _oracle_cosine_topk(),
+    "o08_lsh_topk": _oracle_lsh_topk(),
+    "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
+    "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
+    "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),
+    "o12_fingerprint": text.sql_fingerprint("documents", "text", "doc_id"),
+    "o13_media_features": (
+        "SELECT doc_id::BIGINT AS media_id, "
+        "octet_length(encode(text))::BIGINT AS n_bytes, "
+        "(octet_length(encode(text)) % 640)::INT AS width, "
+        "((octet_length(encode(text)) * 7) % 480)::INT AS height "
+        "FROM documents"),
+    "o14_frame_sample": (
+        "SELECT doc_id::BIGINT AS media_id, "
+        "unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64))::BIGINT "
+        "AS frame_offset, substr(text, 1, 8) AS frame_preview FROM documents"),
+}

@@ -407,6 +407,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b15_enumerate_schemas": q_b15_enumerate_schemas,
 }
 
+# pipeline operators (dedup / similarity / text / multimodal)
+from .operators.registry import OPERATOR_ORACLES, OPERATOR_QUERIES  # noqa: E402
+
+QUERIES.update(OPERATOR_QUERIES)
+
 
 def _oracle_entropy_batch() -> str:
     selects = []
@@ -520,3 +525,5 @@ ORACLES: dict[str, str] = {
     # b11_min_seps, b15_enumerate_schemas: search algorithms, not
     # SQL-expressible -> rows-only checks (driver records the weaker check)
 }
+
+ORACLES.update(OPERATOR_ORACLES)

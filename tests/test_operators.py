@@ -1,0 +1,182 @@
+"""Pipeline operators on hand-built fixtures with known answers."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import (
+    dedup, multimodal, similarity, text)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),        # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),        # near dup of 1
+        (4, "completely different words here entirely unrelated"),
+        (5, ""),                                                    # empty
+        (6, "tiny"),                                                # < shingle size
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_copies"]
+           for r in dedup.exact_dedup(docs, ["text"], "doc_id").collect()}
+    assert out[1] == 2          # docs 1,2 collapse, min id survives
+    assert out[3] == 1
+    assert sum(out.values()) == 6
+
+
+def test_minhash_near_dup_similarity(docs):
+    sigs = {r["doc_id"]: [r[f"mh_{i}"] for i in range(8)]
+            for r in dedup.minhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs[1] == sigs[2]   # identical docs -> identical signatures
+    agree_13 = sum(a == b for a, b in zip(sigs[1], sigs[3]))
+    agree_14 = sum(a == b for a, b in zip(sigs[1], sigs[4]))
+    assert agree_13 > agree_14  # near-dup agrees more than unrelated
+    # empty/tiny docs get sentinel signatures, never colliding with real docs
+    assert sigs[5] == sigs[6]
+    assert sigs[5] != sigs[1]
+
+
+def test_lsh_pairs_find_exact_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.lsh_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    # sentinel signatures must not pair empty docs together
+    assert (5, 6) not in pairs
+
+
+def test_simhash_properties(docs):
+    out = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert out[5] == 0  # no tokens -> zero signature
+    # near-dup hamming distance < unrelated hamming distance
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(out[1], out[3]) < ham(out[1], out[4])
+
+
+def test_ngram_jaccard_exact_value(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                                shingle_k=3, tau=0.1).collect()}
+    assert pairs[(1, 2)] == 1.0
+    # doc1 vs doc3: 9 tokens -> 7 shingles each; 6 shared ("lazy dog" vs
+    # "lazy cat" breaks the last shingle... compute: differs in final token,
+    # affecting shingles containing it: positions 5,6,7 -> 3 changed? tokens:
+    # the quick brown fox jumps over the lazy dog|cat; shingles 7, those
+    # including token9: shingles starting at 7 (the lazy X) only -> 1 of 7
+    # changed from each set: inter=6, union=8 -> 0.75
+    assert pairs[(1, 3)] == pytest.approx(6 / 8)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+        (4, [0.5, 0.5, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+        .select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+
+
+def test_cosine_pairs_values(vecs):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dedup.embedding_cosine_pairs(vecs, "embedding", "vec_id",
+                                                   tau=-2.0).collect()}
+    assert pairs[(0, 2)] == pytest.approx(0.0, abs=1e-6)
+    assert pairs[(0, 3)] == pytest.approx(-1.0, abs=1e-6)
+    assert pairs[(0, 1)] == pytest.approx(0.9 / math.sqrt(0.82), abs=1e-6)
+
+
+def test_cosine_topk_ordering(vecs):
+    out = similarity.cosine_topk(vecs, "embedding", "vec_id",
+                                 query_ids=[0], k=4).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 4, 2, 3]  # by descending cosine to vec 0
+
+
+def test_lsh_topk_subset_of_exact(vecs):
+    # bucketed results are a subset of brute-force for the same query,
+    # with identical cosines where present
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in similarity.cosine_topk(vecs, "embedding", "vec_id",
+                                             [0], 4).collect()}
+    lsh = similarity.lsh_bucketed_topk(vecs, "embedding", "vec_id", [0], 4,
+                                       n_planes=4, dim=4).collect()
+    for r in lsh:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert r["cosine"] == pytest.approx(exact[key], abs=1e-9)
+
+
+def test_token_counts(docs):
+    out = {r["doc_id"]: r for r in text.token_counts(docs, "text", "doc_id").collect()}
+    assert out[1]["ws_tokens"] == 9
+    assert out[5]["ws_tokens"] == 0
+    assert out[6]["ws_tokens"] == 1
+    assert out[1]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+
+
+def test_lang_id(spark):
+    rows = [(1, "the cat and the dog of a house"),
+            (2, "der Hund und die Katze ist gut"),
+            (3, "le chat et la maison est grande"),
+            (4, "xyzzy plugh qwerty")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df, "text", "doc_id").collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "fr" and out[4] == "und"
+
+
+def test_quality_monotone(spark):
+    rows = [(1, "the cat and the dog of a house with many words " * 5),
+            (2, "!!! ??? ### $$$ %%%")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["quality"] for r in text.quality_score(df, "text", "doc_id").collect()}
+    assert out[1] > out[2]
+    assert 0.0 <= out[2] <= out[1] <= 1.0
+
+
+def test_fingerprint_stability(docs):
+    out1 = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs, "text", "doc_id").collect()}
+    out2 = {r["doc_id"]: r["fingerprint"] for r in text.fingerprint(docs, "text", "doc_id").collect()}
+    assert out1 == out2
+    assert out1[1] == out1[2]       # identical docs -> identical fingerprint
+    assert out1[5] == -1            # sentinel for shingle-less docs
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.documents_as_media(docs, "text", "doc_id")
+    assert dict(media.dtypes)["content"] == "binary"
+    feats = multimodal.extract_features(media, multimodal.FakeDecoder(),
+                                        batch_size=2).collect()
+    by_id = {r["media_id"]: r for r in feats}
+    assert len(by_id) == 6
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert by_id[1]["n_bytes"] == n
+    assert by_id[1]["width"] == n % 640
+    assert by_id[1]["height"] == (n * 7) % 480
+    assert by_id[5]["n_bytes"] == 0
+
+
+def test_pillow_decoder_is_stubbed(docs):
+    media = multimodal.documents_as_media(docs, "text", "doc_id")
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Spark
+        multimodal.extract_features(media, multimodal.PillowDecoder()).collect()
+
+
+def test_frame_sample_offsets(docs):
+    media = multimodal.documents_as_media(docs, "text", "doc_id")
+    out = multimodal.frame_sample(media, every_n_bytes=16).collect()
+    doc1 = sorted(r["frame_offset"] for r in out if r["media_id"] == 1)
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert doc1 == list(range(0, n, 16))
