@@ -407,6 +407,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b15_enumerate_schemas": q_b15_enumerate_schemas,
 }
 
+def q_s01_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-twin tumbling-window aggregation, executed in batch for the
+    oracle; the pytest suite asserts batch == readStream for the same
+    transformation (streaming/events.py)."""
+    from .streaming.events import windowed_counts
+
+    return windowed_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_s02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-twin session_window aggregation (gap 30 min), batch mode."""
+    from .streaming.events import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
+
+
+QUERIES["s01_windowed_counts"] = q_s01_windowed_counts
+QUERIES["s02_sessionize"] = q_s02_sessionize
+
 # pipeline operators (dedup / similarity / text / multimodal)
 from .operators.registry import OPERATOR_ORACLES, OPERATOR_QUERIES  # noqa: E402
 
@@ -525,5 +544,10 @@ ORACLES: dict[str, str] = {
     # b11_min_seps, b15_enumerate_schemas: search algorithms, not
     # SQL-expressible -> rows-only checks (driver records the weaker check)
 }
+
+from .streaming.events import sql_sessionize, sql_windowed_counts  # noqa: E402
+
+ORACLES["s01_windowed_counts"] = sql_windowed_counts("events")
+ORACLES["s02_sessionize"] = sql_sessionize("events")
 
 ORACLES.update(OPERATOR_ORACLES)

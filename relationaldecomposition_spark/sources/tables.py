@@ -19,6 +19,17 @@ EMPTY_SENTINEL = "EMPTY"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is physical INT64 TIMESTAMP(NANOS) — illegal for Spark's
+        # parquet reader by default. Read nanos as long, convert to a micros
+        # timestamp (the data carries no sub-microsecond components).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer division: ns values exceed double's 53-bit mantissa,
+            # so `/ 1000` (double math) would drift by ±1 microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
