@@ -2,12 +2,19 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and print ONE JSON line.
 
-Headline set mirrors the reference workloads (BASELINE.md):
+Headline set mirrors the reference workloads (BASELINE.md) plus the
+beyond-reference pipeline operators:
   - entropy_batch32: 32 subset entropies in chunked grouping-sets jobs (A8)
   - mvd_sweep:       MVD measure sweep over one table (A19 over A8 batches)
   - spurious_fold:   3-cluster decomposition validation of the denormalized
                      customer⋈nation⋈region relation (A12+A13)
+  - minsep_mine:     full minimal-separator mining on the 8-column denorm
+                     (B10-B11, the SIGMOD'20 pipeline end-to-end)
   - flagship:        entry()-style measure + validation summary
+  - lsh_dedup:       MinHash-LSH near-dup candidate pairs on documents
+  - cosine_topk:     brute-force + LSH-bucketed ANN over embeddings
+  - stream_window:   windowed + session aggregation over events (batch twin
+                     of the streaming operators)
 """
 
 from __future__ import annotations
@@ -82,6 +89,39 @@ def main() -> None:
                      ["n_name", "n_regionkey", "r_name"]])
     meng.engine.unpersist()
     timings["flagship"] = time.time() - t0
+
+    # --- minsep_mine: full SIGMOD'20 discovery on the 8-col denorm -------------
+    from relationaldecomposition_spark.mining.jd_miner import JDMiner
+    t0 = time.time()
+    miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+    miner.mine_all_min_seps()
+    miner.eng.unpersist()
+    timings["minsep_mine"] = time.time() - t0
+
+    # --- lsh_dedup --------------------------------------------------------------
+    from relationaldecomposition_spark.operators.dedup import lsh_candidate_pairs
+    t0 = time.time()
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_candidate_pairs(docs, "text", "doc_id").count()
+    timings["lsh_dedup"] = time.time() - t0
+
+    # --- cosine_topk ------------------------------------------------------------
+    from relationaldecomposition_spark.operators.similarity import (
+        cosine_topk, lsh_bucketed_topk)
+    t0 = time.time()
+    emb = load_table(spark, sf_dir, "embeddings")
+    cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
+    lsh_bucketed_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
+    timings["cosine_topk"] = time.time() - t0
+
+    # --- stream_window (batch twin) --------------------------------------------
+    from relationaldecomposition_spark.streaming.events import (
+        sessionize, windowed_counts)
+    t0 = time.time()
+    ev = load_table(spark, sf_dir, "events")
+    windowed_counts(ev).count()
+    sessionize(ev).count()
+    timings["stream_window"] = time.time() - t0
 
     spark.stop()
     total = sum(timings.values())

@@ -135,10 +135,14 @@ class DecompositionValidator:
         counts: dict[frozenset[str], int] = {}
         projs: dict[frozenset[str], DataFrame] = {}
         for c in cl:
-            p = project_cluster(self.base, c, self.schema_cols).persist()
-            projs[c] = p
-            counts[c] = p.count()
-            info.add(c, counts[c])
+            projs[c] = project_cluster(self.base, c, self.schema_cols).persist()
+        # materialize + count all projections concurrently: each count is an
+        # independent job over the cached base, so latency overlaps
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=min(8, len(cl))) as pool:
+            for c, n in zip(cl, pool.map(lambda c: projs[c].count(), cl)):
+                counts[c] = n
+                info.add(c, n)
 
         acc_attrs = cl[0]
         acc = projs[cl[0]]

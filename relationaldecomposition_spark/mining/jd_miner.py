@@ -164,6 +164,31 @@ class JDMiner:
                 queue.append(cand)
         return found
 
+    # -- entropy prefetching ---------------------------------------------------
+
+    def _prefetch_lhs_family(self, lhs_list) -> None:
+        """Batch-warm the cache with every entropy a consistent-reduction
+        over singleton-component JDs with these lhs candidates can ask for:
+        H(lhs), H(lhs ∪ {a}) and H(lhs ∪ {a,b}) for a,b outside lhs.
+        Spark-side analogue of prepareEntropiesForReduction
+        (`search/JDGeneratorGivenLHS.java:408-423`): turns dozens of tiny
+        sequential jobs into a few chunked grouping-sets scans.
+
+        NOTE: measured at sf0.1, eager prefetch LOSES inside the greedy
+        reduction — the lazy path skips most pair entropies via the early
+        I(x;y|lhs) refutation. Only call this for subset families that are
+        always needed (init_min_seps does)."""
+        subsets: set[frozenset[str]] = set()
+        for lhs in lhs_list:
+            lhs = frozenset(lhs)
+            rest = [c for c in self.schema if c not in lhs]
+            subsets.add(lhs)
+            for a in rest:
+                subsets.add(lhs | {a})
+            for a, b in itertools.combinations(rest, 2):
+                subsets.add(lhs | {a, b})
+        self.eng.entropies(subsets)
+
     # -- B9: minimal-separator reduction ----------------------------------------
 
     def reduce_to_min_jd(self, x: str, y: str, lhs) -> JD | None:
@@ -193,6 +218,12 @@ class JDMiner:
     # -- B10: seed minimal separators per pair ------------------------------------
 
     def init_min_seps(self) -> None:
+        # warm every elemental-MVD entropy in one batched pass:
+        # H(R-{i}), H(R-{i,j}), H(R) for all pairs
+        n1 = [self.full - {a} for a in self.schema]
+        n2 = [self.full - {a, b}
+              for a, b in itertools.combinations(self.schema, 2)]
+        self.eng.entropies([self.full] + n1 + n2)
         for i, ax in enumerate(self.schema):
             if self._stop():
                 break

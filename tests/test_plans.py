@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the properties that make the engine hold
+at 100 TB (column pruning, broadcast folds, predicate pushdown, no Python in
+hot paths). These assert on the optimized/executed plan text, so a future
+change that silently de-optimizes a pipeline fails CI."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import load
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_entropy_groupby_prunes_scan(spark):
+    li = load(spark, "lineitem")
+    gb = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_of(gb))
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_returnflag", "l_linestatus"}
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load(spark, "lineitem")
+    f = li.where(F.col("l_quantity") > 40).select("l_orderkey")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan_of(f))
+    assert m and "GreaterThan(l_quantity" in m.group(1)
+
+
+def test_decomposition_fold_broadcasts_small_side(spark):
+    from relationaldecomposition_spark.engine.decompose import (
+        DecompositionValidator, project_cluster)
+    c = load(spark, "customer")
+    n = load(spark, "nation")
+    denorm = c.join(n, c.c_nationkey == n.n_nationkey).drop("n_nationkey")
+    v = DecompositionValidator(denorm)
+    p1 = project_cluster(v.base, ["c_custkey", "c_nationkey"], v.schema_cols)
+    p2 = project_cluster(v.base, ["c_nationkey", "n_name"], v.schema_cols) \
+        .withColumnRenamed("cnt", "cnt_r")
+    joined = p1.join(F.broadcast(p2), on=["c_nationkey"])
+    assert "BroadcastHashJoin" in plan_of(joined)
+    v.close()
+
+
+def test_dedup_paths_have_no_python_udfs(spark):
+    from relationaldecomposition_spark.operators import dedup, text
+    docs = load(spark, "documents")
+    for df in [
+        dedup.exact_dedup(docs, ["text"], "doc_id"),
+        dedup.minhash_signatures(docs, "text", "doc_id"),
+        dedup.simhash(docs, "text", "doc_id"),
+        text.quality_score(docs, "text", "doc_id"),
+        text.lang_id(docs, "text", "doc_id"),
+    ]:
+        p = plan_of(df)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, \
+            "Python UDF leaked into a hot path"
+
+
+def test_multimodal_is_arrow_batched(spark):
+    from relationaldecomposition_spark.operators import multimodal
+    docs = load(spark, "documents")
+    media = multimodal.documents_as_media(docs)
+    feats = multimodal.extract_features(media)
+    # mapInPandas shows up as MapInPandas (Arrow), never row-at-a-time
+    assert "MapInPandas" in plan_of(feats)
