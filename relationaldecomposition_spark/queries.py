@@ -345,6 +345,22 @@ def q_b01_fd_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "lhs string, rhs string")
 
 
+def q_b03_mine_mvds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 bottom-up MVD miner (mineMVDs) on a 5-column projection of the
+    denormalized relation (rows-only check: search algorithm)."""
+    from .core.deps import MVD
+    from .mining.lattice import MVDMiner
+
+    denorm = denorm_customer_nation_region(spark, sf_dir).select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "n_name", "n_regionkey")
+    meng = MeasureEngine(SparkEntropyEngine(denorm))
+    mined = MVDMiner(meng, alpha=0.0).mine()
+    meng.engine.unpersist()
+    rows = sorted(("mvd" if isinstance(d, MVD) else "fd",
+                   _fmt_set(d.lhs), _fmt_set(d.rhs)) for d in mined)
+    return spark.createDataFrame(rows, "kind string, lhs string, rhs string")
+
+
 def q_b11_min_seps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B10+B11 minimal-separator mining (rows-only check: the search
     algorithm is not SQL-expressible)."""
@@ -403,6 +419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a15_naive_spurious": q_a15_naive_spurious,
     "a21_decomp_metrics": q_a21_decomp_metrics,
     "b01_fd_search": q_b01_fd_search,
+    "b03_mine_mvds": q_b03_mine_mvds,
     "b11_min_seps": q_b11_min_seps,
     "b15_enumerate_schemas": q_b15_enumerate_schemas,
 }

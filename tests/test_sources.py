@@ -1,0 +1,65 @@
+"""CSV source with the reference's untyped semantics (A1/A2) + threshold
+sweep (the reference's UnitTests pattern: same dataset, many epsilons)."""
+
+import pytest
+
+from relationaldecomposition_spark.sources.tables import EMPTY_SENTINEL, read_csv_ref
+
+
+def test_read_csv_ref_trim_and_sentinel(spark, tmp_path):
+    p = tmp_path / "ref.csv"
+    p.write_text("a, b ,c\n"
+                 "1 , x,\n"
+                 "2,y\n")          # short row: missing trailing field
+    df = read_csv_ref(spark, str(p), header=False)
+    rows = set(tuple(r) for r in df.collect())
+    # fields trimmed; missing/empty trailing fields -> EMPTY sentinel
+    assert rows == {("a", "b", "c"),
+                    ("1", "x", EMPTY_SENTINEL),
+                    ("2", "y", EMPTY_SENTINEL)}
+    assert df.columns == ["att0", "att1", "att2"]
+
+
+def test_read_csv_ref_header(spark, tmp_path):
+    p = tmp_path / "hdr.csv"
+    p.write_text("store,item\n1,5\n2,6\n")
+    df = read_csv_ref(spark, str(p), header=True)
+    assert df.columns == ["store", "item"]
+    assert df.count() == 2
+
+
+def test_read_csv_num_atts_cap(spark, tmp_path):
+    p = tmp_path / "cap.csv"
+    p.write_text("1,2,3,4\n5,6,7,8\n")
+    df = read_csv_ref(spark, str(p), num_atts=2)
+    assert df.columns == ["att0", "att1"]
+
+
+def test_epsilon_sweep_monotone(spark):
+    """Reference pattern 3 (UnitTests.main): sweep thresholds over one
+    dataset. Brute-force discovery is monotone in epsilon: every dependency
+    accepted at eps1 is accepted at every eps2 > eps1."""
+    import random
+
+    from relationaldecomposition_spark.engine.entropy import SparkEntropyEngine
+    from relationaldecomposition_spark.engine.measures import MeasureEngine
+    from relationaldecomposition_spark.mining.lattice import MVDMiner
+
+    rng = random.Random(3)
+    rows = []
+    for k in range(1, 9):
+        avs = rng.sample(range(4), 2)
+        bvs = rng.sample(range(4), 2)
+        for a in avs:
+            for b in bvs:
+                rows.append((k, a, b))
+    df = spark.createDataFrame(rows, ["k", "a", "b"])
+    meng = MeasureEngine(SparkEntropyEngine(df))
+    prev = None
+    for eps in [0.0, 0.1, 0.3, 1.0, 3.0]:
+        found = {(d.lhs, d.rhs)
+                 for d in MVDMiner(meng, alpha=eps).brute_force()}
+        if prev is not None:
+            assert prev <= found, f"sweep not monotone at eps={eps}"
+        prev = found
+    meng.engine.unpersist()
