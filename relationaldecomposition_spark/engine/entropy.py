@@ -223,6 +223,44 @@ class SparkEntropyEngine:
             self._cache.update(got)
             self.entropies_computed += len(got)
 
+    def all_entropies(self, cols: Iterable[str] | None = None) -> dict[frozenset[str], float]:
+        """A11: eagerly materialize H(X) for EVERY subset of `cols` in one
+        Spark job via CUBE — the analogue of the reference's level-wise
+        computeAllEntropies (`entropy/CompressedDB.java:392-431`), which
+        builds every subset table bottom-up in H2. CUBE computes all 2^n
+        group-bys in a single scan+shuffle; results land in the cache.
+
+        Scale: row replication is 2^n per input row — only sane for n <= ~12
+        low-cardinality columns (the reference's use case: UCI-style
+        categorical tables). For wider relations use lazy entropies()."""
+        cols = list(cols) if cols is not None else list(self.schema_cols)
+        if len(cols) > 20:
+            raise ValueError(f"cube over {len(cols)} columns would replicate "
+                             f"rows 2^{len(cols)}x; use entropies() instead")
+        n = self.num_rows
+        quoted = ", ".join(f"`{c}`" for c in cols)
+        view = f"__rd_cube_{id(self) & 0xFFFF:x}"
+        self.df.createOrReplaceTempView(view)
+        rows = self.df.sparkSession.sql(
+            f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
+            f"(SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
+            f" GROUP BY CUBE ({quoted})) GROUP BY gid"
+        ).collect()
+        self.jobs_run += 1
+        out: dict[frozenset[str], float] = {}
+        for r in rows:
+            gid = r["gid"]
+            # bit i (MSB-first over cols) set => column aggregated away
+            x = frozenset(c for i, c in enumerate(cols)
+                          if not (gid >> (len(cols) - 1 - i)) & 1)
+            clogc = r["clogc"] or 0.0
+            out[x] = math.log2(n) - clogc / n if n > 0 else 0.0
+        out[frozenset()] = 0.0
+        with self._lock:
+            self._cache.update(out)
+            self.entropies_computed += len(out)
+        return out
+
     def _batch_concurrent(self, subsets: list[frozenset[str]]) -> None:
         _ = self.num_rows  # materialize before fan-out
         with ThreadPoolExecutor(max_workers=8) as pool:

@@ -11,6 +11,7 @@ we emit) so value hashes match.
 
 from __future__ import annotations
 
+import itertools
 import math
 from collections.abc import Callable
 
@@ -214,6 +215,20 @@ def q_a08_entropy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("subset", F.round("h", ROUND).alias("h")))
 
 
+CUBE_COLS = ["l_returnflag", "l_linestatus", "l_quantity"]
+
+
+def q_a11_all_entropies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 eager all-subset entropies in one CUBE job
+    (CompressedDB.computeAllEntropies:392-431)."""
+    df = load_table(spark, sf_dir, "lineitem")
+    eng = SparkEntropyEngine(df, cache_input=False)
+    got = eng.all_entropies(CUBE_COLS)
+    rows = [(_subset_id(s), float(h)) for s, h in got.items() if s]
+    return (spark.createDataFrame(rows, "subset string, h double")
+            .select("subset", F.round("h", ROUND).alias("h")))
+
+
 def q_a12_projection_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 distinct projection with count tag (NewSmallDBInMemory.java:481-502)."""
     df = load_table(spark, sf_dir, "lineitem")
@@ -409,6 +424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a05_groupby_count_having": q_a05_groupby_count_having,
     "a07_entropy_single": q_a07_entropy_single,
     "a08_entropy_batch": q_a08_entropy_batch,
+    "a11_all_entropies": q_a11_all_entropies,
     "a12_projection_distinct": q_a12_projection_distinct,
     "a16_distinct_count": q_a16_distinct_count,
     "a18_fd_measures": q_a18_fd_measures,
@@ -545,6 +561,11 @@ ORACLES: dict[str, str] = {
         "SELECT 'l_linestatus,l_returnflag' AS subset, "
         f"round({_sql_entropy('lineitem', ['l_returnflag', 'l_linestatus'])}, {ROUND}) AS h"),
     "a08_entropy_batch": _oracle_entropy_batch(),
+    "a11_all_entropies": " UNION ALL ".join(
+        f"SELECT '{_subset_id(s)}' AS subset, "
+        f"round({_sql_entropy('lineitem', sorted(s))}, {ROUND}) AS h"
+        for r in range(1, len(CUBE_COLS) + 1)
+        for s in itertools.combinations(CUBE_COLS, r)),
     "a12_projection_distinct": (
         "SELECT DISTINCT l_returnflag, l_linestatus, CAST(1 AS BIGINT) AS cnt "
         "FROM lineitem"),

@@ -101,6 +101,30 @@ def test_concurrent_strategy(tiny):
     eng.unpersist()
 
 
+def test_all_entropies_cube_matches_singles(tiny):
+    df, data = tiny
+    cols = df.columns
+    eng = SparkEntropyEngine(df)
+    got = eng.all_entropies()
+    assert len(got) == 2 ** len(cols)
+    for subset, h in got.items():
+        idxs = [cols.index(c) for c in subset]
+        assert h == pytest.approx(oracle_entropy(data, idxs), abs=1e-9), subset
+    assert got[frozenset()] == 0.0
+    # everything landed in the cache: no further jobs for any subset
+    jobs = eng.jobs_run
+    eng.entropy(["u", "w"])
+    assert eng.jobs_run == jobs
+    eng.unpersist()
+
+
+def test_all_entropies_width_guard(tiny):
+    df, _ = tiny
+    eng = SparkEntropyEngine(df, cache_input=False)
+    with pytest.raises(ValueError, match="cube over"):
+        eng.all_entropies([f"c{i}" for i in range(21)])
+
+
 def test_entropy_from_counts_helper():
     assert entropy_from_counts([2, 2], 4) == pytest.approx(1.0)
     assert entropy_from_counts([1, 1, 1, 1], 4) == pytest.approx(2.0)
