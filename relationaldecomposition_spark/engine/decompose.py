@@ -53,6 +53,10 @@ from ..core.attrset import attrset, sorted_cols
 BROADCAST_MAX_ROWS = 1_000_000
 
 
+class DecompositionCanceled(RuntimeError):
+    """Raised when a should_stop callable interrupts a validation run."""
+
+
 @dataclass
 class DecompositionInfo:
     """Mirror of `entropy/NewSmallDBInMemory.java:547-576`."""
@@ -122,9 +126,15 @@ class DecompositionValidator:
 
     # -- A13/A14 count fold ---------------------------------------------------
 
-    def process_decomposition(self, clusters, order: str = "greedy") -> DecompositionInfo:
+    def process_decomposition(self, clusters, order: str = "greedy",
+                              should_stop=None) -> DecompositionInfo:
         """Join-size counting fold (proccessDecomposition). Returns
-        DecompositionInfo with spurious_tuples = |⋈ projections| − |base|."""
+        DecompositionInfo with spurious_tuples = |⋈ projections| − |base|.
+
+        ``should_stop``: optional callable polled between Spark actions —
+        cancelJobGroup only kills in-flight jobs, so without this check a
+        canceled run would still launch the remaining fold joins."""
+        stop = should_stop or (lambda: False)
         cl = [attrset(c) for c in clusters]
         info = DecompositionInfo()
         if not cl:
@@ -137,10 +147,23 @@ class DecompositionValidator:
         for c in cl:
             projs[c] = project_cluster(self.base, c, self.schema_cols).persist()
         # materialize + count all projections concurrently: each count is an
-        # independent job over the cached base, so latency overlaps
+        # independent job over the cached base, so latency overlaps. Job
+        # groups are per-Python-thread in PySpark, so re-apply the caller's
+        # group inside each worker or cancellation would miss these jobs.
         from concurrent.futures import ThreadPoolExecutor
+        sc = self.base.sparkSession.sparkContext
+        group = sc.getLocalProperty("spark.jobGroup.id")
+        desc = sc.getLocalProperty("spark.job.description")
+
+        def count_one(c):
+            if stop():
+                raise DecompositionCanceled("canceled before projection count")
+            if group is not None:
+                sc.setJobGroup(group, desc, interruptOnCancel=True)
+            return projs[c].count()
+
         with ThreadPoolExecutor(max_workers=min(8, len(cl))) as pool:
-            for c, n in zip(cl, pool.map(lambda c: projs[c].count(), cl)):
+            for c, n in zip(cl, pool.map(count_one, cl)):
                 counts[c] = n
                 info.add(c, n)
 
@@ -148,6 +171,10 @@ class DecompositionValidator:
         acc = projs[cl[0]]
         acc_count = counts[cl[0]]
         for i in range(1, len(cl)):
+            if stop():
+                for p in projs.values():
+                    p.unpersist()
+                raise DecompositionCanceled("canceled during fold")
             c2 = cl[i]
             p2 = projs[c2].withColumnRenamed("cnt", "cnt_r")
             join_cols = sorted_cols(acc_attrs & c2, self.schema_cols)
@@ -174,6 +201,10 @@ class DecompositionValidator:
             # still upgrades it at runtime if it turns out small)
             acc_count = self.broadcast_max_rows + 1
 
+        if stop():
+            for p in projs.values():
+                p.unpersist()
+            raise DecompositionCanceled("canceled before final aggregate")
         row = acc.agg(F.sum("cnt").alias("total")).first()
         total = row["total"] or 0
         for p in projs.values():
@@ -215,10 +246,13 @@ def write_decomposition(df: DataFrame, clusters, base_path: str,
     try:
         for i, cluster in enumerate(clusters):
             cols = sorted_cols(attrset(cluster), df.columns)
-            proj = base.select(*cols).distinct()
+            # persist so the count doesn't recompute the distinct projection
+            # the write just materialized
+            proj = base.select(*cols).distinct().persist()
             path = f"{base_path}/cluster_{i:03d}"
             proj.write.mode("overwrite").format(fmt).save(path)
             out[path] = proj.count()
+            proj.unpersist()
     finally:
         base.unpersist()
     return out

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import math
 import threading
+import uuid
 from collections.abc import Iterable, Sequence
 from concurrent.futures import ThreadPoolExecutor
 
@@ -195,7 +196,9 @@ class SparkEntropyEngine:
             "(" + ", ".join(f"`{c}`" for c in sorted_cols(x, self.schema_cols)) + ")"
             for x in subsets
         )
-        view = f"__rd_entropy_{id(self) & 0xFFFF:x}"
+        # unique per call: id()-derived names can collide across recycled
+        # objects, silently aiming the SQL at another engine's relation
+        view = f"__rd_entropy_{uuid.uuid4().hex[:12]}"
         self.df.createOrReplaceTempView(view)
         inner = (
             f"SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
@@ -205,7 +208,10 @@ class SparkEntropyEngine:
             f"SELECT gid, sum(cnt * log2(cnt)) AS clogc "
             f"FROM ({inner}) GROUP BY gid"
         )
-        rows = self.df.sparkSession.sql(outer).collect()
+        try:
+            rows = self.df.sparkSession.sql(outer).collect()
+        finally:
+            self.df.sparkSession.catalog.dropTempView(view)
         self.jobs_run += 1
         got = {}
         for r in rows:
@@ -239,13 +245,16 @@ class SparkEntropyEngine:
                              f"rows 2^{len(cols)}x; use entropies() instead")
         n = self.num_rows
         quoted = ", ".join(f"`{c}`" for c in cols)
-        view = f"__rd_cube_{id(self) & 0xFFFF:x}"
+        view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
         self.df.createOrReplaceTempView(view)
-        rows = self.df.sparkSession.sql(
-            f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
-            f"(SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
-            f" GROUP BY CUBE ({quoted})) GROUP BY gid"
-        ).collect()
+        try:
+            rows = self.df.sparkSession.sql(
+                f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
+                f"(SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
+                f" GROUP BY CUBE ({quoted})) GROUP BY gid"
+            ).collect()
+        finally:
+            self.df.sparkSession.catalog.dropTempView(view)
         self.jobs_run += 1
         out: dict[frozenset[str], float] = {}
         for r in rows:
@@ -263,8 +272,19 @@ class SparkEntropyEngine:
 
     def _batch_concurrent(self, subsets: list[frozenset[str]]) -> None:
         _ = self.num_rows  # materialize before fan-out
+        # propagate the caller's job group: groups are per-Python-thread, so
+        # cancellation would otherwise miss these fanned-out jobs
+        sc = self.df.sparkSession.sparkContext
+        group = sc.getLocalProperty("spark.jobGroup.id")
+        desc = sc.getLocalProperty("spark.job.description")
+
+        def compute(x):
+            if group is not None:
+                sc.setJobGroup(group, desc, interruptOnCancel=True)
+            return self._compute_single(x)
+
         with ThreadPoolExecutor(max_workers=8) as pool:
-            results = list(pool.map(self._compute_single, subsets))
+            results = list(pool.map(compute, subsets))
         with self._lock:
             for x, h in zip(subsets, results):
                 self._cache[x] = h

@@ -83,7 +83,10 @@ class DecompositionService:
         key = self._key(clusters)
         with self._lock:
             job = self._jobs.get(key)
-            if job is not None and job.status is not JobStatus.CANCELED:
+            # CANCELED and FAILED both resubmit: a transient Spark failure
+            # must not poison the cache for this cluster set
+            if job is not None and job.status not in (JobStatus.CANCELED,
+                                                      JobStatus.FAILED):
                 self._jobs.move_to_end(key)  # LRU touch
                 return job
             job = DecompositionJob(key)
@@ -107,7 +110,9 @@ class DecompositionService:
                        interruptOnCancel=True)
         try:
             self.compute_count += 1
-            info = self.validator.process_decomposition(list(job.key))
+            info = self.validator.process_decomposition(
+                list(job.key),
+                should_stop=lambda: job.status is JobStatus.CANCELED)
             with self._lock:
                 if job.status is not JobStatus.CANCELED:
                     job.info = info
@@ -179,11 +184,18 @@ class TimeoutRunner:
             finally:
                 sc.setJobGroup(None, None)
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            fut = pool.submit(target)
-            try:
-                return fut.result(timeout=timeout)
-            except FutureTimeout:
-                stop.set()
-                sc.cancelJobGroup(group)
-                raise TimeoutError(f"run exceeded {timeout}s (job group {group} cancelled)")
+        # no context manager: ThreadPoolExecutor.__exit__ would join the
+        # worker (shutdown(wait=True)) and delay the TimeoutError until the
+        # stalled fn actually finishes
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(target)
+        try:
+            result = fut.result(timeout=timeout)
+            pool.shutdown(wait=True)
+            return result
+        except FutureTimeout:
+            stop.set()
+            sc.cancelJobGroup(group)
+            pool.shutdown(wait=False)
+            raise TimeoutError(
+                f"run exceeded {timeout}s (job group {group} cancelled)") from None

@@ -34,7 +34,12 @@ def jd_to_line(jd: JD, schema: Sequence[str]) -> str:
     pos = {c: i for i, c in enumerate(schema)}
     comps = ",".join(_set_to_idx(c, pos)
                      for c in sorted(jd.components, key=lambda c: sorted(pos[x] for x in c)))
-    measure = jd.measure.upper if jd.measure.is_exact else 0.0
+    if jd.measure.is_exact:
+        measure = jd.measure.value
+    elif jd.measure.upper != float("inf"):
+        measure = jd.measure.upper  # serialize the proven bound
+    else:
+        raise ValueError(f"JD must be measured before serialization: {jd}")
     return f"{len(schema)},{{{_set_to_idx(jd.lhs, pos)}|{comps}}},{measure}"
 
 

@@ -71,6 +71,9 @@ def sql_sessionize(table: str, gap_minutes: int = 30) -> str:
                CASE WHEN prev_ts IS NULL
                          OR ts - prev_ts > INTERVAL {gap_minutes} MINUTE
                     THEN 1 ELSE 0 END AS new_session
+               -- strict >: verified empirically against session_window —
+               -- Spark MERGES events exactly gap-distance apart
+               -- (tests/test_streaming.py::test_exact_gap_boundary)
         FROM ordered),
       sessions AS (
         SELECT user_id, ts, value,

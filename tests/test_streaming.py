@@ -87,6 +87,33 @@ def test_running_user_stats_state_across_batches(spark, events_df, tmp_path):
     assert latest == expected
 
 
+def test_exact_gap_boundary(spark):
+    """Events exactly gap-distance apart MERGE into one session in Spark's
+    session_window (verified empirically); the SQL oracle's strict '>' must
+    match. Guards against 'fixing' the oracle to >=."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "a", 1.0, ""),
+            (2, t0 + datetime.timedelta(minutes=30), 1, "a", 2.0, ""),
+            (3, t0 + datetime.timedelta(minutes=61), 1, "a", 3.0, "")]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    sessions = sorted((r["session_start"], r["n_events"])
+                      for r in ev.sessionize(df).collect())
+    # events 1+2 merge (exactly 30 min apart); event 3 is 31 min after 2
+    assert sessions == [(t0, 2), (t0 + datetime.timedelta(minutes=61), 1)]
+    # and the duckdb oracle twin agrees
+    import duckdb
+    con = duckdb.connect()
+    con.register("events_pd", df.toPandas())
+    con.sql("CREATE VIEW events AS SELECT * FROM events_pd")
+    oracle = sorted((r[1], r[2]) for r in
+                    con.sql(ev.sql_sessionize("events")).fetchall())
+    assert oracle == sessions
+
+
 def test_windowed_counts_drops_late_data_with_watermark(spark, events_df, tmp_path):
     # sanity: watermark path executes on a stream without error and produces
     # a subset (or equal set) of batch windows
