@@ -233,6 +233,34 @@ class DecompositionValidator:
         self.base.unpersist()
 
 
+def write_decomposition_bucketed(df: DataFrame, clusters, join_key: str,
+                                 table_prefix: str, num_buckets: int = 32) -> list[str]:
+    """Scale variant of the ETL writer: materialize each cluster projection
+    as a bucketed+sorted table on the join key, so downstream rejoins of the
+    normalized tables are co-located — sort-merge join with NO exchange on
+    either side (pinned by tests/test_plans.py). This is the 100 TB answer
+    to 'the decomposition will be re-joined constantly': pay the shuffle
+    once at write time.
+
+    Only clusters containing ``join_key`` are bucketed; others are written
+    unbucketed. Returns the created table names.
+    """
+    base = df.distinct().persist()
+    names: list[str] = []
+    try:
+        for i, cluster in enumerate(clusters):
+            cols = sorted_cols(attrset(cluster), df.columns)
+            name = f"{table_prefix}_cluster_{i:03d}"
+            writer = base.select(*cols).distinct().write.mode("overwrite")
+            if join_key in cols:
+                writer = writer.bucketBy(num_buckets, join_key).sortBy(join_key)
+            writer.saveAsTable(name)
+            names.append(name)
+    finally:
+        base.unpersist()
+    return names
+
+
 def write_decomposition(df: DataFrame, clusters, base_path: str,
                         fmt: str = "parquet") -> dict[str, int]:
     """The ETL deliverable: materialize each cluster projection as a table
