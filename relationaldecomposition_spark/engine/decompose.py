@@ -146,69 +146,72 @@ class DecompositionValidator:
         projs: dict[frozenset[str], DataFrame] = {}
         for c in cl:
             projs[c] = project_cluster(self.base, c, self.schema_cols).persist()
-        # materialize + count all projections concurrently: each count is an
-        # independent job over the cached base, so latency overlaps. Job
-        # groups are per-Python-thread in PySpark, so re-apply the caller's
-        # group inside each worker or cancellation would miss these jobs.
-        from concurrent.futures import ThreadPoolExecutor
-        sc = self.base.sparkSession.sparkContext
-        group = sc.getLocalProperty("spark.jobGroup.id")
-        desc = sc.getLocalProperty("spark.job.description")
+        # try/finally: a cancellation (DecompositionCanceled) or Spark failure
+        # anywhere in the count/fold must not leak the persisted projections
+        # into executor storage — DecompositionService resubmits CANCELED/
+        # FAILED jobs, so a long-lived service would accumulate them.
+        try:
+            # materialize + count all projections concurrently: each count is
+            # an independent job over the cached base, so latency overlaps.
+            # Job groups are per-Python-thread in PySpark, so re-apply the
+            # caller's group inside each worker or cancellation would miss
+            # these jobs.
+            from concurrent.futures import ThreadPoolExecutor
+            sc = self.base.sparkSession.sparkContext
+            group = sc.getLocalProperty("spark.jobGroup.id")
+            desc = sc.getLocalProperty("spark.job.description")
 
-        def count_one(c):
+            def count_one(c):
+                if stop():
+                    raise DecompositionCanceled("canceled before projection count")
+                if group is not None:
+                    sc.setJobGroup(group, desc, interruptOnCancel=True)
+                return projs[c].count()
+
+            with ThreadPoolExecutor(max_workers=min(8, len(cl))) as pool:
+                for c, n in zip(cl, pool.map(count_one, cl)):
+                    counts[c] = n
+                    info.add(c, n)
+
+            acc_attrs = cl[0]
+            acc = projs[cl[0]]
+            acc_count = counts[cl[0]]
+            for i in range(1, len(cl)):
+                if stop():
+                    raise DecompositionCanceled("canceled during fold")
+                c2 = cl[i]
+                p2 = projs[c2].withColumnRenamed("cnt", "cnt_r")
+                join_cols = sorted_cols(acc_attrs & c2, self.schema_cols)
+                new_attrs = acc_attrs | c2
+                # attributes still needed: anything a remaining cluster mentions
+                needed = frozenset().union(*cl[i + 1:]) if i + 1 < len(cl) else frozenset()
+                group_cols = sorted_cols(needed & new_attrs, self.schema_cols)
+
+                left, right = acc, p2
+                if counts[c2] <= self.broadcast_max_rows:
+                    right = F.broadcast(right)
+                elif acc_count <= self.broadcast_max_rows:
+                    left = F.broadcast(left)
+                joined = (left.join(right, on=join_cols) if join_cols
+                          else left.crossJoin(right))
+                prod = (F.sum(F.col("cnt") * F.col("cnt_r"))).alias("cnt")
+                if group_cols:
+                    acc = joined.groupBy(*group_cols).agg(prod)
+                else:
+                    acc = joined.agg(prod)
+                acc_attrs = new_attrs
+                # after the group-by the running count is unknown; disable
+                # count-based broadcast of the accumulator from here on (AQE
+                # still upgrades it at runtime if it turns out small)
+                acc_count = self.broadcast_max_rows + 1
+
             if stop():
-                raise DecompositionCanceled("canceled before projection count")
-            if group is not None:
-                sc.setJobGroup(group, desc, interruptOnCancel=True)
-            return projs[c].count()
-
-        with ThreadPoolExecutor(max_workers=min(8, len(cl))) as pool:
-            for c, n in zip(cl, pool.map(count_one, cl)):
-                counts[c] = n
-                info.add(c, n)
-
-        acc_attrs = cl[0]
-        acc = projs[cl[0]]
-        acc_count = counts[cl[0]]
-        for i in range(1, len(cl)):
-            if stop():
-                for p in projs.values():
-                    p.unpersist()
-                raise DecompositionCanceled("canceled during fold")
-            c2 = cl[i]
-            p2 = projs[c2].withColumnRenamed("cnt", "cnt_r")
-            join_cols = sorted_cols(acc_attrs & c2, self.schema_cols)
-            new_attrs = acc_attrs | c2
-            # attributes still needed: anything a remaining cluster mentions
-            needed = frozenset().union(*cl[i + 1:]) if i + 1 < len(cl) else frozenset()
-            group_cols = sorted_cols(needed & new_attrs, self.schema_cols)
-
-            left, right = acc, p2
-            if counts[c2] <= self.broadcast_max_rows:
-                right = F.broadcast(right)
-            elif acc_count <= self.broadcast_max_rows:
-                left = F.broadcast(left)
-            joined = (left.join(right, on=join_cols) if join_cols
-                      else left.crossJoin(right))
-            prod = (F.sum(F.col("cnt") * F.col("cnt_r"))).alias("cnt")
-            if group_cols:
-                acc = joined.groupBy(*group_cols).agg(prod)
-            else:
-                acc = joined.agg(prod)
-            acc_attrs = new_attrs
-            # after the group-by the running count is unknown; disable
-            # count-based broadcast of the accumulator from here on (AQE
-            # still upgrades it at runtime if it turns out small)
-            acc_count = self.broadcast_max_rows + 1
-
-        if stop():
+                raise DecompositionCanceled("canceled before final aggregate")
+            row = acc.agg(F.sum("cnt").alias("total")).first()
+            total = row["total"] or 0
+        finally:
             for p in projs.values():
                 p.unpersist()
-            raise DecompositionCanceled("canceled before final aggregate")
-        row = acc.agg(F.sum("cnt").alias("total")).first()
-        total = row["total"] or 0
-        for p in projs.values():
-            p.unpersist()
         info.spurious_tuples = int(total) - self.num_tuples
         return info
 

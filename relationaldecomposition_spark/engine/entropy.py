@@ -72,7 +72,15 @@ class SparkEntropyEngine:
     """
 
     def __init__(self, df: DataFrame, max_grouping_sets: int = DEFAULT_MAX_GROUPING_SETS,
-                 cache_input: bool = True):
+                 cache_input: bool = True,
+                 columns: Sequence[str] | None = None):
+        """``columns``: when the mining column set is known up front, pass it
+        here — the engine projects the input to exactly those columns BEFORE
+        persisting, so the cache never holds full-width rows of a wide
+        relation (every subsequent groupBy then scans only mined columns).
+        Omitted = all columns of ``df`` are assumed minable."""
+        if columns is not None:
+            df = df.select(*columns)
         self.df = df
         self.schema_cols: tuple[str, ...] = tuple(df.columns)
         self.max_grouping_sets = max_grouping_sets
@@ -87,9 +95,9 @@ class SparkEntropyEngine:
         self.entropies_computed = 0
         if cache_input:
             # Iterative mining re-scans the relation constantly; persisting
-            # the (column-pruned) input is the moral equivalent of the
+            # the column-pruned input is the moral equivalent of the
             # reference ingesting into H2 once (CompressedDB.init).
-            self.df = df.persist()
+            self.df = self.df.persist()
 
     # ----- cardinalities ---------------------------------------------------
 
@@ -172,10 +180,6 @@ class SparkEntropyEngine:
             with self._lock:
                 self._cache[x] = self._compute_single(x)
             return
-        # grouping_id() bit positions follow the first appearance of each
-        # grouping expression across the GROUPING SETS clause (MSB-first),
-        # NOT table schema order — build the union in exactly the order we
-        # emit the SQL below.
         union_cols: list[str] = []
         seen_cols: set[str] = set()
         for x in subsets:
@@ -183,8 +187,16 @@ class SparkEntropyEngine:
                 if c not in seen_cols:
                     seen_cols.add(c)
                     union_cols.append(c)
+        if len(union_cols) > 62:
+            # gid arithmetic below needs one bigint bit per union column;
+            # beyond 62 split the batch rather than overflow
+            mid = len(subsets) // 2
+            self._batch_grouping_sets(subsets[:mid])
+            self._batch_grouping_sets(subsets[mid:])
+            return
         n = self.num_rows
-        # bit i is 1 when that column is aggregated (absent from the set)
+        # bit i (MSB-first over union_cols) is 1 when that column is
+        # aggregated away (absent from the set)
         def gid_of(x: frozenset[str]) -> int:
             g = 0
             for c in union_cols:
@@ -196,12 +208,20 @@ class SparkEntropyEngine:
             "(" + ", ".join(f"`{c}`" for c in sorted_cols(x, self.schema_cols)) + ")"
             for x in subsets
         )
+        # build gid from explicit grouping(col) flags with OUR bit
+        # assignment — never from bare grouping_id(), whose bit positions
+        # follow Spark's internal expression ordering and could silently
+        # reassign same-size subsets if that ordering ever changes
+        nbits = len(union_cols)
+        gid_expr = " + ".join(
+            f"(cast(grouping(`{c}`) as bigint) * {1 << (nbits - 1 - i)})"
+            for i, c in enumerate(union_cols))
         # unique per call: id()-derived names can collide across recycled
         # objects, silently aiming the SQL at another engine's relation
         view = f"__rd_entropy_{uuid.uuid4().hex[:12]}"
         self.df.createOrReplaceTempView(view)
         inner = (
-            f"SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
+            f"SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
             f"GROUP BY GROUPING SETS ({sets_sql})"
         )
         outer = (
@@ -245,12 +265,16 @@ class SparkEntropyEngine:
                              f"rows 2^{len(cols)}x; use entropies() instead")
         n = self.num_rows
         quoted = ", ".join(f"`{c}`" for c in cols)
+        # explicit grouping(col) flags, same rationale as _batch_grouping_sets
+        gid_expr = " + ".join(
+            f"(cast(grouping(`{c}`) as bigint) * {1 << (len(cols) - 1 - i)})"
+            for i, c in enumerate(cols))
         view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
         self.df.createOrReplaceTempView(view)
         try:
             rows = self.df.sparkSession.sql(
                 f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
-                f"(SELECT grouping_id() AS gid, count(1) AS cnt FROM {view} "
+                f"(SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
                 f" GROUP BY CUBE ({quoted})) GROUP BY gid"
             ).collect()
         finally:

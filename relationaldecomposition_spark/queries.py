@@ -523,7 +523,10 @@ def _oracle_decomp_metrics() -> str:
 
 
 def _oracle_fd_search() -> str:
-    """All single-column FDs X -> Y of denorm6: |distinct X| = |distinct X,Y|."""
+    """All single-column FDs X -> Y of denorm6: |distinct X| = |distinct X,Y|.
+    Columns Y where {} -> Y already holds (Y constant) are excluded: the
+    top-down search discovers {} -> Y at level 0 and never specializes it,
+    so the Spark side emits no x -> Y rows for them."""
     selects = []
     for x in DENORM6_COLS:
         for y in DENORM6_COLS:
@@ -532,7 +535,8 @@ def _oracle_fd_search() -> str:
             selects.append(
                 f"SELECT '{x}' AS lhs, '{y}' AS rhs WHERE "
                 f"(SELECT count(DISTINCT {x}) FROM denorm6) = "
-                f"(SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM denorm6))")
+                f"(SELECT count(*) FROM (SELECT DISTINCT {x}, {y} FROM denorm6)) "
+                f"AND (SELECT count(DISTINCT {y}) FROM denorm6) > 1")
     cte = (f"WITH denorm AS ({DENORM_SQL}), denorm6 AS "
            f"(SELECT {', '.join(DENORM6_COLS)} FROM denorm)")
     return cte + " " + " UNION ALL ".join(selects)

@@ -92,11 +92,15 @@ class DecompositionService:
             job = DecompositionJob(key)
             self._jobs[key] = job
             self._jobs.move_to_end(key)
-            while len(self._jobs) > self.cache_size:
-                old_key, old = next(iter(self._jobs.items()))
-                if old.status in (JobStatus.PENDING, JobStatus.RUNNING):
-                    break  # never evict live jobs
-                self._jobs.popitem(last=False)
+            if len(self._jobs) > self.cache_size:
+                # evict oldest finished entries, skipping live jobs: a
+                # long-running job at the LRU head must not pin every
+                # younger finished entry in the cache
+                evictable = [k for k, j in self._jobs.items()
+                             if j.status not in (JobStatus.PENDING,
+                                                 JobStatus.RUNNING)]
+                for k in evictable[:len(self._jobs) - self.cache_size]:
+                    del self._jobs[k]
             job.future = self._pool.submit(self._run, job)
         return job
 
