@@ -1,0 +1,218 @@
+"""Exhaustive DuckDB oracles for the mining queries (b03, b11, b15).
+
+Strategy shared by all three: DuckDB computes the full subset-entropy table
+of the small mining relation in ONE pass — ``GROUP BY CUBE`` over all n
+columns yields every 2^n histogram, keyed by ``grouping_id`` (verified to
+use the same MSB-first bit convention as our Python ``gid`` helper) — and
+the measure combinatorics are generated in Python as literal VALUES lists
+joined against that entropy table. This keeps the oracle a single static
+ANSI-SQL string while still enumerating every candidate the miner could
+possibly emit, independent of the miner's own search order.
+
+Semantics mirrored (thresholds from core/deps.py):
+- b03: a candidate is "accurate" iff its clamped measure <= alpha = 0, i.e.
+  raw measure <= MEASURE_CLAMP (1e-7). Candidates are every canonical
+  (lhs, rhs-partition-block) MVD plus the saturated FDs — at alpha = 0 the
+  bottom-up miner is exhaustive over these (exact MVDs propagate to larger
+  determinants by the chain rule, so level-wise discovery loses nothing);
+  the pytest suite pins mine() == brute_force() on fixtures.
+  Reference oracle pattern: `Main.singleDatasetTest` (Main.java:238-272).
+- b11: S is an (x,y)-separator iff SOME 2-partition {A,B} of R-S with x∈A,
+  y∈B has JD measure <= ACCURACY (1e-5): any accepted k-component JD
+  coarsens to such a 2-partition without increasing the measure
+  (submodularity), and a 2-partition is itself a separating JD. Minimality
+  = no proper subset separates (separation is monotone in S). Mirrors
+  `testMinSeps2` (search/MinimalJDGenerator.java:1295-1361).
+- b15: the enumerated schemas' cluster sets are fixed search output (driver
+  data is deterministic per scale factor); the oracle recomputes each
+  schema's spurious-tuple count from the data via the same natural-join
+  counting SQL used by the a13/a15 oracles.
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Iterable, Sequence
+
+MEASURE_CLAMP = 1e-7   # entropy/AbstractDataset.java:20 THRESHOLD
+MEASURE_ACCURACY = 1e-5  # search/MinimalJDGenerator.java:213 ACCURACY
+
+
+def _gid(subset: Iterable[str], all_cols: Sequence[str]) -> int:
+    """grouping_id of a CUBE row keeping exactly `subset`: bit i (MSB-first
+    over all_cols) is 1 when that column is aggregated away."""
+    s = set(subset)
+    g = 0
+    for c in all_cols:
+        g = (g << 1) | (0 if c in s else 1)
+    return g
+
+
+def _fmt_set(cols: Iterable[str]) -> str:
+    return "{" + ",".join(sorted(cols)) + "}"
+
+
+def _sql_ent_ctes(rel: str, cols: Sequence[str]) -> str:
+    """CTE fragment `cnts, tot, ent`: ent(gid, h) holds H(X) for every
+    subset X of `cols` of relation `rel`, H = log2(N) - sum(c*log2(c))/N —
+    the exact formula the Spark engine uses."""
+    collist = ", ".join(cols)
+    return (
+        f"cnts AS (SELECT grouping_id({collist}) AS gid, count(*) AS c "
+        f"FROM {rel} GROUP BY CUBE ({collist})), "
+        f"tot AS (SELECT count(*) AS n FROM {rel}), "
+        f"ent AS (SELECT gid, log2(tot.n) - coalesce(sum(c * log2(c)), 0) / tot.n AS h "
+        f"FROM cnts, tot GROUP BY gid, tot.n)"
+    )
+
+
+def rhs_partition_blocks(lhs: frozenset[str], schema: Sequence[str]):
+    """Canonical two-block partitions of schema - lhs: the block NOT
+    containing the last non-lhs attribute (mining/lattice.rhs_partitions)."""
+    non_lhs = [c for c in schema if c not in lhs]
+    m = len(non_lhs)
+    for mask in range(1, 1 << (m - 1)):
+        yield frozenset(non_lhs[j] for j in range(m - 1) if (mask >> j) & 1)
+
+
+# ---------------------------------------------------------------------------
+# b03: exhaustive MVD/FD enumeration on the 5-column projection
+# ---------------------------------------------------------------------------
+
+def oracle_b03(denorm_sql: str, cols: Sequence[str]) -> str:
+    """All canonical MVDs (every lhs, every RHS-partition block) plus
+    saturated FDs of the projection, kept iff raw measure <= 1e-7."""
+    full = frozenset(cols)
+    mvd_rows: list[str] = []
+    for r in range(0, len(cols) - 1):
+        for det in itertools.combinations(cols, r):
+            lhs = frozenset(det)
+            for rhs in rhs_partition_blocks(lhs, cols):
+                xy = lhs | rhs
+                mvd_rows.append(
+                    f"('{_fmt_set(lhs)}', '{_fmt_set(rhs)}', "
+                    f"{_gid(xy, cols)}, {_gid(full - rhs, cols)}, "
+                    f"{_gid(lhs, cols)})")
+    fd_rows = [
+        f"('{_fmt_set(full - {a})}', '{_fmt_set({a})}', {_gid(full - {a}, cols)})"
+        for a in cols
+    ]
+    proj = ", ".join(cols)
+    return f"""
+      WITH denorm AS ({denorm_sql}),
+      d5 AS (SELECT {proj} FROM denorm),
+      {_sql_ent_ctes('d5', cols)},
+      hr AS (SELECT h FROM ent WHERE gid = 0),
+      mvdc(lhs, rhs, g_xy, g_rmy, g_x) AS (VALUES {', '.join(mvd_rows)}),
+      fdc(lhs, rhs, g_x) AS (VALUES {', '.join(fd_rows)})
+      SELECT 'mvd' AS kind, lhs, rhs
+      FROM mvdc JOIN ent exy ON exy.gid = g_xy
+                JOIN ent ermy ON ermy.gid = g_rmy
+                JOIN ent ex ON ex.gid = g_x, hr
+      WHERE exy.h + ermy.h - ex.h - hr.h <= {MEASURE_CLAMP}
+      UNION ALL
+      SELECT 'fd' AS kind, lhs, rhs
+      FROM fdc JOIN ent ex ON ex.gid = g_x, hr
+      WHERE hr.h - ex.h <= {MEASURE_CLAMP}"""
+
+
+# ---------------------------------------------------------------------------
+# b11: all minimal pairwise separators
+# ---------------------------------------------------------------------------
+
+def oracle_b11(denorm_sql: str, cols: Sequence[str]) -> str:
+    """Enumerate, per attribute pair (x,y), every S ⊆ R-{x,y} and every
+    2-partition of R-S separating x from y; S separates iff the best
+    partition's JD measure <= 1e-5; keep subset-minimal S per pair; emit
+    the distinct union."""
+    n = len(cols)
+    pos = {c: i for i, c in enumerate(cols)}
+
+    def smask(subset: Iterable[str]) -> int:
+        return sum(1 << pos[c] for c in subset)
+
+    cand_rows: list[str] = []
+    for xi in range(n):
+        for yi in range(xi + 1, n):
+            x, y = cols[xi], cols[yi]
+            pair_id = xi * n + yi
+            others = [c for c in cols if c not in (x, y)]
+            for sr in range(0, len(others) + 1):
+                for s_tuple in itertools.combinations(others, sr):
+                    s = frozenset(s_tuple)
+                    rest = [c for c in others if c not in s]
+                    # A gets x plus any subset of rest; B gets y + remainder
+                    for ar in range(0, len(rest) + 1):
+                        for a_extra in itertools.combinations(rest, ar):
+                            a = frozenset(a_extra) | {x}
+                            b = (frozenset(rest) - frozenset(a_extra)) | {y}
+                            cand_rows.append(
+                                f"({pair_id}, {smask(s)}, {_gid(s, cols)}, "
+                                f"{_gid(s | a, cols)}, {_gid(s | b, cols)})")
+    name_rows = []
+    for mask in range(1 << n):
+        members = [c for c in cols if mask & (1 << pos[c])]
+        name_rows.append(
+            f"({mask}, '{','.join(sorted(members))}', {len(members)})")
+    proj = ", ".join(cols)
+    return f"""
+      WITH denorm AS ({denorm_sql}),
+      d6 AS (SELECT {proj} FROM denorm),
+      {_sql_ent_ctes('d6', cols)},
+      hr AS (SELECT h FROM ent WHERE gid = 0),
+      cand(pair_id, smask, g_s, g_sa, g_sb) AS (VALUES {', '.join(cand_rows)}),
+      mu AS (
+        SELECT pair_id, smask,
+               min(ea.h + eb.h - es.h - hr.h) AS best
+        FROM cand JOIN ent es ON es.gid = g_s
+                  JOIN ent ea ON ea.gid = g_sa
+                  JOIN ent eb ON eb.gid = g_sb, hr
+        GROUP BY pair_id, smask),
+      sep AS (SELECT pair_id, smask FROM mu WHERE best <= {MEASURE_ACCURACY}),
+      minimal AS (
+        SELECT s.pair_id, s.smask FROM sep s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sep s2
+          WHERE s2.pair_id = s.pair_id AND s2.smask != s.smask
+            AND (s2.smask & s.smask) = s2.smask)),
+      names(mask, sep_str, sz) AS (VALUES {', '.join(name_rows)})
+      SELECT DISTINCT n.sep_str AS separator, n.sz::BIGINT AS size
+      FROM minimal m JOIN names n ON n.mask = m.smask"""
+
+
+# ---------------------------------------------------------------------------
+# b15: spurious-count validation of the enumerated schemas
+# ---------------------------------------------------------------------------
+
+def oracle_b15(denorm_sql: str, cols: Sequence[str],
+               schemas: Sequence[Sequence[Sequence[str]]]) -> str:
+    """For each enumerated schema (a fixed list of cluster sets — the
+    acyclic-schema enumeration itself is driver-plane search, its OUTPUT is
+    deterministic for the driver's data), recompute n_clusters and the
+    spurious-tuple count from the data: |⋈ distinct projections| - |distinct
+    base|, the same counting SQL as the a13/a15 oracles."""
+    proj = ", ".join(cols)
+    selects = []
+    for clusters in schemas:
+        cl = [tuple(sorted(c)) for c in clusters]
+        key = ";".join(sorted(",".join(c) for c in cl))
+        projs = [
+            f"p{i} AS (SELECT DISTINCT {', '.join(c)} FROM d6)"
+            for i, c in enumerate(cl)
+        ]
+        join_sql = "p0"
+        seen = set(cl[0])
+        for i, c in enumerate(cl[1:], start=1):
+            shared = sorted(seen & set(c))
+            if shared:
+                join_sql += f" JOIN p{i} USING ({', '.join(shared)})"
+            else:
+                join_sql += f" CROSS JOIN p{i}"
+            seen |= set(c)
+        selects.append(
+            f"SELECT '{key}' AS clusters, {len(cl)}::BIGINT AS n_clusters, "
+            f"(WITH denorm AS ({denorm_sql}), d6 AS (SELECT {proj} FROM denorm), "
+            f"{', '.join(projs)} "
+            f"SELECT (SELECT count(*) FROM {join_sql}) - "
+            f"(SELECT count(*) FROM (SELECT DISTINCT * FROM d6)))::BIGINT AS spurious")
+    return " UNION ALL ".join(selects)

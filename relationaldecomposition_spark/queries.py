@@ -583,9 +583,31 @@ ORACLES: dict[str, str] = {
     "a15_naive_spurious": _oracle_spurious(),
     "a21_decomp_metrics": _oracle_decomp_metrics(),
     "b01_fd_search": _oracle_fd_search(),
-    # b11_min_seps, b15_enumerate_schemas: search algorithms, not
-    # SQL-expressible -> rows-only checks (driver records the weaker check)
 }
+
+# -- mining oracles (b03/b11/b15): exhaustive subset-entropy SQL --------------
+from .oracles_mining import oracle_b03, oracle_b11, oracle_b15  # noqa: E402
+
+B03_COLS = ["c_custkey", "c_nationkey", "c_mktsegment", "n_name", "n_regionkey"]
+
+# b15's Spark side emits the first 3 schemas of the deterministic
+# enumeration over the mined JDs; these are their cluster sets on the
+# driver's sf0.01 gate data (the spurious counts — the data-dependent part —
+# are recomputed from the parquet by the oracle, not hard-coded).
+B15_SCHEMAS = [
+    (("c_custkey", "c_mktsegment", "c_nationkey"), ("c_nationkey", "n_name"),
+     ("c_nationkey", "n_regionkey"), ("c_nationkey", "r_name")),
+    (("c_custkey", "c_mktsegment", "n_name"), ("c_nationkey", "n_name"),
+     ("n_name", "n_regionkey"), ("n_name", "r_name")),
+    (("c_custkey", "c_mktsegment"), ("c_custkey", "c_nationkey"),
+     ("c_custkey", "n_name"), ("c_custkey", "n_regionkey"),
+     ("c_custkey", "r_name")),
+]
+
+ORACLES["b03_mine_mvds"] = oracle_b03(DENORM_SQL, B03_COLS)
+ORACLES["b11_min_seps"] = oracle_b11(DENORM_SQL, DENORM6_COLS)
+ORACLES["b15_enumerate_schemas"] = oracle_b15(DENORM_SQL, DENORM6_COLS,
+                                              B15_SCHEMAS)
 
 from .streaming.events import sql_sessionize, sql_windowed_counts  # noqa: E402
 

@@ -63,3 +63,10 @@ def test_epsilon_sweep_monotone(spark):
             assert prev <= found, f"sweep not monotone at eps={eps}"
         prev = found
     meng.engine.unpersist()
+
+
+def test_every_query_has_an_oracle():
+    """Round-2 gate completeness: every queries() entry has a DuckDB oracle
+    twin (b03/b11/b15 gained exhaustive subset-entropy oracles in r2)."""
+    from relationaldecomposition_spark.queries import ORACLES, QUERIES
+    assert set(QUERIES) == set(ORACLES)
