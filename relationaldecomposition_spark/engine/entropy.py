@@ -54,6 +54,12 @@ from ..core.attrset import attrset, sorted_cols
 DEFAULT_MAX_GROUPING_SETS = 16
 
 
+def _powerset(cols: Sequence[str]):
+    import itertools
+    for r in range(len(cols) + 1):
+        yield from itertools.combinations(cols, r)
+
+
 def entropy_from_counts(counts: Iterable[int], num_rows: int) -> float:
     """Driver-side oracle: H from a histogram (AbstractDataset.java:187-201)."""
     if num_rows <= 0:
@@ -86,6 +92,11 @@ class SparkEntropyEngine:
         self.max_grouping_sets = max_grouping_sets
         self._cache: dict[frozenset[str], float] = {}
         self._lock = threading.Lock()
+        # in-flight dedup: subset -> Event set when its batch lands in the
+        # cache; concurrent miner threads wait instead of recomputing
+        self._inflight: dict[frozenset[str], threading.Event] = {}
+        # column sets whose full subset lattice is already cached (A11 CUBE)
+        self._cubes_done: set[frozenset[str]] = set()
         self._num_rows: int | None = None
         self._num_distinct: int | None = None
         # Stats mirroring the reference's scan instrumentation
@@ -129,10 +140,7 @@ class SparkEntropyEngine:
             return hit
         if not x:
             return 0.0
-        h = self._compute_single(x)
-        with self._lock:
-            self._cache[x] = h
-        return h
+        return self.entropies([x])[x]
 
     def _compute_single(self, x: frozenset[str]) -> float:
         cols = sorted_cols(x, self.schema_cols)
@@ -160,18 +168,44 @@ class SparkEntropyEngine:
         and wide (grouping-set row replication would dominate).
         """
         wanted = [attrset(s) for s in subsets]
-        todo = []
-        seen = set()
-        for x in wanted:
-            if x and x not in self._cache and x not in seen:
-                seen.add(x)
-                todo.append(x)
-        if todo:
-            if strategy == "concurrent":
-                self._batch_concurrent(todo)
-            else:
-                for i in range(0, len(todo), self.max_grouping_sets):
-                    self._batch_grouping_sets(todo[i:i + self.max_grouping_sets])
+        pending = [x for x in dict.fromkeys(wanted) if x]
+        while pending:
+            todo: list[frozenset[str]] = []
+            waits: list[threading.Event] = []
+            with self._lock:
+                for x in pending:
+                    if x in self._cache:
+                        continue
+                    ev = self._inflight.get(x)
+                    if ev is not None:
+                        waits.append(ev)  # another thread is computing it
+                    else:
+                        todo.append(x)
+                if todo:
+                    batch_ev = threading.Event()
+                    for x in todo:
+                        self._inflight[x] = batch_ev
+            if todo:
+                try:
+                    if strategy == "concurrent":
+                        self._batch_concurrent(todo)
+                    else:
+                        for i in range(0, len(todo), self.max_grouping_sets):
+                            self._batch_grouping_sets(
+                                todo[i:i + self.max_grouping_sets])
+                finally:
+                    # always release waiters, even on failure/cancel — they
+                    # re-check the cache and recompute what's still missing
+                    with self._lock:
+                        for x in todo:
+                            self._inflight.pop(x, None)
+                    batch_ev.set()
+            for ev in waits:
+                ev.wait()
+            with self._lock:
+                pending = [x for x in pending if x not in self._cache]
+            if pending and not todo and not waits:  # pragma: no cover
+                raise RuntimeError("entropy batch made no progress")
         return {x: (0.0 if not x else self._cache[x]) for x in wanted}
 
     def _batch_grouping_sets(self, subsets: list[frozenset[str]]) -> None:
@@ -263,6 +297,11 @@ class SparkEntropyEngine:
         if len(cols) > 20:
             raise ValueError(f"cube over {len(cols)} columns would replicate "
                              f"rows 2^{len(cols)}x; use entropies() instead")
+        key = frozenset(cols)
+        if key in self._cubes_done:  # memoized: serve the whole lattice
+            with self._lock:
+                return {x: self._cache[x]
+                        for x in map(frozenset, _powerset(cols))}
         n = self.num_rows
         quoted = ", ".join(f"`{c}`" for c in cols)
         # explicit grouping(col) flags, same rationale as _batch_grouping_sets
@@ -292,6 +331,7 @@ class SparkEntropyEngine:
         with self._lock:
             self._cache.update(out)
             self.entropies_computed += len(out)
+            self._cubes_done.add(key)
         return out
 
     def _batch_concurrent(self, subsets: list[frozenset[str]]) -> None:

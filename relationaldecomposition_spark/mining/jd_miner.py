@@ -30,7 +30,9 @@ ACCURACY = 1e-5 (`isGreaterThanEpsilon`, :213-217).
 from __future__ import annotations
 
 import itertools
+import threading
 from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 
 from ..core.deps import JD, MEASURE_ACCURACY
 from ..engine.measures import MeasureEngine
@@ -41,20 +43,55 @@ def is_greater_than_eps(measure: float, alpha: float) -> bool:
 
 
 class JDMiner:
+    """``max_parallel_pairs``: attribute pairs are mined concurrently from a
+    thread pool (the FAIR scheduler overlaps their small Spark jobs — the
+    mining is job-latency-bound, not data-bound). Per-pair results are
+    independent and merged deterministically, so the mined set is identical
+    to a sequential run (pinned by test); 1 disables concurrency."""
+
     def __init__(self, meng: MeasureEngine, epsilon: float,
-                 stop_flag=None):
+                 stop_flag=None, max_parallel_pairs: int = 8,
+                 eager_cells: int = 100_000_000):
         self.meng = meng
         self.eng = meng.engine
         self.epsilon = epsilon
         self.schema = list(meng.schema_cols)
         self.full = frozenset(self.schema)
+        self.max_parallel_pairs = max(1, max_parallel_pairs)
+        # eager all-entropies budget: when rows * 2^n <= eager_cells, ONE
+        # CUBE job (A11, the reference's computeAllEntropies) materializes
+        # every subset entropy and the whole search runs from cache
+        self.eager_cells = eager_cells
         # results
         self.min_pairwise_seps: dict[tuple[str, str], set[frozenset[str]]] = {}
         self.mined_min_seps: set[frozenset[str]] = set()
         self.mined_jds: set[JD] = set()
         self.full_mvds: set[JD] = set()
+        self._mined_lock = threading.Lock()
         # cooperative cancellation (B18): callable returning True to stop
         self._stop = stop_flag or (lambda: False)
+
+    def _map_pairs(self, fn, pairs):
+        """Run fn over pairs concurrently (thread pool + FAIR scheduler),
+        returning results in the deterministic input order. Spark job groups
+        are per-Python-thread, so the caller's group is re-applied inside
+        each worker — without this, B18 cancellation would miss the fanned
+        out jobs."""
+        pairs = list(pairs)
+        if self.max_parallel_pairs == 1 or len(pairs) <= 1:
+            return [fn(p) for p in pairs]
+        sc = self.eng.df.sparkSession.sparkContext
+        group = sc.getLocalProperty("spark.jobGroup.id")
+        desc = sc.getLocalProperty("spark.job.description")
+
+        def worker(p):
+            if group is not None:
+                sc.setJobGroup(group, desc, interruptOnCancel=True)
+            return fn(p)
+
+        with ThreadPoolExecutor(max_workers=self.max_parallel_pairs,
+                                thread_name_prefix="jdminer") as pool:
+            return list(pool.map(worker, pairs))
 
     # -- measures ------------------------------------------------------------
 
@@ -217,31 +254,58 @@ class JDMiner:
 
     # -- B10: seed minimal separators per pair ------------------------------------
 
-    def init_min_seps(self) -> None:
-        # warm every elemental-MVD entropy in one batched pass:
-        # H(R-{i}), H(R-{i,j}), H(R) for all pairs
+    def _warm_entropies(self) -> None:
+        """Entropy warm-up, sized to the relation (the mining workload is
+        job-latency-bound, not data-bound — fewer, fatter Spark jobs win):
+
+        - Small relation (rows * 2^n within ``eager_cells``): ONE CUBE job
+          computes EVERY subset entropy (A11 eager all-entropies, the Spark
+          analogue of `entropy/CompressedDB.computeAllEntropies:392-431`,
+          which the reference's miners lean on for exactly this reason);
+          the entire separator search then runs from cache with zero
+          further Spark jobs.
+        - Large relation: lazy path — prefetch only the always-needed
+          families: all subsets of co-size <= 3 (H(R), H(R-{i}), H(R-{i,j}),
+          H(R-{i,j,k})), which feed the elemental-MVD screen and the
+          quick-refutation I(x;y|R-{x,y,a}) of every single-attribute
+          removal. Deeper families stay lazy: eager prefetch there
+          measurably loses to early refutation.
+        """
+        n = len(self.schema)
+        if n <= 16 and self.eng.num_rows * (1 << n) <= self.eager_cells:
+            self.eng.all_entropies()
+            return
         n1 = [self.full - {a} for a in self.schema]
         n2 = [self.full - {a, b}
               for a, b in itertools.combinations(self.schema, 2)]
-        self.eng.entropies([self.full] + n1 + n2)
+        n3 = [self.full - set(t)
+              for t in itertools.combinations(self.schema, 3)]
+        self.eng.entropies([self.full] + n1 + n2 + n3)
+
+    def init_min_seps(self) -> None:
+        self._warm_entropies()
+        todo = []
         for i, ax in enumerate(self.schema):
-            if self._stop():
-                break
             for ay in self.schema[i + 1:]:
-                if self._stop():
-                    break
                 pair = (ax, ay)
                 if pair in self.min_pairwise_seps:
                     continue
-                rest = self.full - {ax, ay}
                 if is_greater_than_eps(self.elemental_mvd(ax, ay), self.epsilon):
                     continue  # not separable even by the largest lhs
-                jd = self.reduce_to_min_jd(ax, ay, rest)
-                if jd is None:
-                    continue
-                self.min_pairwise_seps[pair] = {jd.lhs}
-                self.mined_min_seps.add(jd.lhs)
-                self.mined_jds.add(jd)
+                todo.append(pair)
+
+        def reduce_pair(pair):
+            if self._stop():
+                return None
+            ax, ay = pair
+            return self.reduce_to_min_jd(ax, ay, self.full - {ax, ay})
+
+        for pair, jd in zip(todo, self._map_pairs(reduce_pair, todo)):
+            if jd is None:
+                continue
+            self.min_pairwise_seps[pair] = {jd.lhs}
+            self.mined_min_seps.add(jd.lhs)
+            self.mined_jds.add(jd)
 
     # -- B11: all minimal separators via transversals -------------------------------
 
@@ -277,22 +341,26 @@ class JDMiner:
             new_jd = self.reduce_to_min_jd(ax, ay, ctr_jd.lhs)
             if new_jd is None:
                 return
-            self.mined_min_seps.add(new_jd.lhs)
-            self.mined_jds.add(new_jd)
+            with self._mined_lock:
+                self.mined_min_seps.add(new_jd.lhs)
+                self.mined_jds.add(new_jd)
             seps.add(new_jd.lhs)
             tr.add_hyperedge(new_jd.lhs)
 
     def mine_all_min_seps(self) -> set[frozenset[str]]:
         """B10+B11+B12 driver: seed, then enumerate all minimal separators
-        for every attribute pair."""
+        for every attribute pair. Pairs run concurrently (each transversal
+        loop touches only its own pair's separator set; the global mined
+        sets are guarded by a lock and order-insensitive)."""
         self.init_min_seps()
-        for i, ax in enumerate(self.schema):
-            if self._stop():
-                break
-            for ay in self.schema[i + 1:]:
-                if self._stop():
-                    break
-                self.mine_all_min_seps_for_pair(ax, ay)
+        pairs = [(ax, ay) for i, ax in enumerate(self.schema)
+                 for ay in self.schema[i + 1:]]
+
+        def mine_pair(pair):
+            if not self._stop():
+                self.mine_all_min_seps_for_pair(*pair)
+
+        self._map_pairs(mine_pair, pairs)
         out: set[frozenset[str]] = set()
         for seps in self.min_pairwise_seps.values():
             out |= seps

@@ -140,3 +140,18 @@ def test_full_mvds(miner5):
     full = miner5.mine_all_full_mvds()
     assert any(jd.lhs == frozenset(["k"]) and len(jd.components) == 3
                for jd in full)
+
+
+def test_min_sep_mining_mode_invariant(planted5):
+    """Eager-CUBE + parallel pairs, lazy + sequential, and lazy + parallel
+    must mine identical separator sets (r2 perf work is pinned to be a pure
+    plan change, never a semantic one)."""
+    results = []
+    for kwargs in ({},  # default: eager cube, 8 parallel pairs
+                   {"eager_cells": 0, "max_parallel_pairs": 1},
+                   {"eager_cells": 0, "max_parallel_pairs": 8}):
+        miner = JDMiner(MeasureEngine(SparkEntropyEngine(planted5)),
+                        epsilon=0.0, **kwargs)
+        results.append(miner.mine_all_min_seps())
+        miner.eng.unpersist()
+    assert results[0] == results[1] == results[2] == {frozenset(["k"])}

@@ -101,14 +101,24 @@ def test_timeout_runner_stops_search(spark, validator):
 
     runner = TimeoutRunner(spark)
 
-    def mine(stop_flag):
+    def mine_slow(stop_flag):
+        # force the lazy sequential path: the eager-CUBE default finishes
+        # inside any realistic timeout window at this scale, which is the
+        # point of the optimization but not of this test
+        miner = JDMiner(MeasureEngine(SparkEntropyEngine(validator.base)),
+                        epsilon=0.0, stop_flag=stop_flag,
+                        eager_cells=0, max_parallel_pairs=1)
+        miner.mine_all_min_seps()
+        return miner
+
+    def mine_fast(stop_flag):
         miner = JDMiner(MeasureEngine(SparkEntropyEngine(validator.base)),
                         epsilon=0.0, stop_flag=stop_flag)
         miner.mine_all_min_seps()
         return miner
 
     with pytest.raises(TimeoutError):
-        runner.run(mine, timeout=1.0)
+        runner.run(mine_slow, timeout=1.0)
     # generous timeout completes
-    miner = runner.run(mine, timeout=600)
+    miner = runner.run(mine_fast, timeout=600)
     assert miner.mined_min_seps
