@@ -72,7 +72,14 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                         seed: int = 42) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing any band bucket,
     scored by estimated Jaccard = fraction of agreeing minhashes.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    Scale shape: the band self-join shuffles only (id, band, sig) — the full
+    mh_* signature payload is re-joined AFTER candidate pairs are deduped,
+    so the band explode's x-bands row amplification never multiplies the
+    signature width (at n_hashes=128 the signatures would otherwise
+    dominate the shuffle). The three uses of `sigs` share one physical
+    shuffle via Spark's exchange reuse."""
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
@@ -85,23 +92,27 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                  F.concat_ws(",", *[F.col(mh_cols[b * rows_per_band + r])
                                     for r in range(rows_per_band)]).alias("sig"))
         for b in range(bands)])
-    banded = sigs.select(id_col, *mh_cols,
-                         F.explode(band_structs).alias("bk")) \
-                 .select(id_col, *mh_cols, "bk.band", "bk.sig")
-    left = banded
-    right = banded.select(F.col(id_col).alias("_rid"), F.col("band").alias("_rband"),
-                          F.col("sig").alias("_rsig"),
-                          *[F.col(c).alias(f"_r{c}") for c in mh_cols])
-    pairs = (left.join(right, (F.col("band") == F.col("_rband"))
-                       & (F.col("sig") == F.col("_rsig"))
-                       & (F.col(id_col) < F.col("_rid")))
-             .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"),
-                     *[(F.col(c) == F.col(f"_r{c}")).cast("int").alias(f"eq_{c}")
-                       for c in mh_cols])
+    # ids only through the explode + self-join: narrow shuffle payload
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")) \
+                 .select(id_col, "bk.band", "bk.sig")
+    right = banded.select(F.col(id_col).alias("_rid"),
+                          F.col("band").alias("_rband"),
+                          F.col("sig").alias("_rsig"))
+    pairs = (banded.join(right, (F.col("band") == F.col("_rband"))
+                         & (F.col("sig") == F.col("_rsig"))
+                         & (F.col(id_col) < F.col("_rid")))
+             .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
              .distinct())
-    est = sum(F.col(f"eq_{c}") for c in mh_cols) / F.lit(float(len(mh_cols)))
-    return (pairs.select("id_a", "id_b", est.alias("est_jaccard"))
-                 .where(F.col("est_jaccard") >= min_est))
+    # re-join the signatures on the (deduped, tiny) candidate set
+    a = sigs.select(F.col(id_col).alias("id_a"),
+                    *[F.col(c).alias(f"_a{c}") for c in mh_cols])
+    b = sigs.select(F.col(id_col).alias("id_b"),
+                    *[F.col(c).alias(f"_b{c}") for c in mh_cols])
+    scored = pairs.join(a, "id_a").join(b, "id_b")
+    est = sum((F.col(f"_a{c}") == F.col(f"_b{c}")).cast("int")
+              for c in mh_cols) / F.lit(float(len(mh_cols)))
+    return (scored.select("id_a", "id_b", est.alias("est_jaccard"))
+                  .where(F.col("est_jaccard") >= min_est))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

@@ -86,6 +86,26 @@ def test_dedup_paths_have_no_python_udfs(spark):
             "Python UDF leaked into a hot path"
 
 
+def test_lsh_band_join_payload_excludes_signatures(spark):
+    """The LSH band self-join must shuffle only (id, band, sig): the mh_*
+    signature columns rejoin after pair dedup, so band-explode row
+    amplification never multiplies signature width (VERDICT r1 #4)."""
+    from relationaldecomposition_spark.operators import dedup
+    docs = load(spark, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
+    qe = pairs._jdf.queryExecution()
+    formatted = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    # every exchange (shuffled OR broadcast) that carries the band key must
+    # not also carry mh_ signature columns
+    band_exchanges = 0
+    for block in formatted.split("\n\n"):
+        if "Exchange" in block and "band" in block:
+            band_exchanges += 1
+            assert "mh_" not in block, block
+    assert band_exchanges > 0, "no band exchange found - test is vacuous"
+
+
 def test_multimodal_is_arrow_batched(spark):
     from relationaldecomposition_spark.operators import multimodal
     docs = load(spark, "documents")
