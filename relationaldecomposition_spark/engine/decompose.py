@@ -144,13 +144,14 @@ class DecompositionValidator:
 
         counts: dict[frozenset[str], int] = {}
         projs: dict[frozenset[str], DataFrame] = {}
-        for c in cl:
-            projs[c] = project_cluster(self.base, c, self.schema_cols).persist()
         # try/finally: a cancellation (DecompositionCanceled) or Spark failure
-        # anywhere in the count/fold must not leak the persisted projections
-        # into executor storage — DecompositionService resubmits CANCELED/
-        # FAILED jobs, so a long-lived service would accumulate them.
+        # anywhere — including while building/persisting the projections
+        # themselves — must not leak persisted projections into executor
+        # storage; DecompositionService resubmits CANCELED/FAILED jobs, so a
+        # long-lived service would accumulate them.
         try:
+            for c in cl:
+                projs[c] = project_cluster(self.base, c, self.schema_cols).persist()
             # materialize + count all projections concurrently: each count is
             # an independent job over the cached base, so latency overlaps.
             # Job groups are per-Python-thread in PySpark, so re-apply the

@@ -97,6 +97,9 @@ class SparkEntropyEngine:
         self._inflight: dict[frozenset[str], threading.Event] = {}
         # column sets whose full subset lattice is already cached (A11 CUBE)
         self._cubes_done: set[frozenset[str]] = set()
+        # in-flight CUBE jobs: key -> Event, so two threads asking for the
+        # same lattice don't both run the 2^n job
+        self._cube_inflight: dict[frozenset[str], threading.Event] = {}
         self._num_rows: int | None = None
         self._num_distinct: int | None = None
         # Stats mirroring the reference's scan instrumentation
@@ -210,9 +213,13 @@ class SparkEntropyEngine:
 
     def _batch_grouping_sets(self, subsets: list[frozenset[str]]) -> None:
         if len(subsets) == 1:
+            # run the Spark job OUTSIDE the lock: concurrent miner threads
+            # must not serialize behind a blocking job (they only need the
+            # lock for the cache store itself)
             x = subsets[0]
+            h = self._compute_single(x)
             with self._lock:
-                self._cache[x] = self._compute_single(x)
+                self._cache[x] = h
             return
         union_cols: list[str] = []
         seen_cols: set[str] = set()
@@ -298,41 +305,57 @@ class SparkEntropyEngine:
             raise ValueError(f"cube over {len(cols)} columns would replicate "
                              f"rows 2^{len(cols)}x; use entropies() instead")
         key = frozenset(cols)
-        if key in self._cubes_done:  # memoized: serve the whole lattice
+        # coordinate with concurrent callers via the same Event pattern as
+        # entropies(): only one thread runs the 2^n CUBE job, the rest wait
+        while True:
             with self._lock:
-                return {x: self._cache[x]
-                        for x in map(frozenset, _powerset(cols))}
-        n = self.num_rows
-        quoted = ", ".join(f"`{c}`" for c in cols)
-        # explicit grouping(col) flags, same rationale as _batch_grouping_sets
-        gid_expr = " + ".join(
-            f"(cast(grouping(`{c}`) as bigint) * {1 << (len(cols) - 1 - i)})"
-            for i, c in enumerate(cols))
-        view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
-        self.df.createOrReplaceTempView(view)
+                if key in self._cubes_done:  # memoized: serve the whole lattice
+                    return {x: self._cache[x]
+                            for x in map(frozenset, _powerset(cols))}
+                ev = self._cube_inflight.get(key)
+                if ev is None:
+                    ev = threading.Event()
+                    self._cube_inflight[key] = ev
+                    break
+            ev.wait()
         try:
-            rows = self.df.sparkSession.sql(
-                f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
-                f"(SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
-                f" GROUP BY CUBE ({quoted})) GROUP BY gid"
-            ).collect()
+            n = self.num_rows
+            quoted = ", ".join(f"`{c}`" for c in cols)
+            # explicit grouping(col) flags, same rationale as _batch_grouping_sets
+            gid_expr = " + ".join(
+                f"(cast(grouping(`{c}`) as bigint) * {1 << (len(cols) - 1 - i)})"
+                for i, c in enumerate(cols))
+            view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
+            self.df.createOrReplaceTempView(view)
+            try:
+                rows = self.df.sparkSession.sql(
+                    f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
+                    f"(SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
+                    f" GROUP BY CUBE ({quoted})) GROUP BY gid"
+                ).collect()
+            finally:
+                self.df.sparkSession.catalog.dropTempView(view)
+            self.jobs_run += 1
+            out: dict[frozenset[str], float] = {}
+            for r in rows:
+                gid = r["gid"]
+                # bit i (MSB-first over cols) set => column aggregated away
+                x = frozenset(c for i, c in enumerate(cols)
+                              if not (gid >> (len(cols) - 1 - i)) & 1)
+                clogc = r["clogc"] or 0.0
+                out[x] = math.log2(n) - clogc / n if n > 0 else 0.0
+            out[frozenset()] = 0.0
+            with self._lock:
+                self._cache.update(out)
+                self.entropies_computed += len(out)
+                self._cubes_done.add(key)
+            return out
         finally:
-            self.df.sparkSession.catalog.dropTempView(view)
-        self.jobs_run += 1
-        out: dict[frozenset[str], float] = {}
-        for r in rows:
-            gid = r["gid"]
-            # bit i (MSB-first over cols) set => column aggregated away
-            x = frozenset(c for i, c in enumerate(cols)
-                          if not (gid >> (len(cols) - 1 - i)) & 1)
-            clogc = r["clogc"] or 0.0
-            out[x] = math.log2(n) - clogc / n if n > 0 else 0.0
-        out[frozenset()] = 0.0
-        with self._lock:
-            self._cache.update(out)
-            self.entropies_computed += len(out)
-            self._cubes_done.add(key)
-        return out
+            # release waiters even on failure/cancel; they re-check
+            # _cubes_done and, if the job failed, one of them retries
+            with self._lock:
+                self._cube_inflight.pop(key, None)
+            ev.set()
 
     def _batch_concurrent(self, subsets: list[frozenset[str]]) -> None:
         _ = self.num_rows  # materialize before fan-out

@@ -313,10 +313,15 @@ class JDMiner:
         from .transversals import Transversals
 
         pair = (ax, ay)
-        if pair not in self.min_pairwise_seps:
-            self.min_pairwise_seps[pair] = set()
-            return
-        seps = self.min_pairwise_seps[pair]
+        # _mined_lock also guards min_pairwise_seps: worker threads insert
+        # distinct keys, which happens to be atomic under the CPython GIL,
+        # but that's an implementation detail — lock explicitly (cheap,
+        # once per pair) instead of relying on it
+        with self._mined_lock:
+            if pair not in self.min_pairwise_seps:
+                self.min_pairwise_seps[pair] = set()
+                return
+            seps = self.min_pairwise_seps[pair]
         first = next(iter(seps))
         if len(seps) == 1 and len(first) == len(self.schema) - 2:
             return  # the only possible separator is R-{x,y}

@@ -120,17 +120,18 @@ def oracle_b03(denorm_sql: str, cols: Sequence[str]) -> str:
 # b11: all minimal pairwise separators
 # ---------------------------------------------------------------------------
 
-def oracle_b11(denorm_sql: str, cols: Sequence[str]) -> str:
-    """Enumerate, per attribute pair (x,y), every S ⊆ R-{x,y} and every
-    2-partition of R-S separating x from y; S separates iff the best
-    partition's JD measure <= 1e-5; keep subset-minimal S per pair; emit
-    the distinct union."""
-    n = len(cols)
+def _smask(subset: Iterable[str], cols: Sequence[str]) -> int:
     pos = {c: i for i, c in enumerate(cols)}
+    return sum(1 << pos[c] for c in subset)
 
-    def smask(subset: Iterable[str]) -> int:
-        return sum(1 << pos[c] for c in subset)
 
+def _sql_minsep_ctes(cols: Sequence[str]) -> str:
+    """CTE fragment ``cand, mu, sep, minimal``: derives, per attribute pair
+    (x,y), every subset-minimal separator S (as bitmask ``smask`` over
+    `cols`) from the shared ``ent``/``hr`` CTEs. S separates x,y iff SOME
+    2-partition {A,B} of R-S with x∈A, y∈B has JD measure <= ACCURACY
+    (see module docstring for why 2-partitions suffice)."""
+    n = len(cols)
     cand_rows: list[str] = []
     for xi in range(n):
         for yi in range(xi + 1, n):
@@ -147,19 +148,9 @@ def oracle_b11(denorm_sql: str, cols: Sequence[str]) -> str:
                             a = frozenset(a_extra) | {x}
                             b = (frozenset(rest) - frozenset(a_extra)) | {y}
                             cand_rows.append(
-                                f"({pair_id}, {smask(s)}, {_gid(s, cols)}, "
+                                f"({pair_id}, {_smask(s, cols)}, {_gid(s, cols)}, "
                                 f"{_gid(s | a, cols)}, {_gid(s | b, cols)})")
-    name_rows = []
-    for mask in range(1 << n):
-        members = [c for c in cols if mask & (1 << pos[c])]
-        name_rows.append(
-            f"({mask}, '{','.join(sorted(members))}', {len(members)})")
-    proj = ", ".join(cols)
     return f"""
-      WITH denorm AS ({denorm_sql}),
-      d6 AS (SELECT {proj} FROM denorm),
-      {_sql_ent_ctes('d6', cols)},
-      hr AS (SELECT h FROM ent WHERE gid = 0),
       cand(pair_id, smask, g_s, g_sa, g_sb) AS (VALUES {', '.join(cand_rows)}),
       mu AS (
         SELECT pair_id, smask,
@@ -174,45 +165,190 @@ def oracle_b11(denorm_sql: str, cols: Sequence[str]) -> str:
         WHERE NOT EXISTS (
           SELECT 1 FROM sep s2
           WHERE s2.pair_id = s.pair_id AND s2.smask != s.smask
-            AND (s2.smask & s.smask) = s2.smask)),
+            AND (s2.smask & s.smask) = s2.smask))"""
+
+
+def oracle_b11(denorm_sql: str, cols: Sequence[str]) -> str:
+    """Enumerate, per attribute pair (x,y), every S ⊆ R-{x,y} and every
+    2-partition of R-S separating x from y; S separates iff the best
+    partition's JD measure <= 1e-5; keep subset-minimal S per pair; emit
+    the distinct union."""
+    n = len(cols)
+    pos = {c: i for i, c in enumerate(cols)}
+    name_rows = []
+    for mask in range(1 << n):
+        members = [c for c in cols if mask & (1 << pos[c])]
+        name_rows.append(
+            f"({mask}, '{','.join(sorted(members))}', {len(members)})")
+    proj = ", ".join(cols)
+    return f"""
+      WITH denorm AS ({denorm_sql}),
+      d6 AS (SELECT {proj} FROM denorm),
+      {_sql_ent_ctes('d6', cols)},
+      hr AS (SELECT h FROM ent WHERE gid = 0),
+      {_sql_minsep_ctes(cols)},
       names(mask, sep_str, sz) AS (VALUES {', '.join(name_rows)})
       SELECT DISTINCT n.sep_str AS separator, n.sz::BIGINT AS size
       FROM minimal m JOIN names n ON n.mask = m.smask"""
 
 
 # ---------------------------------------------------------------------------
-# b15: spurious-count validation of the enumerated schemas
+# b15: data-certified validation of the enumerated schemas
 # ---------------------------------------------------------------------------
+
+def _junction_tree_edges(clusters: Sequence[frozenset[str]]) -> list[tuple[int, int]]:
+    """Maximum-weight spanning tree (Kruskal over |Ci ∩ Cj|) of the cluster
+    hypergraph — for an acyclic cluster set this is a junction tree, and the
+    junction-tree theorem makes its edge-separator multiset invariant across
+    all max spanning trees, so the derived separators equal the schema's JD
+    lhs regardless of which tree Kruskal picks. Raises ValueError when the
+    clusters are disconnected or violate the running-intersection property
+    (i.e. the pinned constant is not an acyclic schema at all)."""
+    k = len(clusters)
+    if k <= 1:
+        return []
+    edges = sorted(
+        ((len(clusters[i] & clusters[j]), i, j)
+         for i in range(k) for j in range(i + 1, k)),
+        key=lambda t: -t[0])
+    parent = list(range(k))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    tree: list[tuple[int, int]] = []
+    for w, i, j in edges:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            if w == 0:
+                raise ValueError(f"disconnected cluster set: {clusters}")
+            parent[ri] = rj
+            tree.append((i, j))
+    if len(tree) != k - 1:
+        raise ValueError(f"disconnected cluster set: {clusters}")
+    # running-intersection: Ci ∩ Cj must lie in every cluster on the i→j path
+    adj: dict[int, list[int]] = {i: [] for i in range(k)}
+    for i, j in tree:
+        adj[i].append(j)
+        adj[j].append(i)
+
+    def path(a, b):
+        stack, prev = [a], {a: None}
+        while stack:
+            u = stack.pop()
+            if u == b:
+                out = []
+                while u is not None:
+                    out.append(u)
+                    u = prev[u]
+                return out
+            for v in adj[u]:
+                if v not in prev:
+                    prev[v] = u
+                    stack.append(v)
+        raise AssertionError("tree not connected")
+
+    for i in range(k):
+        for j in range(i + 1, k):
+            shared = clusters[i] & clusters[j]
+            if any(not (shared <= clusters[u]) for u in path(i, j)):
+                raise ValueError(
+                    f"running-intersection violated between {sorted(clusters[i])} "
+                    f"and {sorted(clusters[j])}: not an acyclic schema")
+    return tree
+
+
+def _edge_jds(clusters: Sequence[frozenset[str]]):
+    """Per junction-tree edge, the induced 2-partition JD: (separator,
+    union-of-side-A, union-of-side-B), sides including the separator."""
+    tree = _junction_tree_edges(clusters)
+    adj: dict[int, list[tuple[int, int]]] = {i: [] for i in range(len(clusters))}
+    for ei, (i, j) in enumerate(tree):
+        adj[i].append((j, ei))
+        adj[j].append((i, ei))
+    out = []
+    for ei, (i, j) in enumerate(tree):
+        # clusters reachable from i without crossing edge ei
+        side_a: set[int] = set()
+        stack = [i]
+        while stack:
+            u = stack.pop()
+            if u in side_a:
+                continue
+            side_a.add(u)
+            stack.extend(v for v, e in adj[u] if e != ei)
+        ua = frozenset().union(*(clusters[u] for u in side_a))
+        ub = frozenset().union(*(clusters[u] for u in range(len(clusters))
+                                 if u not in side_a))
+        out.append((clusters[i] & clusters[j], ua, ub))
+    return out
+
 
 def oracle_b15(denorm_sql: str, cols: Sequence[str],
                schemas: Sequence[Sequence[Sequence[str]]]) -> str:
-    """For each enumerated schema (a fixed list of cluster sets — the
-    acyclic-schema enumeration itself is driver-plane search, its OUTPUT is
-    deterministic for the driver's data), recompute n_clusters and the
-    spurious-tuple count from the data: |⋈ distinct projections| - |distinct
-    base|, the same counting SQL as the a13/a15 oracles."""
+    """For each enumerated schema, recompute n_clusters and the
+    spurious-tuple count from the data (|⋈ distinct projections| − |distinct
+    base|, the a13/a15 counting SQL) — AND certify the pinned cluster sets
+    against the data rather than trusting them:
+
+    - build-time (data-independent): each cluster set must form a connected
+      junction tree satisfying the running-intersection property — i.e. BE
+      an acyclic schema; jointly forming one tree is stronger than pairwise
+      JD compatibility (B14). Malformed pins raise at import.
+    - in-SQL (data-dependent): every junction-tree edge JD
+      ⋈[S | A∖S, B∖S] must have measure H(A)+H(B)−H(S)−H(R) <= ACCURACY,
+      and every edge separator S must be one of the minimal pairwise
+      separators DERIVED from the data by the b11 CTEs. A schema failing
+      either check emits NO row, so a stale pin (wrong scale factor,
+      changed enumeration) surfaces as a loud rows-mismatch instead of a
+      silent pass.
+
+    The only part still pinned is the BFS *order* of the enumeration (which
+    three maximal independent sets come first) — pure search-order, no data.
+    Mirrors `search/AcyclicSchemaEnumerator.java:125-133,243-300`."""
     proj = ", ".join(cols)
+    ctes = [
+        f"denorm AS ({denorm_sql})",
+        f"d6 AS (SELECT {proj} FROM denorm)",
+        _sql_ent_ctes("d6", cols),
+        "hr AS (SELECT h FROM ent WHERE gid = 0)",
+        _sql_minsep_ctes(cols),
+        "minmask AS (SELECT DISTINCT smask FROM minimal)",
+        "dbase AS (SELECT count(*) AS n FROM (SELECT DISTINCT * FROM d6))",
+    ]
     selects = []
-    for clusters in schemas:
+    for si, clusters in enumerate(schemas):
         cl = [tuple(sorted(c)) for c in clusters]
         key = ";".join(sorted(",".join(c) for c in cl))
-        projs = [
-            f"p{i} AS (SELECT DISTINCT {', '.join(c)} FROM d6)"
-            for i, c in enumerate(cl)
-        ]
-        join_sql = "p0"
+        for i, c in enumerate(cl):
+            ctes.append(f"p{si}_{i} AS (SELECT DISTINCT {', '.join(c)} FROM d6)")
+        join_sql = f"p{si}_0"
         seen = set(cl[0])
         for i, c in enumerate(cl[1:], start=1):
             shared = sorted(seen & set(c))
             if shared:
-                join_sql += f" JOIN p{i} USING ({', '.join(shared)})"
+                join_sql += f" JOIN p{si}_{i} USING ({', '.join(shared)})"
             else:
-                join_sql += f" CROSS JOIN p{i}"
+                join_sql += f" CROSS JOIN p{si}_{i}"
             seen |= set(c)
+        edge_rows = [
+            f"({_gid(s, cols)}, {_gid(ua, cols)}, {_gid(ub, cols)}, {_smask(s, cols)})"
+            for s, ua, ub in _edge_jds([frozenset(c) for c in cl])
+        ]
+        ctes.append(
+            f"edges{si}(g_s, g_ua, g_ub, sm) AS (VALUES {', '.join(edge_rows)})")
+        ctes.append(
+            f"ok{si} AS (SELECT coalesce(bool_and("
+            f"ea.h + eb.h - es.h - hr.h <= {MEASURE_ACCURACY} "
+            f"AND sm IN (SELECT smask FROM minmask)), TRUE) AS ok "
+            f"FROM edges{si} JOIN ent es ON es.gid = g_s "
+            f"JOIN ent ea ON ea.gid = g_ua "
+            f"JOIN ent eb ON eb.gid = g_ub, hr)")
         selects.append(
             f"SELECT '{key}' AS clusters, {len(cl)}::BIGINT AS n_clusters, "
-            f"(WITH denorm AS ({denorm_sql}), d6 AS (SELECT {proj} FROM denorm), "
-            f"{', '.join(projs)} "
-            f"SELECT (SELECT count(*) FROM {join_sql}) - "
-            f"(SELECT count(*) FROM (SELECT DISTINCT * FROM d6)))::BIGINT AS spurious")
-    return " UNION ALL ".join(selects)
+            f"((SELECT count(*) FROM {join_sql}) - (SELECT n FROM dbase))::BIGINT "
+            f"AS spurious FROM ok{si} WHERE ok")
+    return "WITH " + ",\n      ".join(ctes) + "\n" + " UNION ALL ".join(selects)

@@ -410,6 +410,18 @@ def q_b15_enumerate_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
                      len(schema.clusters), int(info.spurious_tuples)))
     v.close()
     miner.eng.unpersist()
+    # B15_SCHEMAS pins the enumeration order for the sf0.01 gate data; if the
+    # enumeration ever drifts there, fail HERE with a diagnostic naming the
+    # stale constant instead of surfacing as an opaque oracle hash mismatch.
+    if "sf0.01" in sf_dir:
+        expect = sorted(";".join(sorted(",".join(c) for c in s)) for s in B15_SCHEMAS)
+        got = sorted(r[0] for r in rows)
+        if got != expect:
+            raise AssertionError(
+                "b15 enumeration diverged from the pinned B15_SCHEMAS constant "
+                f"(queries.py) on the gate data.\n  expected: {expect}\n  "
+                f"got: {got}\nUpdate B15_SCHEMAS if the new enumeration is "
+                "intentional — the oracle re-certifies it against the data.")
     return spark.createDataFrame(sorted(rows),
                                  "clusters string, n_clusters bigint, spurious bigint")
 
@@ -592,8 +604,12 @@ B03_COLS = ["c_custkey", "c_nationkey", "c_mktsegment", "n_name", "n_regionkey"]
 
 # b15's Spark side emits the first 3 schemas of the deterministic
 # enumeration over the mined JDs; these are their cluster sets on the
-# driver's sf0.01 gate data (the spurious counts — the data-dependent part —
-# are recomputed from the parquet by the oracle, not hard-coded).
+# driver's sf0.01 gate data. Only the BFS *order* is pinned: the oracle
+# re-certifies each pinned schema against the data (junction-tree edge JD
+# measures <= ACCURACY + separators ∈ the b11-derived minimal-separator set)
+# and recomputes the spurious counts from the parquet — a stale pin drops
+# the row (loud rows-mismatch), and q_b15 raises a named diagnostic when the
+# enumeration drifts at the gate scale factor.
 B15_SCHEMAS = [
     (("c_custkey", "c_mktsegment", "c_nationkey"), ("c_nationkey", "n_name"),
      ("c_nationkey", "n_regionkey"), ("c_nationkey", "r_name")),
