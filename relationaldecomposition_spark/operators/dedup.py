@@ -117,24 +117,27 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature: bit k of the signature is 1 iff the majority of
-    token hashes have bit k set. Explode tokens x bits -> two aggregations;
-    everything stays in codegen."""
+    token hashes have bit k set.
+
+    One explode (tokens) + ONE groupBy carrying `bits` conditional-sum
+    aggregates — per-bit sign contributions are aggregate expressions over
+    the token hash, not exploded rows, so the shuffle moves `bits` partial
+    sums per (id, partition) instead of amplifying token rows x bits.
+    Everything stays in codegen."""
     tk = df.select(F.col(id_col),
                    F.explode_outer(tokens(F.col(text_col))).alias("tok"))
     h = tk.withColumn("h", F.when(F.col("tok").isNotNull(),
                                   portable_hash64(F.col("tok"))))
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    contrib = (h.select(id_col, "h", bit)
-               .withColumn("sign",
-                           F.when(F.col("h").isNull(), F.lit(0))
-                            .when(F.expr("(h >> bit) & 1") == 1, F.lit(1))
-                            .otherwise(F.lit(-1))))
-    bitsum = contrib.groupBy(id_col, "bit").agg(F.sum("sign").alias("s"))
-    sig = (bitsum.groupBy(id_col)
-           .agg(F.sum(F.when(F.col("s") > 0,
-                             F.expr("shiftleft(cast(1 as bigint), bit)"))
-                      .otherwise(F.lit(0))).alias("simhash")))
-    return sig
+    aggs = [F.sum(F.when(F.col("h").isNull(), F.lit(0))
+                   .when(F.expr(f"(h >> {k}) & 1") == 1, F.lit(1))
+                   .otherwise(F.lit(-1))).alias(f"_b{k}")
+            for k in range(bits)]
+    bitsums = h.groupBy(id_col).agg(*aggs)
+    sig = sum(F.when(F.col(f"_b{k}") > 0,
+                     F.expr(f"shiftleft(cast(1 as bigint), {k})"))
+               .otherwise(F.lit(0).cast("bigint"))
+              for k in range(bits))
+    return bitsums.select(F.col(id_col), sig.alias("simhash"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
