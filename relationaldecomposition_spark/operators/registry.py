@@ -29,6 +29,12 @@ TOPK_QUERY_IDS = list(range(10))
 TOPK_K = 5
 N_PLANES = 8
 EMB_DIM = 64
+# o15 multi-table+multi-probe ANN: b=3-bit buckets x L=10 tables, 2 probes
+# per table — measured recall 1.0 vs o07's exact top-k on the gate data
+# (tests/test_similarity_recall.py pins >= 0.9)
+ANN_PLANES = 3
+ANN_TABLES = 10
+ANN_PROBES = 2
 
 
 # ---------------------------------------------------------------------------
@@ -85,6 +91,17 @@ def q_o08_lsh_topk(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     out = similarity.lsh_bucketed_topk(emb, "embedding", "vec_id",
                                        TOPK_QUERY_IDS, TOPK_K, N_PLANES, EMB_DIM)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", ROUND).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_o15_ann_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucketed_topk(emb, "embedding", "vec_id",
+                                       TOPK_QUERY_IDS, TOPK_K,
+                                       n_planes=ANN_PLANES, dim=EMB_DIM,
+                                       n_probes=ANN_PROBES, n_tables=ANN_TABLES)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", ROUND).alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
@@ -263,6 +280,69 @@ def _oracle_lsh_topk() -> str:
       WHERE rank <= {TOPK_K}"""
 
 
+def _sql_plane_dot(plane: list[float]) -> str:
+    lits = ", ".join(f"{x:.1f}" for x in plane)
+    return (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> (CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])))")
+
+
+def _oracle_ann_topk() -> str:
+    """Multi-table multi-probe SRP-LSH top-k. Per table t: bucket =
+    sign-bit vector over its planes; probe 2 = flip the lowest-|margin| bit
+    (argmin with lowest-index tie-break — matching Spark's array_sort over
+    (m, i) structs). Candidates = distinct (query, neighbor) pairs colliding
+    in any probed (table, bucket); exact cosine re-rank."""
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    qids = ", ".join(map(str, TOPK_QUERY_IDS))
+    tables = similarity.table_planes(ANN_PLANES, EMB_DIM, 42, ANN_TABLES)
+    bk_selects, qd_ctes, probe_selects = [], [], []
+    for t, planes in enumerate(tables):
+        dots = [_sql_plane_dot(p) for p in planes]
+        sig = " + ".join(
+            f"(CASE WHEN d{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+            for i in range(ANN_PLANES))
+        dcols = ", ".join(f"{d} AS d{i}" for i, d in enumerate(dots))
+        bk_selects.append(
+            f"SELECT vec_id, {t} AS tbl, {sig} AS bk FROM "
+            f"(SELECT vec_id, {dcols} FROM embeddings)")
+        # argmin |d_i| with lowest-index tie-break: first i with
+        # abs(d_i) <= abs(d_j) for all j > i
+        branches = " ".join(
+            "WHEN " + (" AND ".join(f"abs(d{i}) <= abs(d{j})"
+                                    for j in range(i + 1, ANN_PLANES)) or "TRUE")
+            + f" THEN {i}"
+            for i in range(ANN_PLANES))
+        qd_ctes.append(
+            f"qd{t} AS (SELECT vec_id AS query_id, {dcols} "
+            f"FROM embeddings WHERE vec_id IN ({qids})), "
+            f"qb{t} AS (SELECT query_id, {sig} AS bk, "
+            f"(CASE {branches} END) AS fi FROM qd{t})")
+        probe_selects.append(f"SELECT query_id, {t} AS tbl, bk FROM qb{t}")
+        if ANN_PROBES > 1:
+            probe_selects.append(
+                f"SELECT query_id, {t} AS tbl, xor(bk, 1::BIGINT << fi) "
+                f"AS bk FROM qb{t}")
+    return f"""
+      WITH bkt AS ({' UNION ALL '.join(bk_selects)}),
+      {', '.join(qd_ctes)},
+      probes AS ({' UNION ALL '.join(probe_selects)}),
+      cand AS (
+        SELECT DISTINCT p.query_id, d.vec_id AS neighbor_id
+        FROM bkt d JOIN probes p ON d.tbl = p.tbl AND d.bk = p.bk
+         AND d.vec_id != p.query_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id, {dot} / ({na} * {nb}) AS cos
+        FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+                    JOIN embeddings b ON b.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, round(cos, {ROUND}) AS cosine, rank
+      FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {TOPK_K}"""
+
+
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o01_exact_dedup": q_o01_exact_dedup,
     "o02_minhash_sigs": q_o02_minhash_sigs,
@@ -272,6 +352,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o06_cosine_pairs": q_o06_cosine_pairs,
     "o07_cosine_topk": q_o07_cosine_topk,
     "o08_lsh_topk": q_o08_lsh_topk,
+    "o15_ann_topk": q_o15_ann_topk,
     "o09_token_counts": q_o09_token_counts,
     "o10_lang_id": q_o10_lang_id,
     "o11_quality": q_o11_quality,
@@ -292,6 +373,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o06_cosine_pairs": _oracle_cosine_pairs(),
     "o07_cosine_topk": _oracle_cosine_topk(),
     "o08_lsh_topk": _oracle_lsh_topk(),
+    "o15_ann_topk": _oracle_ann_topk(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

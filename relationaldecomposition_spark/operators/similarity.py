@@ -6,8 +6,12 @@ Two paths:
 - LSH-bucketed top-k: sign-random-projection buckets (deterministic seeded
   hyperplanes) shrink the candidate set; exact cosine re-rank inside the
   bucket. The 100 TB path: candidates shuffle on bucket signature instead
-  of the full cross product. Recall < 1 by construction; multi-probe =
-  union over p nearby buckets would raise it (not needed for the oracle).
+  of the full cross product. Multi-probe (n_probes > 1) additionally probes
+  the buckets reached by flipping the query's lowest-|margin| signature
+  bits — the planes the query is least confidently on one side of — which
+  raises recall without touching the data side: each data row still carries
+  ONE bucket; probe multiplicity lives on the tiny broadcast query side.
+  tests/test_similarity_recall.py measures recall vs the exact baseline.
 
 Hyperplanes are generated from a seeded PRNG and embedded as plan literals
 (JVM-side arithmetic), so the DuckDB oracle can embed the exact same
@@ -58,6 +62,11 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def _plane_dots(v, planes) -> "F.Column":
+    """array<double> of v . r_i over the hyperplanes."""
+    return F.array(*[_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes])
+
+
 def lsh_bucket_signature(df: DataFrame, vec_col: str, id_col: str,
                          n_planes: int = DEFAULT_N_PLANES,
                          dim: int = DEFAULT_DIM, seed: int = 42) -> DataFrame:
@@ -72,23 +81,95 @@ def lsh_bucket_signature(df: DataFrame, vec_col: str, id_col: str,
     return df.select(F.col(id_col), sig.alias("bucket"))
 
 
+def table_planes(n_planes: int, dim: int, seed: int, n_tables: int):
+    """Hyperplane sets for L independent hash tables. Table 0 uses `seed`
+    verbatim so n_tables=1 is byte-identical to the original single-table
+    signature (o08 oracle parity)."""
+    return [random_hyperplanes(n_planes, dim, seed if t == 0 else seed + 7919 * t)
+            for t in range(n_tables)]
+
+
+def _bucket_expr(vcol, planes):
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        r = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.shiftleft((_dot(vcol, r) > 0).cast("long"), i)
+    return sig
+
+
 def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
                       query_ids: list[int], k: int = 5,
                       n_planes: int = DEFAULT_N_PLANES,
-                      dim: int = DEFAULT_DIM, seed: int = 42) -> DataFrame:
-    """Approximate top-k: exact cosine re-rank restricted to the query's
-    bucket. Join is on bucket equality — linear shuffle, no cross product."""
-    buckets = lsh_bucket_signature(df, vec_col, id_col, n_planes, dim, seed)
+                      dim: int = DEFAULT_DIM, seed: int = 42,
+                      n_probes: int = 1, n_tables: int = 1) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to the buckets the
+    query probes. All joins are bucket-equality — linear shuffle, no cross
+    product.
+
+    Recall knobs (both leave the re-rank exact; they only widen the
+    candidate set):
+    - n_tables (OR-construction): L independent hash tables of n_planes
+      each — P(candidate) = 1-(1-p^b)^L for per-plane agreement p. The data
+      side explodes to (id, table, bucket) — slim keys only, the same
+      shape as the MinHash band join — so shuffle payload is L small rows
+      per vector, never L copies of the embedding.
+    - n_probes (multi-probe): per table, additionally probe the buckets
+      reached by flipping the query's lowest-|margin| signature bits (the
+      planes the query is least confidently on one side of). Probe
+      multiplicity lives on the tiny broadcast query side only.
+
+    Candidate (query, neighbor) pairs are deduped BEFORE vectors are joined
+    back for scoring, so the exact-cosine work is once per distinct pair.
+    tests/test_similarity_recall.py measures recall vs the exact baseline."""
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(f"n_probes must be in [1, {n_planes + 1}]")
+    tables = table_planes(n_planes, dim, seed, n_tables)
     base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-            .withColumn("n", _norm(F.col("v")))
-            .join(buckets, id_col))
+            .withColumn("n", _norm(F.col("v"))))
+    band_structs = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_expr(F.col("v"), pl).alias("bk"))
+        for t, pl in enumerate(tables)])
+    banded = (base.select(F.col(id_col), F.explode(band_structs).alias("b"))
+              .select(id_col, F.col("b.tbl").alias("tbl"),
+                      F.col("b.bk").alias("bk")))
     q = base.where(F.col(id_col).isin(query_ids)) \
             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-                    F.col("n").alias("qn"), F.col("bucket").alias("qbucket"))
-    scored = (base.join(F.broadcast(q),
-                        (F.col("bucket") == F.col("qbucket"))
-                        & (F.col(id_col) != F.col("query_id")))
-              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                    F.col("n").alias("qn"))
+    # F.shiftleft needs a Python-int amount: look powers up by index instead
+    pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
+    probe_structs = []
+    for t, pl in enumerate(tables):
+        qb = _bucket_expr(F.col("qv"), pl)
+        probe_structs.append(F.struct(F.lit(t).alias("tbl"), qb.alias("bk")))
+        if n_probes > 1:
+            dots = _plane_dots(F.col("qv"), pl)
+            # sort planes by |margin| ascending, ties by plane index — both
+            # deterministic in Spark's struct comparison (field order)
+            margins = F.array_sort(F.array(*[
+                F.struct(F.abs(F.element_at(dots, i + 1)).alias("m"),
+                         F.lit(i).alias("i"))
+                for i in range(n_planes)]))
+            for p in range(1, n_probes):
+                flip_i = F.element_at(margins, p)["i"]
+                probe_structs.append(F.struct(
+                    F.lit(t).alias("tbl"),
+                    qb.bitwiseXOR(F.element_at(pow2, flip_i + 1)).alias("bk")))
+    qprobes = (q.select("query_id", F.explode(F.array(*probe_structs)).alias("b"))
+               .select("query_id", F.col("b.tbl").alias("tbl"),
+                       F.col("b.bk").alias("bk")))
+    cand = (banded.join(F.broadcast(qprobes), ["tbl", "bk"])
+            .where(F.col(id_col) != F.col("query_id"))
+            .select("query_id", F.col(id_col).alias("neighbor_id")))
+    if n_tables > 1:
+        # a pair can collide in several tables; single-bit probes within one
+        # table are pairwise distinct, so only the OR over tables needs dedup
+        cand = cand.distinct()
+    scored = (cand
+              .join(base.select(F.col(id_col).alias("neighbor_id"), "v", "n"),
+                    "neighbor_id")
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", "neighbor_id",
                       (_dot(F.col("qv"), F.col("v"))
                        / (F.col("qn") * F.col("n"))).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(

@@ -1,0 +1,73 @@
+"""ANN recall measurement: the LSH-bucketed top-k is approximate by design —
+these tests turn the documented probabilistic trade-off into measured
+numbers against the exact cosine_topk baseline (VERDICT r2 item #2).
+
+The synthetic embeddings are near-orthogonal (true-neighbor cosine ~0.3-0.5,
+per-plane agreement p ~= 0.6), so a single 8-plane table has bucket-match
+probability p^8 ~= 0.03 — recall is structurally low no matter the probes.
+The scale path is the OR-construction (L tables of b planes) with
+multi-probe on top; the o15 config (b=3, L=10, p=2) reaches recall 1.0 here
+and is pinned at >= 0.9.
+"""
+
+import pytest
+
+from relationaldecomposition_spark.operators import similarity
+from tests.conftest import load
+
+K = 5
+QIDS = list(range(10))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def truth(spark, emb):
+    exact = similarity.cosine_topk(emb, "embedding", "vec_id", QIDS, K).toPandas()
+    return set(zip(exact.query_id, exact.neighbor_id))
+
+
+def _recall(emb, truth, **kw):
+    approx = similarity.lsh_bucketed_topk(
+        emb, "embedding", "vec_id", QIDS, K, **kw).toPandas()
+    got = set(zip(approx.query_id, approx.neighbor_id))
+    return len(got & truth) / len(truth)
+
+
+def test_o15_config_recall_floor(emb, truth):
+    from relationaldecomposition_spark.operators.registry import (
+        ANN_PLANES, ANN_PROBES, ANN_TABLES)
+    r = _recall(emb, truth, n_planes=ANN_PLANES, n_tables=ANN_TABLES,
+                n_probes=ANN_PROBES)
+    assert r >= 0.9, f"o15 ANN config recall {r} below floor"
+
+
+def test_multi_table_beats_single_table(emb, truth):
+    single = _recall(emb, truth, n_planes=3, n_tables=1, n_probes=1)
+    multi = _recall(emb, truth, n_planes=3, n_tables=10, n_probes=1)
+    assert multi > single
+    assert multi >= 0.8
+
+
+def test_multi_probe_widens_candidates(emb, truth):
+    # same tables, more probes: recall can only grow (candidate superset)
+    r1 = _recall(emb, truth, n_planes=4, n_tables=6, n_probes=1)
+    r2 = _recall(emb, truth, n_planes=4, n_tables=6, n_probes=3)
+    assert r2 >= r1
+
+
+def test_ann_plan_has_no_cross_product(spark, emb):
+    df = similarity.lsh_bucketed_topk(emb, "embedding", "vec_id", QIDS, K,
+                                      n_planes=3, n_tables=10, n_probes=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_probe_bounds_validated(emb):
+    with pytest.raises(ValueError):
+        similarity.lsh_bucketed_topk(emb, "embedding", "vec_id", QIDS, K,
+                                     n_planes=3, n_probes=5)
