@@ -174,14 +174,16 @@ def q_a02_attr_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a03_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 dictionary encoding (CompressedDB.java:139-161): dense int codes,
-    1-based, per distinct value. Scale path: the window runs over the tiny
-    *distinct* frame, never the base table; encoded base = broadcast join."""
-    from pyspark.sql import Window
+    1-based, per distinct value — via the distributed range-partition +
+    offset operator (operators/encode.py), which never funnels the
+    dictionary through a single-partition window."""
+    from .operators.encode import dict_encode_column
     df = load_table(spark, sf_dir, "customer")
-    distinct_vals = df.select(F.col("c_mktsegment").alias("value")).distinct()
-    w = Window.orderBy("value")
-    return distinct_vals.select(
-        "value", F.dense_rank().over(w).cast("bigint").alias("code"))
+    codes = dict_encode_column(df, "c_mktsegment")
+    # copy out of the persisted frame so we can release the cache eagerly
+    out = spark.createDataFrame(codes.collect(), "value string, code bigint")
+    codes.unpersist()
+    return out
 
 
 def q_a05_groupby_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:
