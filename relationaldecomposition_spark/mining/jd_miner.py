@@ -151,6 +151,64 @@ class JDMiner:
             return None
         return JD(lhs, frozenset(comps))
 
+    def consistent_jd_candidate_cc(self, lhs, start: JD, x: str | None = None,
+                                   y: str | None = None) -> JD | None:
+        """B7 alternate implementation, kept as a CROSS-CHECK of
+        ``consistent_jd_candidate``: the reference ships the reduction twice
+        (pairwise merge loop in `search/MinimalJDGenerator.java:498-600`,
+        violation-graph connected components in
+        `search/JDGeneratorGivenLHS.java:337-405` over
+        `common/GraphUtils.java:17-62`) and so do we. Each round: build the
+        graph whose edges are component pairs with I(Ci;Cj|lhs) > eps, merge
+        every connected component wholesale, repeat until edge-free.
+        tests/test_jd_miner.py pins both reductions equal on every fixture
+        and on the sf0.01 gate relation."""
+        lhs = frozenset(lhs)
+        if x is not None and y is not None:
+            basic = self.imeasure({x}, {y}, lhs)
+            if is_greater_than_eps(basic, self.epsilon):
+                return None
+        comps = [frozenset(c) for c in start.components]
+        while True:
+            subsets = [lhs] + [lhs | c for c in comps] + \
+                [lhs | a | b for a, b in itertools.combinations(comps, 2)]
+            got = self.eng.entropies(subsets)
+            h_lhs = got[lhs]
+            adj: dict[int, set[int]] = {i: set() for i in range(len(comps))}
+            changed = False
+            for i, j in itertools.combinations(range(len(comps)), 2):
+                a, b = comps[i], comps[j]
+                im = got[lhs | a] + got[lhs | b] - got[lhs | a | b] - h_lhs
+                if is_greater_than_eps(im, self.epsilon):
+                    adj[i].add(j)
+                    adj[j].add(i)
+                    changed = True
+            if not changed:
+                break
+            # connected components (GraphUtils.getComponents), merged in one
+            # shot — the structural difference from the pairwise merge loop
+            seen: set[int] = set()
+            merged: list[frozenset[str]] = []
+            for i in range(len(comps)):
+                if i in seen:
+                    continue
+                stack, cc = [i], set()
+                while stack:
+                    u = stack.pop()
+                    if u in cc:
+                        continue
+                    cc.add(u)
+                    stack.extend(adj[u] - cc)
+                seen |= cc
+                merged.append(frozenset().union(*(comps[u] for u in cc)))
+            if x is not None and y is not None and any(
+                    x in c and y in c for c in merged):
+                return None
+            comps = merged
+        if len(comps) <= 1:
+            return None
+        return JD(lhs, frozenset(comps))
+
     # -- B8: mine all JDs with a given lhs -------------------------------------
 
     def mine_jds_with_lhs(self, lhs, limit: int = 0, x: str | None = None,

@@ -142,6 +142,59 @@ def test_full_mvds(miner5):
                for jd in full)
 
 
+def test_cc_reduction_agrees_with_merge_loop(miner5, spark):
+    """B7 is implemented twice (pairwise merge loop + violation-graph
+    connected components, mirroring the reference's two variants); they must
+    produce identical consistent JDs on every fixture."""
+    cases = [(["k"], None, None), (["k"], "a", "b"), ([], "a", "b"),
+             (["k", "a"], "b", "c")]
+    for lhs, x, y in cases:
+        start = JD.most_specific(frozenset(lhs), miner5.schema)
+        got1 = miner5.consistent_jd_candidate(lhs, start, x, y)
+        got2 = miner5.consistent_jd_candidate_cc(lhs, start, x, y)
+        assert got1 == got2, (lhs, x, y)
+    # correlated fixture: b == c forces a transitive merge
+    rows = [(k, a, v, (v + k) % 4, v) for k in range(6) for a in range(3)
+            for v in range(4)]
+    df = spark.createDataFrame(rows, ["k", "a", "b", "c", "d"])
+    m = JDMiner(MeasureEngine(SparkEntropyEngine(df)), epsilon=0.0)
+    try:
+        for lhs, x, y in [(["k"], None, None), (["k"], "b", "d"),
+                          (["k", "a"], None, None)]:
+            start = JD.most_specific(frozenset(lhs), m.schema)
+            assert m.consistent_jd_candidate(lhs, start, x, y) == \
+                m.consistent_jd_candidate_cc(lhs, start, x, y), (lhs, x, y)
+    finally:
+        m.eng.unpersist()
+
+
+def test_cc_reduction_agrees_on_gate_relation(spark):
+    """Cross-check on the sf0.01 gate relation (the driver's b11/b15 input):
+    both reductions agree for every attribute pair at the seeding lhs
+    R - {x,y} and at the known planted separators."""
+    import itertools as it
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    r = spark.read.parquet("/root/testdata/sf0.01/region.parquet")
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment",
+            "n_name", "n_regionkey", "r_name"]
+    denorm = (c.join(n, c.c_nationkey == n.n_nationkey)
+               .join(r, n.n_regionkey == r.r_regionkey).select(*cols))
+    m = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+    try:
+        full = frozenset(cols)
+        lhs_list = [frozenset(["c_nationkey"]), frozenset(["n_name"])]
+        for x, y in it.combinations(cols, 2):
+            for lhs in [full - {x, y}] + lhs_list:
+                if x in lhs or y in lhs:
+                    continue
+                start = JD.most_specific(lhs, m.schema)
+                assert m.consistent_jd_candidate(lhs, start, x, y) == \
+                    m.consistent_jd_candidate_cc(lhs, start, x, y), (lhs, x, y)
+    finally:
+        m.eng.unpersist()
+
+
 def test_min_sep_mining_mode_invariant(planted5):
     """Eager-CUBE + parallel pairs, lazy + sequential, and lazy + parallel
     must mine identical separator sets (r2 perf work is pinned to be a pure
