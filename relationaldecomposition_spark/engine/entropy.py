@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import math
 import threading
+import time
 import uuid
 from collections.abc import Iterable, Sequence
 from concurrent.futures import ThreadPoolExecutor
@@ -103,10 +104,17 @@ class SparkEntropyEngine:
         self._num_rows: int | None = None
         self._num_distinct: int | None = None
         # Stats mirroring the reference's scan instrumentation
-        # (entropy/IDataset.java:18-19): how many Spark jobs we launched and
-        # how many entropies they produced.
+        # (entropy/IDataset.java:18-19 getNumDBScans/getTotalScanTime;
+        # MasterCompressedDB totalNumQueriesIsuues/totalTimeSpentQuerying/
+        # numOfTuplesProcessedDuringEntropyComputation): Spark jobs
+        # launched, entropies produced, wall seconds inside Spark actions,
+        # and input tuples fed into entropy jobs (rows x grouping-set
+        # width). Guarded by _stats_lock — jobs can finish concurrently.
         self.jobs_run = 0
         self.entropies_computed = 0
+        self.scan_seconds = 0.0
+        self.tuples_processed = 0
+        self._stats_lock = threading.Lock()
         if cache_input:
             # Iterative mining re-scans the relation constantly; persisting
             # the column-pruned input is the moral equivalent of the
@@ -145,15 +153,22 @@ class SparkEntropyEngine:
             return 0.0
         return self.entropies([x])[x]
 
+    def _note_job(self, seconds: float, tuples: int, entropies: int) -> None:
+        with self._stats_lock:
+            self.jobs_run += 1
+            self.entropies_computed += entropies
+            self.scan_seconds += seconds
+            self.tuples_processed += tuples
+
     def _compute_single(self, x: frozenset[str]) -> float:
         cols = sorted_cols(x, self.schema_cols)
         n = self.num_rows
         gb = self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+        t0 = time.monotonic()
         row = gb.agg(
             F.sum(F.col("cnt") * F.log2("cnt")).alias("clogc")
         ).first()
-        self.jobs_run += 1
-        self.entropies_computed += 1
+        self._note_job(time.monotonic() - t0, n, 1)
         clogc = row["clogc"] or 0.0
         return math.log2(n) - clogc / n if n > 0 else 0.0
 
@@ -269,11 +284,12 @@ class SparkEntropyEngine:
             f"SELECT gid, sum(cnt * log2(cnt)) AS clogc "
             f"FROM ({inner}) GROUP BY gid"
         )
+        t0 = time.monotonic()
         try:
             rows = self.df.sparkSession.sql(outer).collect()
         finally:
             self.df.sparkSession.catalog.dropTempView(view)
-        self.jobs_run += 1
+        self._note_job(time.monotonic() - t0, n * len(subsets), 0)
         got = {}
         for r in rows:
             x = gid_to_set.get(r["gid"])
@@ -288,6 +304,7 @@ class SparkEntropyEngine:
             got[x] = 0.0 if n == 0 else self._compute_single(x)
         with self._lock:
             self._cache.update(got)
+        with self._stats_lock:
             self.entropies_computed += len(got)
 
     def all_entropies(self, cols: Iterable[str] | None = None) -> dict[frozenset[str], float]:
@@ -327,6 +344,7 @@ class SparkEntropyEngine:
                 for i, c in enumerate(cols))
             view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
             self.df.createOrReplaceTempView(view)
+            t0 = time.monotonic()
             try:
                 rows = self.df.sparkSession.sql(
                     f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
@@ -335,7 +353,7 @@ class SparkEntropyEngine:
                 ).collect()
             finally:
                 self.df.sparkSession.catalog.dropTempView(view)
-            self.jobs_run += 1
+            self._note_job(time.monotonic() - t0, n * (1 << len(cols)), 0)
             out: dict[frozenset[str], float] = {}
             for r in rows:
                 gid = r["gid"]
@@ -347,8 +365,9 @@ class SparkEntropyEngine:
             out[frozenset()] = 0.0
             with self._lock:
                 self._cache.update(out)
-                self.entropies_computed += len(out)
                 self._cubes_done.add(key)
+            with self._stats_lock:
+                self.entropies_computed += len(out)
             return out
         finally:
             # release waiters even on failure/cancel; they re-check

@@ -13,7 +13,8 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "relationaldecomposition_spark",
-              shuffle_partitions: int | None = None) -> SparkSession:
+              shuffle_partitions: int | None = None,
+              master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
     - AQE on: runtime coalescing + skew-join handling replaces hand-tuned
@@ -27,7 +28,7 @@ def get_spark(app_name: str = "relationaldecomposition_spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
