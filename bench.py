@@ -15,6 +15,16 @@ beyond-reference pipeline operators:
   - cosine_topk:     brute-force + LSH-bucketed ANN over embeddings
   - stream_window:   windowed + session aggregation over events (batch twin
                      of the streaming operators)
+
+$SPARK_GRAFT_BENCH_REPEATS (default 1): run every query N times and report
+the per-query MEDIAN — this host shows rare 10-20x stalls, so single-sample
+timings produce phantom regressions (BENCH_r02's cosine_topk). The repeats
+run back-to-back per query, so medians are steady-state numbers.
+
+If SCALING.json exists at the repo root (written by tools/bench_scaling.py:
+sf0.1 vs sf1 medians + per-query scaling slopes), its content is embedded
+in the output line under "scaling" so the per-round bench record carries
+the scale proof alongside the current-SF timings.
 """
 
 from __future__ import annotations
@@ -23,115 +33,139 @@ import itertools
 import json
 import os
 import re
+import statistics
 import time
+
+
+def build_queries(spark, sf_dir: str):
+    """name -> zero-arg callable; each call does the full work (engines are
+    constructed inside, caches built and torn down per run)."""
+    from relationaldecomposition_spark.core.deps import MVD
+    from relationaldecomposition_spark.engine.decompose import DecompositionValidator
+    from relationaldecomposition_spark.engine.entropy import SparkEntropyEngine
+    from relationaldecomposition_spark.engine.measures import MeasureEngine
+    from relationaldecomposition_spark.mining.jd_miner import JDMiner
+    from relationaldecomposition_spark.operators.dedup import lsh_candidate_pairs
+    from relationaldecomposition_spark.operators.similarity import (
+        cosine_topk, lsh_bucketed_topk)
+    from relationaldecomposition_spark.queries import DECOMPOSITIONS
+    from relationaldecomposition_spark.sources.tables import (
+        denorm_customer_nation_region, load_table)
+    from relationaldecomposition_spark.streaming.events import (
+        sessionize, windowed_counts)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    denorm = denorm_customer_nation_region(spark, sf_dir)
+
+    def entropy_batch32():
+        cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount",
+                "l_tax", "l_shipdate"]
+        subsets = [frozenset(c) for r in (1, 2, 3)
+                   for c in itertools.combinations(cols, r)][:32]
+        eng = SparkEntropyEngine(li)
+        eng.entropies(subsets)
+        eng.unpersist()
+
+    def mvd_sweep():
+        proj = li.select("l_returnflag", "l_linestatus", "l_quantity",
+                         "l_discount", "l_tax")
+        meng = MeasureEngine(SparkEntropyEngine(proj))
+        pcols = proj.columns
+        cands = [MVD(frozenset((lhs,)), frozenset((rhs,)))
+                 for lhs in pcols for rhs in pcols if rhs != lhs]
+        meng.measure_all(cands)  # one chunked grouping-sets pass
+        meng.engine.unpersist()
+
+    def spurious_fold():
+        v = DecompositionValidator(denorm)
+        for _, clusters in DECOMPOSITIONS:
+            v.process_decomposition(clusters)
+        v.close()
+
+    def flagship():
+        meng = MeasureEngine(SparkEntropyEngine(denorm))
+        meng.fd_measure(["c_nationkey"], ["n_name"])
+        meng.mvd_measure(["c_nationkey"], ["n_name", "n_regionkey", "r_name"])
+        meng.jd_measure(["c_nationkey"],
+                        [["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+                         ["n_name", "n_regionkey", "r_name"]])
+        meng.engine.unpersist()
+
+    def minsep_mine():
+        miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+        miner.mine_all_min_seps()
+        miner.eng.unpersist()
+
+    def lsh_dedup():
+        docs = load_table(spark, sf_dir, "documents")
+        lsh_candidate_pairs(docs, "text", "doc_id").count()
+
+    def cosine_topk_q():
+        emb = load_table(spark, sf_dir, "embeddings")
+        cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
+        lsh_bucketed_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
+
+    def stream_window():
+        ev = load_table(spark, sf_dir, "events")
+        windowed_counts(ev).count()
+        sessionize(ev).count()
+
+    return {
+        "entropy_batch32": entropy_batch32,
+        "mvd_sweep": mvd_sweep,
+        "spurious_fold": spurious_fold,
+        "flagship": flagship,
+        "minsep_mine": minsep_mine,
+        "lsh_dedup": lsh_dedup,
+        "cosine_topk": cosine_topk_q,
+        "stream_window": stream_window,
+    }
+
+
+def run_bench(spark, sf_dir: str, repeats: int = 1) -> dict[str, float]:
+    """Per-query median over `repeats` runs, in seconds."""
+    from relationaldecomposition_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()  # warm JVM/parquet footers
+    queries = build_queries(spark, sf_dir)
+    out: dict[str, float] = {}
+    for name, fn in queries.items():
+        samples = []
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            samples.append(time.time() - t0)
+        out[name] = statistics.median(samples)
+    return out
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    from relationaldecomposition_spark.engine.decompose import DecompositionValidator
-    from relationaldecomposition_spark.engine.entropy import SparkEntropyEngine
-    from relationaldecomposition_spark.engine.measures import MeasureEngine
-    from relationaldecomposition_spark.queries import DECOMPOSITIONS
     from relationaldecomposition_spark.session import get_spark
-    from relationaldecomposition_spark.sources.tables import (
-        denorm_customer_nation_region, load_table)
 
     spark = get_spark("bench")
-    timings: dict[str, float] = {}
-
-    # warm the JVM/parquet footers out of the measurement
-    load_table(spark, sf_dir, "lineitem").count()
-
-    # --- entropy_batch32 -----------------------------------------------------
-    t0 = time.time()
-    li = load_table(spark, sf_dir, "lineitem")
-    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_discount",
-            "l_tax", "l_shipdate"]
-    subsets = [frozenset(c) for r in (1, 2, 3)
-               for c in itertools.combinations(cols, r)][:32]
-    eng = SparkEntropyEngine(li)
-    eng.entropies(subsets)
-    timings["entropy_batch32"] = time.time() - t0
-
-    # --- mvd_sweep -----------------------------------------------------------
-    t0 = time.time()
-    proj = li.select("l_returnflag", "l_linestatus", "l_quantity",
-                     "l_discount", "l_tax")
-    from relationaldecomposition_spark.core.deps import MVD
-    meng = MeasureEngine(SparkEntropyEngine(proj))
-    pcols = proj.columns
-    cands = [MVD(frozenset((lhs,)), frozenset((rhs,)))
-             for lhs in pcols for rhs in pcols if rhs != lhs]
-    meng.measure_all(cands)  # one chunked grouping-sets pass for all subsets
-    meng.engine.unpersist()
-    timings["mvd_sweep"] = time.time() - t0
-    eng.unpersist()
-
-    # --- spurious_fold ---------------------------------------------------------
-    t0 = time.time()
-    denorm = denorm_customer_nation_region(spark, sf_dir)
-    v = DecompositionValidator(denorm)
-    for _, clusters in DECOMPOSITIONS:
-        v.process_decomposition(clusters)
-    v.close()
-    timings["spurious_fold"] = time.time() - t0
-
-    # --- flagship --------------------------------------------------------------
-    t0 = time.time()
-    meng = MeasureEngine(SparkEntropyEngine(denorm))
-    meng.fd_measure(["c_nationkey"], ["n_name"])
-    meng.mvd_measure(["c_nationkey"], ["n_name", "n_regionkey", "r_name"])
-    meng.jd_measure(["c_nationkey"],
-                    [["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
-                     ["n_name", "n_regionkey", "r_name"]])
-    meng.engine.unpersist()
-    timings["flagship"] = time.time() - t0
-
-    # --- minsep_mine: full SIGMOD'20 discovery on the 8-col denorm -------------
-    from relationaldecomposition_spark.mining.jd_miner import JDMiner
-    t0 = time.time()
-    miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
-    miner.mine_all_min_seps()
-    miner.eng.unpersist()
-    timings["minsep_mine"] = time.time() - t0
-
-    # --- lsh_dedup --------------------------------------------------------------
-    from relationaldecomposition_spark.operators.dedup import lsh_candidate_pairs
-    t0 = time.time()
-    docs = load_table(spark, sf_dir, "documents")
-    lsh_candidate_pairs(docs, "text", "doc_id").count()
-    timings["lsh_dedup"] = time.time() - t0
-
-    # --- cosine_topk ------------------------------------------------------------
-    from relationaldecomposition_spark.operators.similarity import (
-        cosine_topk, lsh_bucketed_topk)
-    t0 = time.time()
-    emb = load_table(spark, sf_dir, "embeddings")
-    cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
-    lsh_bucketed_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
-    timings["cosine_topk"] = time.time() - t0
-
-    # --- stream_window (batch twin) --------------------------------------------
-    from relationaldecomposition_spark.streaming.events import (
-        sessionize, windowed_counts)
-    t0 = time.time()
-    ev = load_table(spark, sf_dir, "events")
-    windowed_counts(ev).count()
-    sessionize(ev).count()
-    timings["stream_window"] = time.time() - t0
-
+    timings = run_bench(spark, sf_dir, repeats)
     spark.stop()
+
     total = sum(timings.values())
-    print(json.dumps({
+    record = {
         "metric": "headline_queries_wall_clock",
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": sf,
-    }))
+        "repeats": repeats,
+    }
+    scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "SCALING.json")
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            record["scaling"] = json.load(f)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -64,23 +64,36 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return out.fillna(fills)
 
 
+# Signature widths >= this use the slim band-join (ids only through the
+# explode, signatures re-joined after pair dedup). Below it the signature
+# payload is small enough that carrying it through the band join is cheaper
+# than two extra joins — measured at sf0.1: slim costs +46% at n_hashes=8,
+# while at n_hashes=128 the inline payload would dominate the shuffle.
+SLIM_PAYLOAD_MIN_HASHES = 32
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                         n_hashes: int = DEFAULT_N_HASHES,
                         bands: int = DEFAULT_BANDS,
                         shingle_k: int = DEFAULT_SHINGLE_K,
                         min_est: float = 0.5,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        slim_payload: bool | None = None) -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing any band bucket,
     scored by estimated Jaccard = fraction of agreeing minhashes.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
 
-    Scale shape: the band self-join shuffles only (id, band, sig) — the full
-    mh_* signature payload is re-joined AFTER candidate pairs are deduped,
-    so the band explode's x-bands row amplification never multiplies the
-    signature width (at n_hashes=128 the signatures would otherwise
-    dominate the shuffle). The three uses of `sigs` share one physical
-    shuffle via Spark's exchange reuse."""
+    Scale shape (slim_payload=True, auto for n_hashes >=
+    SLIM_PAYLOAD_MIN_HASHES): the band self-join shuffles only (id, band,
+    sig) — the full mh_* signature payload is re-joined AFTER candidate
+    pairs are deduped, so the band explode's x-bands row amplification
+    never multiplies the signature width. With narrow signatures
+    (slim_payload=False) the signatures ride through the band join
+    directly — one self-join, no re-joins. Both paths produce identical
+    pairs and scores; only the plan differs (pinned by tests)."""
     assert n_hashes % bands == 0
+    if slim_payload is None:
+        slim_payload = n_hashes >= SLIM_PAYLOAD_MIN_HASHES
     rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
     # shingle-less docs carry the sentinel signature: Jaccard over empty
@@ -92,7 +105,27 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                  F.concat_ws(",", *[F.col(mh_cols[b * rows_per_band + r])
                                     for r in range(rows_per_band)]).alias("sig"))
         for b in range(bands)])
-    # ids only through the explode + self-join: narrow shuffle payload
+    est_of = lambda pre_a, pre_b: sum(  # noqa: E731
+        (F.col(f"{pre_a}{c}") == F.col(f"{pre_b}{c}")).cast("int")
+        for c in mh_cols) / F.lit(float(len(mh_cols)))
+    if not slim_payload:
+        # inline path: signatures ride through the one self-join
+        banded = sigs.select(F.col(id_col), *mh_cols,
+                             F.explode(band_structs).alias("bk")) \
+                     .select(id_col, *mh_cols, "bk.band", "bk.sig")
+        right = banded.select(F.col(id_col).alias("_rid"),
+                              *[F.col(c).alias(f"_r{c}") for c in mh_cols],
+                              F.col("band").alias("_rband"),
+                              F.col("sig").alias("_rsig"))
+        scored = (banded.join(right, (F.col("band") == F.col("_rband"))
+                              & (F.col("sig") == F.col("_rsig"))
+                              & (F.col(id_col) < F.col("_rid")))
+                  .select(F.col(id_col).alias("id_a"),
+                          F.col("_rid").alias("id_b"),
+                          est_of("", "_r").alias("est_jaccard"))
+                  .distinct())
+        return scored.where(F.col("est_jaccard") >= min_est)
+    # slim path: ids only through the explode + self-join
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")) \
                  .select(id_col, "bk.band", "bk.sig")
     right = banded.select(F.col(id_col).alias("_rid"),
@@ -109,9 +142,8 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     b = sigs.select(F.col(id_col).alias("id_b"),
                     *[F.col(c).alias(f"_b{c}") for c in mh_cols])
     scored = pairs.join(a, "id_a").join(b, "id_b")
-    est = sum((F.col(f"_a{c}") == F.col(f"_b{c}")).cast("int")
-              for c in mh_cols) / F.lit(float(len(mh_cols)))
-    return (scored.select("id_a", "id_b", est.alias("est_jaccard"))
+    return (scored.select("id_a", "id_b",
+                          est_of("_a", "_b").alias("est_jaccard"))
                   .where(F.col("est_jaccard") >= min_est))
 
 

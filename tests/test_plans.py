@@ -87,12 +87,14 @@ def test_dedup_paths_have_no_python_udfs(spark):
 
 
 def test_lsh_band_join_payload_excludes_signatures(spark):
-    """The LSH band self-join must shuffle only (id, band, sig): the mh_*
-    signature columns rejoin after pair dedup, so band-explode row
-    amplification never multiplies signature width (VERDICT r1 #4)."""
+    """The slim LSH band self-join (auto at n_hashes >= 32, forced here)
+    must shuffle only (id, band, sig): the mh_* signature columns rejoin
+    after pair dedup, so band-explode row amplification never multiplies
+    signature width (VERDICT r1 #4)."""
     from relationaldecomposition_spark.operators import dedup
     docs = load(spark, "documents")
-    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id",
+                                      slim_payload=True)
     qe = pairs._jdf.queryExecution()
     formatted = qe.explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -104,6 +106,22 @@ def test_lsh_band_join_payload_excludes_signatures(spark):
             band_exchanges += 1
             assert "mh_" not in block, block
     assert band_exchanges > 0, "no band exchange found - test is vacuous"
+
+
+def test_lsh_payload_paths_agree(spark):
+    """Slim and inline band-join paths are plan variants only: identical
+    candidate pairs and est_jaccard scores."""
+    from relationaldecomposition_spark.operators import dedup
+    docs = load(spark, "documents")
+    slim = dedup.lsh_candidate_pairs(docs, "text", "doc_id",
+                                     slim_payload=True).collect()
+    inline = dedup.lsh_candidate_pairs(docs, "text", "doc_id",
+                                       slim_payload=False).collect()
+    key = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert sorted(map(tuple, slim), key=lambda t: t[:2]) == \
+        sorted(map(tuple, inline), key=lambda t: t[:2])
+    # the auto threshold picks slim exactly at SLIM_PAYLOAD_MIN_HASHES
+    assert dedup.SLIM_PAYLOAD_MIN_HASHES == 32
 
 
 def test_simhash_single_exchange(spark):

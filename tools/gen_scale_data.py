@@ -1,0 +1,133 @@
+"""Generate larger-scale testdata by replicating a driver-provided SF with
+key-space offsets and content perturbation — the scale-proof input for
+bench/scaling runs (never committed; .data/ is gitignored).
+
+Scaling rules per table (k replicas, replica 0 = the original rows):
+- fact/dimension keys shift by replica * (max_key) so key spaces stay
+  disjoint and FK joins keep working against the replicated dimensions;
+  low-cardinality measure/domain columns are left alone (their domains do
+  NOT grow with SF, matching TPC-H semantics — group-by counts grow 10x,
+  distinct groups stay).
+- planted FDs survive: any column functionally determined by a shifted key
+  is suffixed per replica (c_name, s_name, p_name) so key -> name holds at
+  every scale.
+- documents: replica > 0 texts get every token suffixed with the replica
+  tag — within-replica near-dup structure is preserved verbatim while
+  cross-replica Jaccard drops to ~0, so dedup workloads scale by data size,
+  not by artificial 10-way duplicate cliques.
+- embeddings: vectors rotate by `replica` positions — norms and pairwise
+  geometry within a replica are preserved, cross-replica cosines decorrelate
+  (no artificial cosine-1.0 cliques).
+- events: user key space shifts (10x users, same time range) — windows get
+  10x rows, sessionization gets 10x sessions.
+
+Usage: python tools/gen_scale_data.py [--src /root/testdata/sf0.1]
+           [--dest /root/repo/.data/sf1] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from relationaldecomposition_spark.session import get_spark  # noqa: E402
+
+COPY_TABLES = ["nation", "region"]
+KEY_SHIFTS = {
+    # table -> [(key col, suffixed name col or None)]
+    "lineitem": [("l_orderkey", None)],
+    "orders": [("o_orderkey", None), ("o_custkey", None)],
+    "customer": [("c_custkey", "c_name")],
+    "supplier": [("s_suppkey", "s_name")],
+    "part": [("p_partkey", "p_name")],
+    "events": [("event_id", None), ("user_id", None)],
+}
+
+
+def _replicate(df: DataFrame, factor: int) -> DataFrame:
+    """Cross-join with a replica index column (0..factor-1)."""
+    reps = df.sparkSession.range(factor).select(
+        F.col("id").cast("int").alias("_rep"))
+    return df.crossJoin(F.broadcast(reps))
+
+
+def _shift_keys(df: DataFrame, specs, factor: int) -> DataFrame:
+    out = _replicate(df, factor)
+    for key, name_col in specs:
+        hi = df.agg(F.max(key)).first()[0] or 0
+        out = out.withColumn(key, (F.col(key) + F.col("_rep") * F.lit(hi + 1))
+                             .cast(dict(df.dtypes)[key]))
+        if name_col:
+            out = out.withColumn(
+                name_col,
+                F.when(F.col("_rep") == 0, F.col(name_col))
+                 .otherwise(F.concat(F.col(name_col), F.lit("_r"),
+                                     F.col("_rep").cast("string"))))
+    return out.drop("_rep")
+
+
+def scale_documents(df: DataFrame, factor: int) -> DataFrame:
+    hi = df.agg(F.max("doc_id")).first()[0] or 0
+    out = _replicate(df, factor)
+    out = out.withColumn("doc_id", F.col("doc_id") + F.col("_rep") * F.lit(hi + 1))
+    tagged = F.regexp_replace(
+        F.col("text"), r"(\S+)",
+        F.concat(F.lit("$1_x"), F.col("_rep").cast("string")))
+    out = out.withColumn("text", F.when(F.col("_rep") == 0, F.col("text"))
+                         .otherwise(tagged))
+    return out.withColumn("n_chars", F.length("text").cast("bigint")) \
+              .drop("_rep")
+
+
+def scale_embeddings(df: DataFrame, factor: int) -> DataFrame:
+    hi = df.agg(F.max("vec_id")).first()[0] or 0
+    dim = len(df.first()["embedding"])
+    out = _replicate(df, factor)
+    out = out.withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(hi + 1))
+    rot = F.when(F.col("_rep") == 0, F.col("embedding"))
+    for r in range(1, factor):
+        rot = rot.when(
+            F.col("_rep") == r,
+            F.concat(F.slice("embedding", r + 1, dim - r),
+                     F.slice("embedding", 1, r)))
+    return out.withColumn("embedding", rot).drop("_rep")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dest", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".data", "sf1"))
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args(argv)
+    spark = get_spark("gen-scale-data")
+    os.makedirs(args.dest, exist_ok=True)
+    from relationaldecomposition_spark.sources.tables import load_table
+    for name in COPY_TABLES + list(KEY_SHIFTS) + ["documents", "embeddings"]:
+        # load_table handles events' TIMESTAMP(NANOS) physical type; the
+        # regenerated copy is written as standard micros
+        df = load_table(spark, args.src, name)
+        if name in COPY_TABLES:
+            out = df
+        elif name == "documents":
+            out = scale_documents(df, args.factor)
+        elif name == "embeddings":
+            out = scale_embeddings(df, args.factor)
+        else:
+            out = _shift_keys(df, KEY_SHIFTS[name], args.factor)
+        dest = f"{args.dest}/{name}.parquet"
+        out.coalesce(max(1, args.factor // 2)) \
+           .write.mode("overwrite").parquet(dest)
+        print(f"{name}: {spark.read.parquet(dest).count()} rows -> {dest}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
