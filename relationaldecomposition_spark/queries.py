@@ -470,8 +470,19 @@ def q_s02_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_s03_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converged state of the custom stateful operator
+    (running_user_stats / applyInPandasWithState), computed by its batch
+    twin — the pytest suite pins the stream's final per-user update equal
+    to this aggregate."""
+    from .streaming.events import batch_user_stats
+
+    return batch_user_stats(load_table(spark, sf_dir, "events"))
+
+
 QUERIES["s01_windowed_counts"] = q_s01_windowed_counts
 QUERIES["s02_sessionize"] = q_s02_sessionize
+QUERIES["s03_user_stats"] = q_s03_user_stats
 
 # pipeline operators (dedup / similarity / text / multimodal)
 from .operators.registry import OPERATOR_ORACLES, OPERATOR_QUERIES  # noqa: E402
@@ -627,9 +638,11 @@ ORACLES["b11_min_seps"] = oracle_b11(DENORM_SQL, DENORM6_COLS)
 ORACLES["b15_enumerate_schemas"] = oracle_b15(DENORM_SQL, DENORM6_COLS,
                                               B15_SCHEMAS)
 
-from .streaming.events import sql_sessionize, sql_windowed_counts  # noqa: E402
+from .streaming.events import (  # noqa: E402
+    sql_sessionize, sql_user_stats, sql_windowed_counts)
 
 ORACLES["s01_windowed_counts"] = sql_windowed_counts("events")
 ORACLES["s02_sessionize"] = sql_sessionize("events")
+ORACLES["s03_user_stats"] = sql_user_stats("events")
 
 ORACLES.update(OPERATOR_ORACLES)

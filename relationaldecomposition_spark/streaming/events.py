@@ -85,6 +85,23 @@ def sql_sessionize(table: str, gap_minutes: int = 30) -> str:
       FROM sessions GROUP BY user_id, session_id"""
 
 
+def batch_user_stats(events: DataFrame) -> DataFrame:
+    """Batch twin of ``running_user_stats``' CONVERGED state: once a stream
+    drains, the last update emitted per user equals exactly this aggregate
+    (pinned by tests/test_streaming.py stream==batch assertion). This is
+    the oracle-gateable face of the stateful op — the running updates
+    themselves are streams-only semantics."""
+    return (events.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 6).alias("total_value")))
+
+
+def sql_user_stats(table: str) -> str:
+    return (f"SELECT user_id, count(*)::BIGINT AS n_events, "
+            f"round(sum(value), 6) AS total_value FROM {table} "
+            f"GROUP BY user_id")
+
+
 # ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -76,11 +76,10 @@ def test_running_user_stats_state_across_batches(spark, events_df, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(180)
     res = spark.table("running_stats").collect()
-    # last emitted row per user must equal the full batch aggregate
-    expected = {r["user_id"]: (r["n"], round(r["s"], 6))
-                for r in events_df.groupBy("user_id")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum("value").alias("s")).collect()}
+    # last emitted row per user must equal the batch twin (the s03 driver
+    # query / oracle face of this stateful operator)
+    expected = {r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+                for r in ev.batch_user_stats(events_df).collect()}
     latest = {}
     for r in res:  # memory sink appends update rows in batch order
         latest[r["user_id"]] = (r["n_events"], round(r["total_value"], 6))
