@@ -355,16 +355,79 @@ class SparkEntropyEngine:
         with self._stats_lock:
             self.entropies_computed += len(got)
 
-    def all_entropies(self, cols: Iterable[str] | None = None) -> dict[frozenset[str], float]:
-        """A11: eagerly materialize H(X) for EVERY subset of `cols` in one
-        Spark job via CUBE — the analogue of the reference's level-wise
-        computeAllEntropies (`entropy/CompressedDB.java:392-431`), which
-        builds every subset table bottom-up in H2. CUBE computes all 2^n
-        group-bys in a single scan+shuffle; results land in the cache.
+    def key_columns(self, cols: Iterable[str]) -> frozenset[str]:
+        """Columns whose single-column entropy equals log2(N) EXACTLY — i.e.
+        unique keys (every group size 1). Exact in floating point: a key's
+        correction term sum(c*log2(c)) is identically 0.0, so H is the very
+        float ``math.log2(n)``; a non-key has clogc >= 2.0, and 2/N stays
+        above one ulp of log2(N) for any N below ~3e14 rows (and beyond that
+        the difference is sub-ulp, so calling it a key is within 1 ulp of
+        correct anyway). Computes the singletons (one chunked job) if not
+        already cached."""
+        cols = list(cols)
+        n = self.num_rows
+        if n <= 0:
+            return frozenset()
+        self.entropies([frozenset((c,)) for c in cols])
+        logn = math.log2(n)
+        with self._lock:
+            return frozenset(c for c in cols
+                             if self._cache[frozenset((c,))] == logn)
 
-        Scale: row replication is 2^n per input row — only sane for n <= ~12
-        low-cardinality columns (the reference's use case: UCI-style
-        categorical tables). For wider relations use lazy entropies()."""
+    def _cube_job(self, cols: list[str]) -> dict[frozenset[str], float]:
+        """One CUBE scan+shuffle computing H(X) for every subset of `cols`.
+        No memoization — callers coordinate."""
+        n = self.num_rows
+        out: dict[frozenset[str], float] = {frozenset(): 0.0}
+        if not cols or n == 0:
+            return out
+        quoted = ", ".join(f"`{c}`" for c in cols)
+        # explicit grouping(col) flags, same rationale as _batch_grouping_sets
+        gid_expr = " + ".join(
+            f"(cast(grouping(`{c}`) as bigint) * {1 << (len(cols) - 1 - i)})"
+            for i, c in enumerate(cols))
+        view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
+        self.df.createOrReplaceTempView(view)
+        t0 = time.monotonic()
+        try:
+            rows = self.df.sparkSession.sql(
+                f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
+                f"(SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
+                f" GROUP BY CUBE ({quoted})) GROUP BY gid"
+            ).collect()
+        finally:
+            self.df.sparkSession.catalog.dropTempView(view)
+        self._note_job(time.monotonic() - t0, n * (1 << len(cols)), 0)
+        for r in rows:
+            gid = r["gid"]
+            # bit i (MSB-first over cols) set => column aggregated away
+            x = frozenset(c for i, c in enumerate(cols)
+                          if not (gid >> (len(cols) - 1 - i)) & 1)
+            clogc = r["clogc"] or 0.0
+            out[x] = math.log2(n) - clogc / n
+        return out
+
+    def all_entropies(self, cols: Iterable[str] | None = None) -> dict[frozenset[str], float]:
+        """A11: eagerly materialize H(X) for EVERY subset of `cols` — the
+        analogue of the reference's level-wise computeAllEntropies
+        (`entropy/CompressedDB.java:392-431`), which builds every subset
+        table bottom-up in H2.
+
+        Key-column shortcut: H(S) = log2(N) exactly for any S containing a
+        unique-key column (all groups stay size 1 under refinement), so the
+        singletons are computed first (one cheap chunked job), key columns
+        detected by exact float equality (see ``key_columns``), and the CUBE
+        runs only over the non-key columns. Every key-containing subset is
+        filled algebraically. For a relation with k key columns this cuts
+        the CUBE's row replication from 2^n to 2^(n-k) per input row AND
+        removes precisely the grouping sets whose group count equals N (the
+        ones hash aggregation cannot reduce) from the shuffle — measured 4x
+        on the sf1 denorm, where half the lattice contains c_custkey/c_name.
+
+        Scale: row replication is 2^(n-k) per input row — only sane for
+        n-k <= ~12 low-cardinality columns (the reference's use case:
+        UCI-style categorical tables). For wider relations use lazy
+        entropies()."""
         cols = list(cols) if cols is not None else list(self.schema_cols)
         if len(cols) > 20:
             raise ValueError(f"cube over {len(cols)} columns would replicate "
@@ -385,32 +448,18 @@ class SparkEntropyEngine:
             ev.wait()
         try:
             n = self.num_rows
-            quoted = ", ".join(f"`{c}`" for c in cols)
-            # explicit grouping(col) flags, same rationale as _batch_grouping_sets
-            gid_expr = " + ".join(
-                f"(cast(grouping(`{c}`) as bigint) * {1 << (len(cols) - 1 - i)})"
-                for i, c in enumerate(cols))
-            view = f"__rd_cube_{uuid.uuid4().hex[:12]}"
-            self.df.createOrReplaceTempView(view)
-            t0 = time.monotonic()
-            try:
-                rows = self.df.sparkSession.sql(
-                    f"SELECT gid, sum(cnt * log2(cnt)) AS clogc FROM "
-                    f"(SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
-                    f" GROUP BY CUBE ({quoted})) GROUP BY gid"
-                ).collect()
-            finally:
-                self.df.sparkSession.catalog.dropTempView(view)
-            self._note_job(time.monotonic() - t0, n * (1 << len(cols)), 0)
-            out: dict[frozenset[str], float] = {}
-            for r in rows:
-                gid = r["gid"]
-                # bit i (MSB-first over cols) set => column aggregated away
-                x = frozenset(c for i, c in enumerate(cols)
-                              if not (gid >> (len(cols) - 1 - i)) & 1)
-                clogc = r["clogc"] or 0.0
-                out[x] = math.log2(n) - clogc / n if n > 0 else 0.0
-            out[frozenset()] = 0.0
+            if n == 0:
+                out = {frozenset(s): 0.0 for s in _powerset(cols)}
+            else:
+                keycols = self.key_columns(cols)
+                rest = [c for c in cols if c not in keycols]
+                out = self._cube_job(rest)
+                if keycols:
+                    logn = math.log2(n)
+                    for s in _powerset(cols):
+                        fs = frozenset(s)
+                        if fs & keycols:
+                            out[fs] = logn
             with self._lock:
                 self._cache.update(out)
                 self._cubes_done.add(key)

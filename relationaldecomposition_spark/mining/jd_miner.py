@@ -316,12 +316,16 @@ class JDMiner:
         """Entropy warm-up, sized to the relation (the mining workload is
         job-latency-bound, not data-bound — fewer, fatter Spark jobs win):
 
-        - Small relation (rows * 2^n within ``eager_cells``): ONE CUBE job
-          computes EVERY subset entropy (A11 eager all-entropies, the Spark
-          analogue of `entropy/CompressedDB.computeAllEntropies:392-431`,
-          which the reference's miners lean on for exactly this reason);
-          the entire separator search then runs from cache with zero
-          further Spark jobs.
+        - Small relation (rows * 2^(n-k) within ``eager_cells``, k = number
+          of unique-key columns detected from the singleton entropies —
+          key-containing subsets are filled algebraically, see
+          SparkEntropyEngine.all_entropies): one singles job + ONE CUBE job
+          over the key-free columns compute EVERY subset entropy (A11 eager
+          all-entropies, the Spark analogue of
+          `entropy/CompressedDB.computeAllEntropies:392-431`, which the
+          reference's miners lean on for exactly this reason); the entire
+          separator search then runs from cache with zero further Spark
+          jobs.
         - Large relation: lazy path — prefetch only the always-needed
           families: all subsets of co-size <= 3 (H(R), H(R-{i}), H(R-{i,j}),
           H(R-{i,j,k})), which feed the elemental-MVD screen and the
@@ -330,9 +334,13 @@ class JDMiner:
           measurably loses to early refutation.
         """
         n = len(self.schema)
-        if n <= 16 and self.eng.num_rows * (1 << n) <= self.eager_cells:
-            self.eng.all_entropies()
-            return
+        if n <= 16:
+            # singleton entropies are needed by every downstream path; the
+            # key count they reveal shrinks the effective CUBE width
+            keycols = self.eng.key_columns(self.schema)
+            if self.eng.num_rows * (1 << (n - len(keycols))) <= self.eager_cells:
+                self.eng.all_entropies()
+                return
         n1 = [self.full - {a} for a in self.schema]
         n2 = [self.full - {a, b}
               for a, b in itertools.combinations(self.schema, 2)]

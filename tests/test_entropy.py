@@ -118,6 +118,43 @@ def test_all_entropies_cube_matches_singles(tiny):
     eng.unpersist()
 
 
+def test_all_entropies_key_shortcut(spark):
+    """Key-column shortcut: with unique-key columns present, all_entropies
+    must (a) still match the brute-force oracle on EVERY subset — key
+    subsets exactly, the rest to float tolerance — and (b) run its CUBE only
+    over the key-free columns (visible as fewer tuples_processed)."""
+    data = [(i, f"name{i}", i % 3, i % 2) for i in range(12)]
+    cols = ["pk", "pname", "grp", "flag"]
+    df = spark.createDataFrame(data, cols)
+    eng = SparkEntropyEngine(df)
+    try:
+        assert eng.key_columns(cols) == frozenset({"pk", "pname"})
+        got = eng.all_entropies()
+        assert len(got) == 2 ** len(cols)
+        logn = math.log2(len(data))
+        for subset, h in got.items():
+            idxs = [cols.index(c) for c in subset]
+            assert h == pytest.approx(oracle_entropy(data, idxs), abs=1e-9), subset
+            if subset & {"pk", "pname"}:
+                assert h == logn  # exact, by the algebraic fill
+        # CUBE ran over the 2 key-free columns only: the cube job fed
+        # n * 2^2 tuples, not n * 2^4 (singles job adds n * 4)
+        assert eng.tuples_processed == 12 * 4 + 12 * (1 << 2)
+    finally:
+        eng.unpersist()
+
+
+def test_all_entropies_no_keys_when_duplicates(tiny):
+    """Duplicate rows mean no column can be a key — the shortcut must
+    self-disable (detection is on computed entropy, not schema claims)."""
+    df, _ = tiny
+    eng = SparkEntropyEngine(df, cache_input=False)
+    try:
+        assert eng.key_columns(df.columns) == frozenset()
+    finally:
+        eng.unpersist()
+
+
 def test_all_entropies_width_guard(tiny):
     df, _ = tiny
     eng = SparkEntropyEngine(df, cache_input=False)
