@@ -1,0 +1,159 @@
+"""IVF (inverted-file) approximate-nearest-neighbor search over an
+embedding column — the classic coarse-quantizer ANN structure (Jégou et al.,
+"Product Quantization for Nearest Neighbor Search", TPAMI 2011, §III-A),
+complementing the SRP-LSH path in operators/similarity.py.
+
+Spark-first design, built for the 100 TB shape:
+
+- **Centroids are tiny and deterministic.** The coarse codebook is either
+  seed rows (vectors of a fixed id list — oracle-expressible, bit-stable)
+  or those seeds refined by distributed Lloyd iterations. Either way the
+  codebook is O(n_cells · dim) — a driver-side constant like a broadcast
+  dim table, embedded into the plan as literals.
+- **Assignment is map-only.** cell(v) = argmin over centroids of
+  ||v - c||², computed as a single expression (array_sort over
+  (distance, cell-id) structs — the same struct-ordering idiom as the
+  multi-probe LSH margin sort, proven cross-engine by o15). No join, no
+  shuffle: a 100 TB scan assigns in one pass and can be written out
+  partitioned by cell.
+- **Probing is broadcast-side.** Each query probes its n_probes nearest
+  cells; the candidate join is an equi-join on cell with the tiny probe
+  set broadcast — linear shuffle, no cross product, exactly the
+  LSH-bucket join shape.
+- **Re-rank is exact.** Cosine over the candidate set only.
+
+Each data row lands in exactly ONE cell (unlike multi-table LSH), so
+candidate pairs need no dedup. Recall is tuned by n_probes/n_cells;
+probing every cell recovers the exact result (pinned by
+tests/test_ivf.py). Lloyd refinement never collects data rows: the
+per-cell/per-dimension means reduce distributively (posexplode →
+groupBy(cell, dim) → re-collect ordered), and only the n_cells new
+centroids come back to the driver — the same "scalar-sized result"
+contract as the entropy engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .dedup import _dot, _norm
+
+
+def _as_double(vec_col: str) -> Column:
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _sqdist(v: Column, lit_vec: Column) -> Column:
+    """||v - c||² with left-to-right summation (matches DuckDB list_sum)."""
+    return F.aggregate(F.zip_with(v, lit_vec, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, d: acc + d)
+
+
+def seed_centroids(df: DataFrame, vec_col: str, id_col: str,
+                   centroid_ids: list[int]) -> list[tuple[int, list[float]]]:
+    """Codebook from fixed seed rows: [(cell_id, vector)] where cell_id IS
+    the seed row's id (keeps both engines' tie-breaks aligned). The collect
+    is n_cells rows — codebook-sized, not data-sized."""
+    rows = (df.where(F.col(id_col).isin(centroid_ids))
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+            .collect())
+    got = {r["cid"]: [float(x) for x in r["cv"]] for r in rows}
+    missing = [i for i in centroid_ids if i not in got]
+    if missing:
+        raise ValueError(f"centroid ids not found in {id_col}: {missing}")
+    return [(i, got[i]) for i in centroid_ids]
+
+
+def _dist_structs(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d: double, cell: int>> sorted ascending by (distance,
+    cell id) — struct field order gives the deterministic tie-break."""
+    return F.array_sort(F.array(*[
+        F.struct(_sqdist(v, F.array(*[F.lit(x) for x in c])).alias("d"),
+                 F.lit(cid).alias("cell"))
+        for cid, c in centroids]))
+
+
+def assign_cells(df: DataFrame, vec_col: str, id_col: str,
+                 centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(id, cell): nearest-centroid assignment as a map-only expression."""
+    return df.select(
+        F.col(id_col),
+        F.element_at(_dist_structs(_as_double(vec_col), centroids), 1)["cell"]
+         .alias("cell"))
+
+
+def lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
+                 centroids: list[tuple[int, list[float]]],
+                 iters: int = 1) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd iterations: assign (map-only) → per-cell/per-dim
+    mean (posexplode + groupBy(cell, dim), shuffle of n_cells·dim rows) →
+    collect the n_cells new centroids. Empty cells keep their previous
+    centroid (standard k-means convention)."""
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = df.select(_as_double(vec_col).alias("v"),
+                             F.element_at(
+                                 _dist_structs(_as_double(vec_col), centroids),
+                                 1)["cell"].alias("cell"))
+        means = (assigned
+                 .select("cell", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+                 .groupBy("cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                      .alias("dm"))
+                 .select("cell",
+                         F.transform("dm", lambda s: s["m"]).alias("cv"))
+                 .collect())
+        new = {r["cell"]: [float(x) for x in r["cv"]] for r in means}
+        centroids = [(cid, new.get(cid, cv)) for cid, cv in centroids]
+        if any(len(v) != dim for _, v in centroids):  # pragma: no cover
+            raise RuntimeError("lloyd refinement changed vector width")
+    return centroids
+
+
+def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
+             query_ids: list[int], k: int = 5,
+             centroid_ids: list[int] | None = None,
+             centroids: list[tuple[int, list[float]]] | None = None,
+             n_probes: int = 4, lloyd_iters: int = 0) -> DataFrame:
+    """Approximate top-k via IVF: exact cosine re-rank restricted to the
+    n_probes cells nearest each query. Pass either `centroid_ids` (seed
+    rows, optionally Lloyd-refined) or a prebuilt `centroids` codebook.
+
+    Plan shape: data side is scan → map-only cell assignment; query side is
+    a codebook-sized broadcast; ONE equi-join on cell; window top-k. The
+    only per-row cost that grows with n_cells is the argmin expression —
+    O(n_cells · dim) multiply-adds inside whole-stage codegen."""
+    if centroids is None:
+        if not centroid_ids:
+            raise ValueError("need centroid_ids or centroids")
+        centroids = seed_centroids(df, vec_col, id_col, centroid_ids)
+        if lloyd_iters:
+            centroids = lloyd_refine(df, vec_col, id_col, centroids,
+                                     lloyd_iters)
+    if not 1 <= n_probes <= len(centroids):
+        raise ValueError(f"n_probes must be in [1, {len(centroids)}]")
+    base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+            .withColumn("n", _norm(F.col("v"))))
+    data = base.withColumn(
+        "cell", F.element_at(_dist_structs(F.col("v"), centroids), 1)["cell"])
+    q = base.where(F.col(id_col).isin(query_ids)) \
+            .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+                    F.col("n").alias("qn"))
+    qprobes = (q.select("query_id",
+                        F.explode(F.slice(_dist_structs(F.col("qv"), centroids),
+                                          1, n_probes)).alias("p"))
+               .select("query_id", F.col("p.cell").alias("cell")))
+    # each data row lives in ONE cell and a query's probed cells are
+    # distinct, so (query, neighbor) candidates are already unique
+    scored = (data.join(F.broadcast(qprobes), "cell")
+              .where(F.col(id_col) != F.col("query_id"))
+              .join(F.broadcast(q), "query_id")
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      (_dot(F.col("qv"), F.col("v"))
+                       / (F.col("qn") * F.col("n"))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

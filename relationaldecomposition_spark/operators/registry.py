@@ -14,7 +14,7 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import dedup, multimodal, similarity, text
+from . import dedup, ivf, multimodal, similarity, text
 
 ROUND = 6
 
@@ -35,6 +35,10 @@ EMB_DIM = 64
 ANN_PLANES = 3
 ANN_TABLES = 10
 ANN_PROBES = 2
+# o16 IVF ANN: 16 seed centroids (cell id = seed vec_id), 8-cell probe;
+# recall floors measured in tests/test_ivf.py
+IVF_CENTROID_IDS = list(range(0, 480, 30))
+IVF_PROBES = 8
 
 
 # ---------------------------------------------------------------------------
@@ -102,6 +106,15 @@ def q_o15_ann_topk(spark, sf_dir):
                                        TOPK_QUERY_IDS, TOPK_K,
                                        n_planes=ANN_PLANES, dim=EMB_DIM,
                                        n_probes=ANN_PROBES, n_tables=ANN_TABLES)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", ROUND).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_o16_ivf_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf.ivf_topk(emb, "embedding", "vec_id", TOPK_QUERY_IDS, TOPK_K,
+                       centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", ROUND).alias("cosine"),
                       F.col("rank").cast("bigint").alias("rank"))
@@ -343,6 +356,43 @@ def _oracle_ann_topk() -> str:
       WHERE rank <= {TOPK_K}"""
 
 
+def _oracle_ivf_topk() -> str:
+    """IVF top-k twin: same seed codebook (cell id = seed vec_id), same
+    squared-L2 argmin with (distance, cell-id) tie-break, same n_probes
+    nearest cells per query, same exact-cosine re-rank. Distance summation
+    is sequential in both engines (F.aggregate / list_sum)."""
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    qids = ", ".join(map(str, TOPK_QUERY_IDS))
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqd = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+           f"i -> {diff} * {diff}))")
+    return f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      d AS (SELECT e.vec_id, c.cid, {sqd} AS sd FROM embeddings e, cent c),
+      ranked AS (SELECT vec_id, cid, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                 FROM d),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+      qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+                 WHERE vec_id IN ({qids}) AND rn <= {IVF_PROBES}),
+      cand AS (SELECT q.query_id, a.vec_id AS neighbor_id
+               FROM qprobe q JOIN assign a ON a.cell = q.cell
+                AND a.vec_id != q.query_id),
+      scored AS (
+        SELECT c.query_id, c.neighbor_id, {dot} / ({na} * {nb}) AS cos
+        FROM cand c JOIN embeddings a ON a.vec_id = c.query_id
+                    JOIN embeddings b ON b.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, round(cos, {ROUND}) AS cosine, rank
+      FROM (SELECT *, row_number() OVER
+                  (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scored)
+      WHERE rank <= {TOPK_K}"""
+
+
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o01_exact_dedup": q_o01_exact_dedup,
     "o02_minhash_sigs": q_o02_minhash_sigs,
@@ -353,6 +403,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o07_cosine_topk": q_o07_cosine_topk,
     "o08_lsh_topk": q_o08_lsh_topk,
     "o15_ann_topk": q_o15_ann_topk,
+    "o16_ivf_topk": q_o16_ivf_topk,
     "o09_token_counts": q_o09_token_counts,
     "o10_lang_id": q_o10_lang_id,
     "o11_quality": q_o11_quality,
@@ -374,6 +425,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o07_cosine_topk": _oracle_cosine_topk(),
     "o08_lsh_topk": _oracle_lsh_topk(),
     "o15_ann_topk": _oracle_ann_topk(),
+    "o16_ivf_topk": _oracle_ivf_topk(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),
