@@ -33,6 +33,45 @@ DEFAULT_BANDS = 4
 DEFAULT_SHINGLE_K = 3
 
 
+def _bucket_guard(banded: DataFrame, keys: list[str], id_col: str,
+                  max_bucket: int | None, mode: str) -> tuple[DataFrame, list[str]]:
+    """Hot-bucket skew guard for LSH bucket self-joins.
+
+    A templated/boilerplate-heavy corpus produces buckets of 1e5+ rows; the
+    within-bucket join is quadratic, so one hot bucket dominates the whole
+    job at 100 TB. Guard modes (both deterministic, both SQL-expressible so
+    oracles can mirror them):
+
+    - ``split``: oversize buckets are split into ceil(size/max_bucket)
+      sub-buckets by a secondary hash of the row id; pairs only form within
+      a sub-bucket, bounding per-bucket work at ~size*max_bucket instead of
+      size^2 (trades recall inside hot buckets for linearity — hot buckets
+      are overwhelmingly boilerplate, where pair sampling is acceptable).
+    - ``drop``: oversize buckets are removed entirely (the common practice
+      for boilerplate buckets); under-cap buckets are untouched.
+
+    The size aggregation map-side combines (hot buckets shrink to one row
+    per map partition), and the join back redistributes rows by bucket key
+    where AQE's skew-join handling splits oversized partitions.
+
+    Returns the guarded frame and the join keys (split adds ``_sub``)."""
+    if max_bucket is None:
+        return banded, keys
+    if mode not in ("split", "drop"):
+        raise ValueError(f"unknown skew mode {mode!r}")
+    sizes = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    g = banded.join(sizes, keys)
+    if mode == "drop":
+        return g.where(F.col("_bsz") <= max_bucket).drop("_bsz"), keys
+    nsplit = F.floor((F.col("_bsz") + F.lit(max_bucket - 1))
+                     / F.lit(float(max_bucket))).cast("long")
+    sub = portable_hash32(F.col(id_col).cast("string")) % nsplit
+    return (g.withColumn("_sub", F.when(F.col("_bsz") <= max_bucket, F.lit(0))
+                                  .otherwise(sub).cast("long"))
+             .drop("_bsz"),
+            keys + ["_sub"])
+
+
 def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
     """Exact dedup on `cols`: one surviving row id per distinct content.
     Returns (content hash, min id, dup count)."""
@@ -78,7 +117,9 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_k: int = DEFAULT_SHINGLE_K,
                         min_est: float = 0.5,
                         seed: int = 42,
-                        slim_payload: bool | None = None) -> DataFrame:
+                        slim_payload: bool | None = None,
+                        max_bucket: int | None = None,
+                        skew_mode: str = "split") -> DataFrame:
     """MinHash-LSH near-duplicate candidates: docs sharing any band bucket,
     scored by estimated Jaccard = fraction of agreeing minhashes.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
@@ -90,7 +131,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     never multiplies the signature width. With narrow signatures
     (slim_payload=False) the signatures ride through the band join
     directly — one self-join, no re-joins. Both paths produce identical
-    pairs and scores; only the plan differs (pinned by tests)."""
+    pairs and scores; only the plan differs (pinned by tests).
+
+    max_bucket (hot-bucket skew guard, see _bucket_guard): buckets larger
+    than this are split by a secondary id-hash (skew_mode='split') or
+    dropped (skew_mode='drop') before the self-join, bounding the quadratic
+    within-bucket term. None (default) disables the guard."""
     assert n_hashes % bands == 0
     if slim_payload is None:
         slim_payload = n_hashes >= SLIM_PAYLOAD_MIN_HASHES
@@ -108,18 +154,23 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     est_of = lambda pre_a, pre_b: sum(  # noqa: E731
         (F.col(f"{pre_a}{c}") == F.col(f"{pre_b}{c}")).cast("int")
         for c in mh_cols) / F.lit(float(len(mh_cols)))
+    def self_join_cond(keys: list[str]):
+        cond = F.col(id_col) < F.col("_rid")
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"_r{k}"))
+        return cond
+
     if not slim_payload:
         # inline path: signatures ride through the one self-join
         banded = sigs.select(F.col(id_col), *mh_cols,
                              F.explode(band_structs).alias("bk")) \
                      .select(id_col, *mh_cols, "bk.band", "bk.sig")
+        banded, keys = _bucket_guard(banded, ["band", "sig"], id_col,
+                                     max_bucket, skew_mode)
         right = banded.select(F.col(id_col).alias("_rid"),
                               *[F.col(c).alias(f"_r{c}") for c in mh_cols],
-                              F.col("band").alias("_rband"),
-                              F.col("sig").alias("_rsig"))
-        scored = (banded.join(right, (F.col("band") == F.col("_rband"))
-                              & (F.col("sig") == F.col("_rsig"))
-                              & (F.col(id_col) < F.col("_rid")))
+                              *[F.col(k).alias(f"_r{k}") for k in keys])
+        scored = (banded.join(right, self_join_cond(keys))
                   .select(F.col(id_col).alias("id_a"),
                           F.col("_rid").alias("id_b"),
                           est_of("", "_r").alias("est_jaccard"))
@@ -128,12 +179,11 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     # slim path: ids only through the explode + self-join
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")) \
                  .select(id_col, "bk.band", "bk.sig")
+    banded, keys = _bucket_guard(banded, ["band", "sig"], id_col,
+                                 max_bucket, skew_mode)
     right = banded.select(F.col(id_col).alias("_rid"),
-                          F.col("band").alias("_rband"),
-                          F.col("sig").alias("_rsig"))
-    pairs = (banded.join(right, (F.col("band") == F.col("_rband"))
-                         & (F.col("sig") == F.col("_rsig"))
-                         & (F.col(id_col) < F.col("_rid")))
+                          *[F.col(k).alias(f"_r{k}") for k in keys])
+    pairs = (banded.join(right, self_join_cond(keys))
              .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b"))
              .distinct())
     # re-join the signatures on the (deduped, tiny) candidate set

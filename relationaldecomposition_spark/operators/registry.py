@@ -39,6 +39,12 @@ ANN_PROBES = 2
 # recall floors measured in tests/test_ivf.py
 IVF_CENTROID_IDS = list(range(0, 480, 30))
 IVF_PROBES = 8
+# o17/o18 hot-bucket skew guards — thresholds chosen so the guard path
+# EXECUTES on the sf0.01 gate data (LSH band buckets reach size 3; ANN
+# 3-plane buckets hold ~62 of 500 vectors), proving oracle parity of the
+# guarded plans, not just of the no-op default.
+GUARD_LSH_MAX_BUCKET = 2
+GUARD_ANN_MAX_BUCKET = 32
 
 
 # ---------------------------------------------------------------------------
@@ -120,6 +126,33 @@ def q_o16_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_o17_lsh_pairs_guard(spark, sf_dir):
+    """o03 with the hot-bucket split guard engaged (max_bucket=2 splits the
+    size-3 gate buckets) — oracle-verifies the guarded plan end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", N_HASHES,
+                                      BANDS, SHINGLE_K, LSH_MIN_EST,
+                                      MINHASH_SEED,
+                                      max_bucket=GUARD_LSH_MAX_BUCKET,
+                                      skew_mode="split")
+    return pairs.select("id_a", "id_b",
+                        F.round("est_jaccard", ROUND).alias("est_jaccard"))
+
+
+def q_o18_ann_topk_guard(spark, sf_dir):
+    """o15 with data-side buckets deterministically truncated to 32 rows —
+    oracle-verifies the capped candidate generation end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.lsh_bucketed_topk(emb, "embedding", "vec_id",
+                                       TOPK_QUERY_IDS, TOPK_K,
+                                       n_planes=ANN_PLANES, dim=EMB_DIM,
+                                       n_probes=ANN_PROBES, n_tables=ANN_TABLES,
+                                       max_bucket=GUARD_ANN_MAX_BUCKET)
+    return out.select("query_id", "neighbor_id",
+                      F.round("cosine", ROUND).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
 def q_o09_token_counts(spark, sf_dir):
     return text.token_counts(load_table(spark, sf_dir, "documents"),
                              "text", "doc_id")
@@ -173,7 +206,11 @@ def _oracle_minhash() -> str:
     return f"WITH {_sql_minhash_sig_cte()} SELECT * FROM sig"
 
 
-def _oracle_lsh_pairs() -> str:
+def _oracle_lsh_pairs(max_bucket: int | None = None) -> str:
+    """LSH candidate pairs; with max_bucket set, mirrors the split-mode
+    hot-bucket guard (dedup._bucket_guard): oversize buckets are split into
+    ceil(n/max_bucket) sub-buckets by the portable id-hash and pairs only
+    form within a sub-bucket."""
     rows_per_band = N_HASHES // BANDS
     band_selects = []
     for b in range(BANDS):
@@ -185,12 +222,26 @@ def _oracle_lsh_pairs() -> str:
     eq_sum = " + ".join(
         f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
         for i in range(N_HASHES))
+    guard_ctes, pair_src, sub_eq = "", "band", ""
+    if max_bucket is not None:
+        h = sql_hash32("CAST(b.doc_id AS VARCHAR)")
+        guard_ctes = f""",
+      bsz AS (SELECT band, bsig, count(*) AS n FROM band GROUP BY 1, 2),
+      gband AS (
+        SELECT b.doc_id, b.band, b.bsig,
+               CASE WHEN z.n <= {max_bucket} THEN 0
+                    ELSE {h} % CAST(floor((z.n + {max_bucket - 1})
+                                          / {float(max_bucket)}) AS BIGINT)
+               END AS sub
+        FROM band b JOIN bsz z ON b.band = z.band AND b.bsig = z.bsig)"""
+        pair_src, sub_eq = "gband", " AND a.sub = b.sub"
     return f"""
       WITH {_sql_minhash_sig_cte()},
-      band AS ({' UNION ALL '.join(band_selects)}),
+      band AS ({' UNION ALL '.join(band_selects)}){guard_ctes},
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM band a JOIN band b ON a.band = b.band AND a.bsig = b.bsig
+        FROM {pair_src} a JOIN {pair_src} b
+         ON a.band = b.band AND a.bsig = b.bsig{sub_eq}
          AND a.doc_id < b.doc_id
         GROUP BY 1, 2)
       SELECT id_a, id_b, round(({eq_sum}) / {float(N_HASHES)}, {ROUND}) AS est_jaccard
@@ -299,12 +350,16 @@ def _sql_plane_dot(plane: list[float]) -> str:
             f"i -> (CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])))")
 
 
-def _oracle_ann_topk() -> str:
+def _oracle_ann_topk(max_bucket: int | None = None) -> str:
     """Multi-table multi-probe SRP-LSH top-k. Per table t: bucket =
-    sign-bit vector over its planes; probe 2 = flip the lowest-|margin| bit
-    (argmin with lowest-index tie-break — matching Spark's array_sort over
-    (m, i) structs). Candidates = distinct (query, neighbor) pairs colliding
-    in any probed (table, bucket); exact cosine re-rank."""
+    sign-bit vector over its planes; probe p (p >= 2) flips the bit with
+    the p-th lowest |margin| (ties by plane index — matching Spark's
+    array_sort over (m, i) structs), one probe row per p so any ANN_PROBES
+    stays in lockstep with lsh_bucketed_topk's loop. Candidates = distinct
+    (query, neighbor) pairs colliding in any probed (table, bucket); exact
+    cosine re-rank. With max_bucket set, data-side buckets are truncated to
+    the max_bucket rows with the lowest (id-hash, id) — mirroring
+    similarity.cap_buckets."""
     dot = _SQL_DOT.format(dim=EMB_DIM)
     na = _SQL_NORM.format(dim=EMB_DIM, t="a")
     nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
@@ -320,30 +375,42 @@ def _oracle_ann_topk() -> str:
         bk_selects.append(
             f"SELECT vec_id, {t} AS tbl, {sig} AS bk FROM "
             f"(SELECT vec_id, {dcols} FROM embeddings)")
-        # argmin |d_i| with lowest-index tie-break: first i with
-        # abs(d_i) <= abs(d_j) for all j > i
-        branches = " ".join(
-            "WHEN " + (" AND ".join(f"abs(d{i}) <= abs(d{j})"
-                                    for j in range(i + 1, ANN_PLANES)) or "TRUE")
-            + f" THEN {i}"
-            for i in range(ANN_PLANES))
         qd_ctes.append(
             f"qd{t} AS (SELECT vec_id AS query_id, {dcols} "
             f"FROM embeddings WHERE vec_id IN ({qids})), "
             f"qb{t} AS (SELECT query_id, {sig} AS bk, "
-            f"(CASE {branches} END) AS fi FROM qd{t})")
+            + ", ".join(f"abs(d{i}) AS a{i}" for i in range(ANN_PLANES))
+            + f" FROM qd{t})")
         probe_selects.append(f"SELECT query_id, {t} AS tbl, bk FROM qb{t}")
         if ANN_PROBES > 1:
+            # rank planes by |margin| asc, index asc; flip ranks 1..P-1
+            unions = " UNION ALL ".join(
+                f"SELECT query_id, bk, {i} AS i, a{i} AS ad FROM qb{t}"
+                for i in range(ANN_PLANES))
+            qd_ctes.append(
+                f"qm{t} AS (SELECT query_id, bk, i, row_number() OVER "
+                f"(PARTITION BY query_id ORDER BY ad ASC, i ASC) AS mr "
+                f"FROM ({unions}))")
             probe_selects.append(
-                f"SELECT query_id, {t} AS tbl, xor(bk, 1::BIGINT << fi) "
-                f"AS bk FROM qb{t}")
+                f"SELECT query_id, {t} AS tbl, xor(bk, 1::BIGINT << i) "
+                f"AS bk FROM qm{t} WHERE mr <= {ANN_PROBES - 1}")
+    data_src = "bkt"
+    guard_ctes = ""
+    if max_bucket is not None:
+        h = sql_hash32("CAST(vec_id AS VARCHAR)")
+        guard_ctes = f""",
+      bkr AS (SELECT vec_id, tbl, bk, row_number() OVER
+                  (PARTITION BY tbl, bk ORDER BY {h} ASC, vec_id ASC) AS rn
+              FROM bkt),
+      bktg AS (SELECT vec_id, tbl, bk FROM bkr WHERE rn <= {max_bucket})"""
+        data_src = "bktg"
     return f"""
-      WITH bkt AS ({' UNION ALL '.join(bk_selects)}),
+      WITH bkt AS ({' UNION ALL '.join(bk_selects)}){guard_ctes},
       {', '.join(qd_ctes)},
       probes AS ({' UNION ALL '.join(probe_selects)}),
       cand AS (
         SELECT DISTINCT p.query_id, d.vec_id AS neighbor_id
-        FROM bkt d JOIN probes p ON d.tbl = p.tbl AND d.bk = p.bk
+        FROM {data_src} d JOIN probes p ON d.tbl = p.tbl AND d.bk = p.bk
          AND d.vec_id != p.query_id),
       scored AS (
         SELECT c.query_id, c.neighbor_id, {dot} / ({na} * {nb}) AS cos
@@ -404,6 +471,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o08_lsh_topk": q_o08_lsh_topk,
     "o15_ann_topk": q_o15_ann_topk,
     "o16_ivf_topk": q_o16_ivf_topk,
+    "o17_lsh_pairs_guard": q_o17_lsh_pairs_guard,
+    "o18_ann_topk_guard": q_o18_ann_topk_guard,
     "o09_token_counts": q_o09_token_counts,
     "o10_lang_id": q_o10_lang_id,
     "o11_quality": q_o11_quality,
@@ -426,6 +495,8 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o08_lsh_topk": _oracle_lsh_topk(),
     "o15_ann_topk": _oracle_ann_topk(),
     "o16_ivf_topk": _oracle_ivf_topk(),
+    "o17_lsh_pairs_guard": _oracle_lsh_pairs(max_bucket=GUARD_LSH_MAX_BUCKET),
+    "o18_ann_topk_guard": _oracle_ann_topk(max_bucket=GUARD_ANN_MAX_BUCKET),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

@@ -24,10 +24,29 @@ import random
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.hashing import portable_hash32
 from .dedup import _dot, _norm
 
 DEFAULT_DIM = 64
 DEFAULT_N_PLANES = 8
+
+
+def cap_buckets(banded: DataFrame, keys: list[str], id_col: str,
+                max_bucket: int) -> DataFrame:
+    """Hot-bucket guard for ANN candidate generation: keep at most
+    ``max_bucket`` rows per bucket, chosen deterministically by a secondary
+    id-hash ranking (ties by id). On a boilerplate-heavy 100 TB corpus a
+    hot bucket holds 1e5+ near-identical vectors; joining all of them to
+    every probing query is quadratic-in-bucket work for near-zero recall
+    gain — deterministic truncation is the standard practice (cf. IVF/LSH
+    bucket caps in ANN systems). The rank is a per-bucket sort: O(m log m)
+    on the hot partition vs the O(m * queries) join it prevents; hash-based
+    order makes the kept subset a uniform sample, not a prefix of ids."""
+    w = Window.partitionBy(*keys).orderBy(
+        portable_hash32(F.col(id_col).cast("string")).asc(),
+        F.col(id_col).asc())
+    return (banded.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket).drop("_rn"))
 
 
 def random_hyperplanes(n_planes: int, dim: int, seed: int = 42) -> list[list[float]]:
@@ -101,7 +120,8 @@ def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
                       query_ids: list[int], k: int = 5,
                       n_planes: int = DEFAULT_N_PLANES,
                       dim: int = DEFAULT_DIM, seed: int = 42,
-                      n_probes: int = 1, n_tables: int = 1) -> DataFrame:
+                      n_probes: int = 1, n_tables: int = 1,
+                      max_bucket: int | None = None) -> DataFrame:
     """Approximate top-k: exact cosine re-rank restricted to the buckets the
     query probes. All joins are bucket-equality — linear shuffle, no cross
     product.
@@ -120,7 +140,12 @@ def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
 
     Candidate (query, neighbor) pairs are deduped BEFORE vectors are joined
     back for scoring, so the exact-cosine work is once per distinct pair.
-    tests/test_similarity_recall.py measures recall vs the exact baseline."""
+    tests/test_similarity_recall.py measures recall vs the exact baseline.
+
+    max_bucket (hot-bucket skew guard, see cap_buckets): data-side buckets
+    are deterministically truncated to this many rows before the probe
+    join, bounding per-bucket candidate fan-out on skewed corpora. None
+    (default) disables the guard."""
     if not 1 <= n_probes <= n_planes + 1:
         raise ValueError(f"n_probes must be in [1, {n_planes + 1}]")
     tables = table_planes(n_planes, dim, seed, n_tables)
@@ -133,6 +158,8 @@ def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
     banded = (base.select(F.col(id_col), F.explode(band_structs).alias("b"))
               .select(id_col, F.col("b.tbl").alias("tbl"),
                       F.col("b.bk").alias("bk")))
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ["tbl", "bk"], id_col, max_bucket)
     q = base.where(F.col(id_col).isin(query_ids)) \
             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
                     F.col("n").alias("qn"))

@@ -1,0 +1,151 @@
+"""Hot-bucket skew guards (dedup._bucket_guard, similarity.cap_buckets).
+
+The sf* synthetic corpora are benign; these fixtures are adversarial by
+construction — one boilerplate template repeated until a single LSH bucket
+dwarfs the cap — and pin the two properties the guards exist for:
+
+1. bounded work: candidate counts stop growing quadratically in the hot
+   bucket once the guard engages;
+2. no collateral damage: under-cap buckets produce exactly the pairs the
+   unguarded operator produces, and all guarded output is a subset of the
+   unguarded output (the guard only ever removes candidates).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import dedup, similarity
+
+HOT_N = 64          # identical docs -> one bucket of 64 rows in every band
+CAP = 8
+
+
+@pytest.fixture(scope="module")
+def skewed_docs(spark):
+    template = "all work and no play makes jack a dull boy again and again"
+    rows = [(i, template) for i in range(100, 100 + HOT_N)]
+    rows += [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # dup of 1, cold bucket
+        (3, "completely different words here entirely unrelated"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_split_guard_bounds_hot_bucket(skewed_docs):
+    unguarded = _pair_set(dedup.lsh_candidate_pairs(skewed_docs, "text", "doc_id"))
+    guarded = _pair_set(dedup.lsh_candidate_pairs(
+        skewed_docs, "text", "doc_id", max_bucket=CAP, skew_mode="split"))
+    hot_all = HOT_N * (HOT_N - 1) // 2
+    assert len(unguarded) >= hot_all          # quadratic blowup really present
+    # split into ceil(64/8)=8 sub-buckets by id-hash: per-bucket pair work is
+    # ~sum C(n_i, 2) with sum n_i = 64 — far below C(64, 2) unless the hash
+    # degenerates. 3x headroom over the balanced 224 absorbs hash unevenness.
+    hot_guarded = {p for p in guarded if p[0] >= 100}
+    assert 0 < len(hot_guarded) <= hot_all // 3
+    # guard only removes candidates, never invents them
+    assert guarded <= unguarded
+    # the cold near-dup bucket (size 2 <= cap) is untouched
+    assert (1, 2) in guarded
+
+
+def test_split_guard_deterministic(skewed_docs):
+    g1 = _pair_set(dedup.lsh_candidate_pairs(
+        skewed_docs, "text", "doc_id", max_bucket=CAP, skew_mode="split"))
+    g2 = _pair_set(dedup.lsh_candidate_pairs(
+        skewed_docs, "text", "doc_id", max_bucket=CAP, skew_mode="split"))
+    assert g1 == g2
+
+
+def test_drop_guard_removes_hot_bucket_only(skewed_docs):
+    dropped = _pair_set(dedup.lsh_candidate_pairs(
+        skewed_docs, "text", "doc_id", max_bucket=CAP, skew_mode="drop"))
+    assert all(a < 100 and b < 100 for a, b in dropped)  # hot bucket gone
+    assert (1, 2) in dropped                             # cold bucket intact
+
+
+def test_guard_noop_below_cap(skewed_docs):
+    """A cap no bucket exceeds must be a pure no-op (same pairs AND scores)."""
+    plain = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.lsh_candidate_pairs(
+                 skewed_docs, "text", "doc_id").collect()}
+    wide = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+            for r in dedup.lsh_candidate_pairs(
+                skewed_docs, "text", "doc_id",
+                max_bucket=10 * HOT_N, skew_mode="split").collect()}
+    assert plain == wide
+
+
+def test_guard_both_payload_paths_agree(skewed_docs):
+    """Slim and inline band-join plans must produce identical guarded pairs."""
+    slim = _pair_set(dedup.lsh_candidate_pairs(
+        skewed_docs, "text", "doc_id", max_bucket=CAP, skew_mode="split",
+        slim_payload=True))
+    inline = _pair_set(dedup.lsh_candidate_pairs(
+        skewed_docs, "text", "doc_id", max_bucket=CAP, skew_mode="split",
+        slim_payload=False))
+    assert slim == inline
+
+
+def test_bad_skew_mode_rejected(skewed_docs):
+    with pytest.raises(ValueError):
+        dedup.lsh_candidate_pairs(skewed_docs, "text", "doc_id",
+                                  max_bucket=CAP, skew_mode="sample")
+
+
+# ---------------------------------------------------------------------------
+# ANN side: similarity.cap_buckets + lsh_bucketed_topk(max_bucket=...)
+# ---------------------------------------------------------------------------
+
+DIM = 8
+HOT_V = 40          # identical vectors -> one hot (tbl, bk) bucket
+
+
+@pytest.fixture(scope="module")
+def skewed_vecs(spark):
+    rows = [(i, [1.0, 0.5, -0.25, 2.0, 0.0, 1.0, -1.0, 0.5])
+            for i in range(200, 200 + HOT_V)]                      # clones
+    rows += [(j, [float((j * 7 + d * 3) % 5 - 2) + 0.1 for d in range(DIM)])
+             for j in range(10)]                                   # diverse
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]) \
+                .select("vec_id",
+                        F.col("embedding").cast("array<float>").alias("embedding"))
+
+
+def test_cap_buckets_truncates_deterministically(spark):
+    rows = [(i, 0, 7) for i in range(100)] + [(i, 0, 3) for i in range(1000, 1005)]
+    banded = spark.createDataFrame(rows, ["vec_id", "tbl", "bk"])
+    capped = similarity.cap_buckets(banded, ["tbl", "bk"], "vec_id", 10)
+    sizes = {r["bk"]: r["n"] for r in
+             capped.groupBy("bk").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {7: 10, 3: 5}     # hot truncated to cap, cold untouched
+    kept1 = {r["vec_id"] for r in capped.collect()}
+    kept2 = {r["vec_id"] for r in
+             similarity.cap_buckets(banded, ["tbl", "bk"], "vec_id", 10).collect()}
+    assert kept1 == kept2             # hash ranking -> stable subset
+
+
+def test_ann_cap_bounds_candidates_keeps_topk(skewed_vecs):
+    kwargs = dict(k=100, n_planes=3, dim=DIM, n_probes=2, n_tables=2)
+    full = similarity.lsh_bucketed_topk(
+        skewed_vecs, "embedding", "vec_id", [200, 0], **kwargs)
+    capped = similarity.lsh_bucketed_topk(
+        skewed_vecs, "embedding", "vec_id", [200, 0], max_bucket=5, **kwargs)
+    n_full = {r["query_id"]: r["n"] for r in
+              full.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    n_cap = {r["query_id"]: r["n"] for r in
+             capped.groupBy("query_id").agg(F.count("*").alias("n")).collect()}
+    # the clone query sees the whole hot bucket unguarded, <= cap-per-probed-
+    # bucket guarded (2 tables x 2 probes x cap 5 = 20 max)
+    assert n_full[200] >= HOT_V - 1
+    assert 1 <= n_cap[200] <= 20
+    # capped candidates are a subset of unguarded candidates per query
+    pairs = lambda df: {(r["query_id"], r["neighbor_id"])  # noqa: E731
+                        for r in df.collect()}
+    assert pairs(capped) <= pairs(full)
+    # every query still gets results
+    assert set(n_cap) == {200, 0}
