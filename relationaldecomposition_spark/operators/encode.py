@@ -52,6 +52,15 @@ def dict_encode_column(df: DataFrame, column: str,
     try:
         # one tiny job: rows per physical partition -> cumulative offsets
         pc = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+        if not pc:
+            # all-null/empty column: map_from_arrays over zero-element arrays
+            # below would hit an untyped-array analysis error — return the
+            # empty dictionary directly (same schema, same persist contract)
+            codes = (ranged.select("value",
+                                   F.lit(1).cast("bigint").alias("code"))
+                     .where(F.lit(False)).persist())
+            codes.count()
+            return codes
         offsets = {}
         acc = 0
         for row in sorted(pc, key=lambda r: r["_pid"]):

@@ -180,10 +180,12 @@ def q_a03_dict_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.encode import dict_encode_column
     df = load_table(spark, sf_dir, "customer")
     codes = dict_encode_column(df, "c_mktsegment")
-    # copy out of the persisted frame so we can release the cache eagerly
-    out = spark.createDataFrame(codes.collect(), "value string, code bigint")
+    # snapshot executor-side (distributed, never through the driver) so the
+    # cache can be released eagerly; a high-cardinality dictionary stays
+    # partitioned across executors instead of round-tripping as rows
+    out = codes.localCheckpoint(eager=True)
     codes.unpersist()
-    return out
+    return out.select("value", F.col("code").cast("bigint").alias("code"))
 
 
 def q_a05_groupby_count_having(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -63,3 +63,12 @@ def test_encode_columns_join_back(spark):
     finally:
         for d in dicts.values():
             d.unpersist()
+
+
+def test_all_null_column_yields_empty_dictionary(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "id bigint, v string")
+    codes = dict_encode_column(df, "v")
+    assert codes.columns == ["value", "code"]
+    assert codes.count() == 0
+    codes.unpersist()
