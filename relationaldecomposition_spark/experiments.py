@@ -98,7 +98,8 @@ def run_mvd_sweep(df: DataFrame, out_csv: str,
         t0 = time.monotonic()
         try:
             mined = runner.run(
-                lambda stop: MVDMiner(MeasureEngine(eng), alpha=thresh).mine(),
+                lambda stop: MVDMiner(MeasureEngine(eng), alpha=thresh,
+                                      stop_flag=stop).mine(),
                 timeout=timeout_sec)
             total = time.monotonic() - t0
             pct = 100.0 * eng.scan_seconds / total if total > 0 else 0.0

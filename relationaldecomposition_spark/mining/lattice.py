@@ -60,7 +60,8 @@ class TopDownSearch:
     queue, keep mu <= alpha as discovered, specialize the rest (skipping
     specializations the lattice-order bound already implies)."""
 
-    def __init__(self, meng: MeasureEngine, dep_cls: type, alpha: float):
+    def __init__(self, meng: MeasureEngine, dep_cls: type, alpha: float,
+                 stop_flag=None):
         assert dep_cls in (FD, MVD)
         self.meng = meng
         self.dep_cls = dep_cls
@@ -70,10 +71,13 @@ class TopDownSearch:
         self.inference = LatticeOrderingInference(self.discovered, alpha)
         self.inferred_count = 0
         self.levels_run = 0
+        # cooperative stop (TimeoutRunner contract, like JDMiner._stop):
+        # polled once per lattice level, BEFORE the level's Spark jobs launch
+        self._stop = stop_flag or (lambda: False)
 
     def search(self) -> DependencySet:
         queue = DependencySet(self.dep_cls.most_general(self.schema))
-        while queue:
+        while queue and not self._stop():
             self.levels_run += 1
             unknown = [d for d in queue if not d.measure.is_exact]
             if unknown:
@@ -98,12 +102,17 @@ class MVDMiner:
     """B3/B4: bottom-up MVD mining from saturated dependencies, plus the
     brute-force oracle."""
 
-    def __init__(self, meng: MeasureEngine, alpha: float):
+    def __init__(self, meng: MeasureEngine, alpha: float, stop_flag=None):
         self.meng = meng
         self.alpha = alpha
         self.schema = list(meng.schema_cols)
         self.discovered = DependencySet()
         self.border: DependencySet = DependencySet()
+        # cooperative stop (TimeoutRunner contract): a timed-out worker
+        # thread survives cancelJobGroup (only in-flight jobs die), so the
+        # miner must stop LAUNCHING jobs too — polled at every level and
+        # before every measure_all batch
+        self._stop = stop_flag or (lambda: False)
 
     def _accurate(self, deps: list) -> list:
         """getAccurate (TopDownInductiveSearch.java:195-205), batched."""
@@ -124,10 +133,14 @@ class MVDMiner:
 
         processed: set[frozenset[str]] = set()
         for k in range(n - 3, -1, -1):
+            if self._stop():
+                break
             found = False
             p = DependencySet()
             determinants = {d.lhs for d in q}
             for det in determinants:
+                if self._stop():
+                    break
                 det_sorted = [c for c in schema if c in det]
                 # drop each of the first k+1 attributes of the determinant
                 for i in range(1, min(k + 1, len(det_sorted)) + 1):
@@ -140,6 +153,8 @@ class MVDMiner:
                     to_measure = [c for c in candidates if not self._prune(c, q)]
                     if not to_measure:
                         continue
+                    if self._stop():
+                        break
                     self.meng.measure_all(to_measure)
                     for c in to_measure:
                         if c.measure.value <= self.alpha:

@@ -88,7 +88,13 @@ def lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
     """Distributed Lloyd iterations: assign (map-only) → per-cell/per-dim
     mean (posexplode + groupBy(cell, dim), shuffle of n_cells·dim rows) →
     collect the n_cells new centroids. Empty cells keep their previous
-    centroid (standard k-means convention)."""
+    centroid (standard k-means convention).
+
+    Reproducibility: F.avg sums floats in shuffle-arrival order, so
+    Lloyd-refined centroids are deterministic only up to floating-point
+    summation order — reproducible to ~1 ulp across runs/partitionings, not
+    bit-identical. The seed codebook path (lloyd_iters=0, the o16 oracle
+    path) embeds centroids as plan literals and IS bit-stable."""
     dim = len(centroids[0][1])
     for _ in range(iters):
         assigned = df.select(_as_double(vec_col).alias("v"),

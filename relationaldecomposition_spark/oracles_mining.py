@@ -338,15 +338,20 @@ def oracle_b15(denorm_sql: str, cols: Sequence[str],
             f"({_gid(s, cols)}, {_gid(ua, cols)}, {_gid(ub, cols)}, {_smask(s, cols)})"
             for s, ua, ub in _edge_jds([frozenset(c) for c in cl])
         ]
-        ctes.append(
-            f"edges{si}(g_s, g_ua, g_ub, sm) AS (VALUES {', '.join(edge_rows)})")
-        ctes.append(
-            f"ok{si} AS (SELECT coalesce(bool_and("
-            f"ea.h + eb.h - es.h - hr.h <= {MEASURE_ACCURACY} "
-            f"AND sm IN (SELECT smask FROM minmask)), TRUE) AS ok "
-            f"FROM edges{si} JOIN ent es ON es.gid = g_s "
-            f"JOIN ent ea ON ea.gid = g_ua "
-            f"JOIN ent eb ON eb.gid = g_ub, hr)")
+        if edge_rows:
+            ctes.append(
+                f"edges{si}(g_s, g_ua, g_ub, sm) AS (VALUES {', '.join(edge_rows)})")
+            ctes.append(
+                f"ok{si} AS (SELECT coalesce(bool_and("
+                f"ea.h + eb.h - es.h - hr.h <= {MEASURE_ACCURACY} "
+                f"AND sm IN (SELECT smask FROM minmask)), TRUE) AS ok "
+                f"FROM edges{si} JOIN ent es ON es.gid = g_s "
+                f"JOIN ent ea ON ea.gid = g_ua "
+                f"JOIN ent eb ON eb.gid = g_ub, hr)")
+        else:
+            # single-cluster schema: no join-tree edges, nothing to certify —
+            # 'VALUES ' over zero rows would be malformed SQL
+            ctes.append(f"ok{si} AS (SELECT TRUE AS ok)")
         selects.append(
             f"SELECT '{key}' AS clusters, {len(cl)}::BIGINT AS n_clusters, "
             f"((SELECT count(*) FROM {join_sql}) - (SELECT n FROM dbase))::BIGINT "

@@ -64,3 +64,14 @@ def test_bogus_schema_emits_no_row(con):
             ("c_mktsegment", "r_name"))]
     df = con.execute(oracle_b15(DENORM_SQL, DENORM6_COLS, bad)).fetchdf()
     assert len(df) == 0
+
+
+def test_single_cluster_schema_is_trivially_ok(con):
+    # one cluster = no junction-tree edges; the oracle must not emit a
+    # malformed zero-row VALUES clause, and the schema certifies trivially
+    # (a single full-schema cluster has zero spurious tuples by definition)
+    single = [(tuple(DENORM6_COLS),)]
+    df = con.execute(oracle_b15(DENORM_SQL, DENORM6_COLS, single)).fetchdf()
+    assert len(df) == 1
+    assert df["n_clusters"][0] == 1
+    assert df["spurious"][0] == 0
