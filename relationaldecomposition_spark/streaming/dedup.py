@@ -13,13 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import portable_hash64
+from .events import with_watermark
 
 
 def dedup_stream(stream: DataFrame, keys: list[str], ts_col: str = "ts",
                  watermark: str = "10 minutes") -> DataFrame:
     """Drop duplicate events (same key columns) arriving within the
     watermark horizon of each other."""
-    return (stream.withWatermark(ts_col, watermark)
+    return (with_watermark(stream, ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
 
 
@@ -30,6 +31,6 @@ def fingerprint_dedup_stream(stream: DataFrame, content_col: str,
     their first arrival."""
     withfp = stream.withColumn(
         "__fp", portable_hash64(F.col(content_col)))
-    return (withfp.withWatermark(ts_col, watermark)
+    return (with_watermark(withfp, ts_col, watermark)
             .dropDuplicatesWithinWatermark(["__fp"])
             .drop("__fp"))

@@ -28,11 +28,23 @@ DEFAULT_GAP = "30 minutes"
 DEFAULT_WATERMARK = "10 minutes"
 
 
+def with_watermark(df: DataFrame, ts_col: str, watermark: str) -> DataFrame:
+    """withWatermark that tolerates TIMESTAMP_NTZ event time. Parquet naive
+    timestamps (the testdata's `ts`) read as NTZ, which watermarks reject
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]); with the session timezone
+    pinned to UTC the cast to TIMESTAMP is value-preserving. Only the
+    watermark (streaming) path casts — batch twins keep the source type so
+    oracle comparisons see unchanged values."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
 def windowed_counts(events: DataFrame, window: str = DEFAULT_WINDOW,
                     watermark: str | None = None) -> DataFrame:
     """Tumbling-window counts + value sum per event_type. Watermark only
     applies to streaming inputs (bounds state; drops late data)."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = with_watermark(events, "ts", watermark) if watermark else events
     return (src.groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 6).alias("sum_value"))
@@ -51,7 +63,7 @@ def sessionize(events: DataFrame, gap: str = DEFAULT_GAP,
                watermark: str | None = None) -> DataFrame:
     """Gap-based sessions per user via native session_window (state-merging
     on streams, no global sort on batch)."""
-    src = events.withWatermark("ts", watermark) if watermark else events
+    src = with_watermark(events, "ts", watermark) if watermark else events
     return (src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 6).alias("sum_value"))
