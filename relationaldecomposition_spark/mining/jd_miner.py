@@ -51,13 +51,19 @@ class JDMiner:
 
     def __init__(self, meng: MeasureEngine, epsilon: float,
                  stop_flag=None, max_parallel_pairs: int = 8,
-                 eager_cells: int = 100_000_000):
+                 eager_cells: int = 100_000_000, search: str = "bfs"):
+        if search not in ("bfs", "dfs"):
+            raise ValueError(f"search must be 'bfs' or 'dfs', got {search!r}")
         self.meng = meng
         self.eng = meng.engine
         self.epsilon = epsilon
         self.schema = list(meng.schema_cols)
         self.full = frozenset(self.schema)
         self.max_parallel_pairs = max(1, max_parallel_pairs)
+        # B8 traversal order: the reference ships BOTH a BFS and a stack-DFS
+        # with resume indices over the same merge graph and prunes — we keep
+        # them as mutual cross-checks (tests assert identical mined sets)
+        self.search = search
         # eager all-entropies budget: when rows * 2^n <= eager_cells, ONE
         # CUBE job (A11, the reference's computeAllEntropies) materializes
         # every subset entropy and the whole search runs from cache
@@ -216,7 +222,19 @@ class JDMiner:
                           start: JD | None = None) -> set[JD]:
         """Search over component merges of the consistent starting JD for
         JDs with measure <= eps. X,Y (when given) are never merged into one
-        component. limit=0 means unlimited."""
+        component. limit=0 means unlimited.
+
+        Dispatches on the constructor's ``search`` mode; both orders explore
+        the same merge graph under the same pruning bounds, so with limit=0
+        the mined sets are identical (pinned by test_jd_miner)."""
+        if self.search == "dfs":
+            return self.mine_jds_with_lhs_dfs(lhs, limit, x, y, start)
+        return self._mine_jds_with_lhs_bfs(lhs, limit, x, y, start)
+
+    def _mine_jds_with_lhs_bfs(self, lhs, limit: int = 0,
+                               x: str | None = None, y: str | None = None,
+                               start: JD | None = None) -> set[JD]:
+        """B8, queue order (`search/MinimalJDGenerator.java:395-449`)."""
         lhs = frozenset(lhs)
         if start is None:
             start = self.consistent_jd_candidate(
@@ -257,6 +275,82 @@ class JDMiner:
                     continue
                 visited.add(cand.components)
                 queue.append(cand)
+        return found
+
+    def mine_jds_with_lhs_dfs(self, lhs, limit: int = 0,
+                              x: str | None = None, y: str | None = None,
+                              start: JD | None = None) -> set[JD]:
+        """B8, stack order with resume indices
+        (`search/MinimalJDGenerator.java:320-392`): each stack frame holds a
+        JD plus the index of the next component-pair merge to try; a frame
+        is re-entered after its child subtree finishes, resuming at that
+        index. Frontier memory is O(depth · 1) frames instead of BFS's
+        O(level width) queue — the shape that matters when a wide lattice
+        level would otherwise materialize thousands of candidate JDs.
+
+        Same merge graph, same consistent-reduction, same abort bounds, and
+        same visited-set dedup as the BFS, so with limit=0 the mined set is
+        identical (the cross-check tests pin this on every fixture, the same
+        pattern as B7's merge-loop/violation-graph pair). With limit>0 the
+        traversal order picks WHICH JDs are found first, exactly as in the
+        reference's two variants."""
+        lhs = frozenset(lhs)
+        if start is None:
+            start = self.consistent_jd_candidate(
+                lhs, JD.most_specific(lhs, self.schema), x, y)
+        if start is None:
+            return set()
+        m0 = self.jd_measure(start)
+        if is_greater_than_eps(m0, (len(start.components) - 1) * self.epsilon):
+            return set()
+
+        found: set[JD] = set()
+        visited: set[frozenset[frozenset[str]]] = {start.components}
+        # frames: [jd, pairs-to-merge or None (unexpanded), resume index]
+        stack: list[list] = [[start, None, 0]]
+        while stack and not self._stop():
+            frame = stack[-1]
+            jd, pairs, idx = frame
+            if pairs is None:
+                # first visit: classify, then expand or pop
+                m = self.jd_measure(jd)
+                if not is_greater_than_eps(m, self.epsilon):
+                    found.add(jd)
+                    stack.pop()
+                    if limit > 0 and len(found) >= limit:
+                        break
+                    continue
+                comps = sorted(jd.components, key=sorted)
+                if len(comps) <= 2:
+                    stack.pop()  # merging to one component can't be a JD
+                    continue
+                frame[1] = list(itertools.combinations(comps, 2))
+                continue
+            # resume at idx: descend into the first viable child
+            child = None
+            while idx < len(pairs):
+                a, b = pairs[idx]
+                idx += 1
+                if x is not None and y is not None:
+                    ab = a | b
+                    if x in ab and y in ab:
+                        continue  # never merge X's and Y's components
+                merged = jd.merge_components(a, b)
+                cand = self.consistent_jd_candidate(lhs, merged, x, y)
+                if cand is None or cand.components in visited:
+                    continue
+                mc = self.jd_measure(cand)
+                if is_greater_than_eps(
+                        mc, (len(cand.components) - 2) * self.epsilon):
+                    continue
+                visited.add(cand.components)
+                child = cand
+                break
+            frame[2] = idx
+            if child is not None:
+                stack.append([child, None, 0])
+            else:
+                stack.pop()  # all merges tried: backtrack
         return found
 
     # -- entropy prefetching ---------------------------------------------------

@@ -208,3 +208,67 @@ def test_min_sep_mining_mode_invariant(planted5):
         results.append(miner.mine_all_min_seps())
         miner.eng.unpersist()
     assert results[0] == results[1] == results[2] == {frozenset(["k"])}
+
+
+def test_dfs_equals_bfs_mined_sets(miner5, spark):
+    """B8 ships in both traversal orders (reference has BFS and stack-DFS
+    with resume indices); with limit=0 they must mine identical JD sets —
+    the same cross-check pattern as B7's two reductions."""
+    cases = [(["k"], None, None), (["k"], "a", "b"), ([], "a", "b"),
+             (["k", "a"], "b", "c"), ([], None, None)]
+    for lhs, x, y in cases:
+        bfs = miner5.mine_jds_with_lhs(lhs, limit=0, x=x, y=y)
+        dfs = miner5.mine_jds_with_lhs_dfs(lhs, limit=0, x=x, y=y)
+        assert bfs == dfs, (lhs, x, y)
+    # limit>0: order picks WHICH JDs surface, but both must surface valid
+    # ones from the same universe
+    b1 = miner5.mine_jds_with_lhs(["k"], limit=1)
+    d1 = miner5.mine_jds_with_lhs_dfs(["k"], limit=1)
+    universe = miner5.mine_jds_with_lhs(["k"], limit=0)
+    assert len(b1) == len(d1) == 1
+    assert b1 <= universe and d1 <= universe
+    # correlated fixture (transitive merges exercised)
+    rows = [(k, a, v, (v + k) % 4, v) for k in range(6) for a in range(3)
+            for v in range(4)]
+    df = spark.createDataFrame(rows, ["k", "a", "b", "c", "d"])
+    m = JDMiner(MeasureEngine(SparkEntropyEngine(df)), epsilon=0.0)
+    try:
+        for lhs, x, y in [(["k"], None, None), (["k"], "b", "d"),
+                          (["k", "a"], None, None)]:
+            assert m.mine_jds_with_lhs(lhs, limit=0, x=x, y=y) == \
+                m.mine_jds_with_lhs_dfs(lhs, limit=0, x=x, y=y), (lhs, x, y)
+    finally:
+        m.eng.unpersist()
+
+
+def test_dfs_search_mode_min_seps_invariant(planted5):
+    """End-to-end: a JDMiner running every B8 call through the DFS twin
+    mines the same minimal separators as the default BFS miner."""
+    m = JDMiner(MeasureEngine(SparkEntropyEngine(planted5)), epsilon=0.0,
+                search="dfs")
+    try:
+        assert m.mine_all_min_seps() == {frozenset(["k"])}
+    finally:
+        m.eng.unpersist()
+
+
+def test_dfs_equals_bfs_on_gate_relation(spark):
+    """DFS == BFS on the sf0.01 gate relation at the min-sep seeding lhs
+    for a spread of attribute pairs."""
+    c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    n = spark.read.parquet("/root/testdata/sf0.01/nation.parquet")
+    r = spark.read.parquet("/root/testdata/sf0.01/region.parquet")
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment",
+            "n_name", "n_regionkey", "r_name"]
+    denorm = (c.join(n, c.c_nationkey == n.n_nationkey)
+               .join(r, n.n_regionkey == r.r_regionkey).select(*cols))
+    m = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+    full = frozenset(cols)
+    try:
+        for x, y in [("c_mktsegment", "n_name"), ("c_custkey", "r_name"),
+                     ("n_regionkey", "c_mktsegment")]:
+            lhs = full - {x, y}
+            assert m.mine_jds_with_lhs(lhs, limit=0, x=x, y=y) == \
+                m.mine_jds_with_lhs_dfs(lhs, limit=0, x=x, y=y), (x, y)
+    finally:
+        m.eng.unpersist()
