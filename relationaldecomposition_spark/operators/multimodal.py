@@ -2,13 +2,19 @@
 
 Media are opaque ``binary`` columns + a typed metadata struct. The Spark
 plumbing — schema, Arrow batching via mapInPandas, partition-size control —
-is real and tested; the actual codec work is STUBBED (this container has no
-image/audio libraries) behind ``Decoder`` implementations:
+is real and tested. ``Decoder`` implementations:
 
-- ``FakeDecoder``   deterministic features from the raw bytes (used in tests
-                    and oracles — byte length, fake width/height)
-- ``PillowDecoder`` real image decode, raises NotImplementedError unless
-                    Pillow is importable (import-gated, never at module load)
+- ``HeaderDecoder`` REAL metadata decode: pure-Python header parsers for
+                    PPM/PGM/PBM, BMP, PNG, GIF, and JPEG (marker scan) —
+                    true width/height/channels from the actual bytes, no
+                    codec library needed (all container formats are public
+                    specs; only pixel *decompression* would need one)
+- ``FakeDecoder``   deterministic features from the raw bytes (byte length,
+                    synthetic width/height) for plumbing tests over payloads
+                    that aren't media
+- ``PillowDecoder`` full pixel decode, raises NotImplementedError unless
+                    Pillow is importable (import-gated, never at module
+                    load) — this container ships no codec libs
 
 Scale notes: mapInPandas streams Arrow batches — media bytes never
 materialize as Python lists; `spark.sql.files.maxPartitionBytes` and
@@ -17,6 +23,8 @@ embarrassingly parallel: no shuffle at all.
 """
 
 from __future__ import annotations
+
+import struct
 
 from collections.abc import Iterator
 
@@ -39,6 +47,8 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("n_bytes", T.LongType(), True),
     T.StructField("width", T.IntegerType(), True),
     T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("format", T.StringType(), True),
 ])
 
 
@@ -59,6 +69,110 @@ class FakeDecoder(Decoder):
             "n_bytes": n.astype("int64"),
             "width": (n % 640).astype("int32"),
             "height": ((n * 7) % 480).astype("int32"),
+            "channels": ((n % 4) + 1).astype("int32"),
+            "format": "fake",
+        })
+
+
+# -- real header parsing (public container-format specs, pure Python) --------
+
+_PNM_CHANNELS = {"1": 1, "2": 1, "3": 3, "4": 1, "5": 1, "6": 3}
+_PNM_FORMAT = {"1": "pbm", "2": "pgm", "3": "ppm",
+               "4": "pbm", "5": "pgm", "6": "ppm"}
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOFn markers carrying frame dimensions (C4=DHT, C8=JPG, CC=DAC excluded)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _pnm_tokens(b: bytes, n: int):
+    """First n whitespace-separated tokens after the PNM magic, skipping
+    '#' comments (the netpbm header grammar)."""
+    toks, i, L = [], 2, len(b)
+    while len(toks) < n and i < L:
+        c = b[i:i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":
+            while i < L and b[i:i + 1] != b"\n":
+                i += 1
+        else:
+            j = i
+            while j < L and b[j:j + 1] not in b" \t\r\n":
+                j += 1
+            toks.append(b[i:j])
+            i = j
+    return toks if len(toks) == n else None
+
+
+def parse_media_header(b: bytes | None):
+    """(width, height, channels, format) from the container header, or
+    (None, None, None, None) when the bytes are not a recognized format.
+    Pure byte inspection — never decompresses pixel data."""
+    none = (None, None, None, None)
+    if b is None or len(b) < 10:
+        return none
+    try:
+        if b[0:1] == b"P" and b[1:2] in b"123456":
+            kind = b[1:2].decode()
+            toks = _pnm_tokens(b, 2)
+            if toks is None:
+                return none
+            return (int(toks[0]), int(toks[1]),
+                    _PNM_CHANNELS[kind], _PNM_FORMAT[kind])
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w, h = struct.unpack(">II", b[16:24])
+            color_type = b[25]
+            return (w, h, _PNG_CHANNELS.get(color_type), "png")
+        if b[:2] == b"BM" and len(b) >= 26:
+            hdr_size = struct.unpack("<I", b[14:18])[0]
+            if hdr_size >= 40 and len(b) >= 30:    # BITMAPINFOHEADER+
+                w, h = struct.unpack("<ii", b[18:26])
+                bpp = struct.unpack("<H", b[28:30])[0]
+            elif hdr_size == 12:                   # BITMAPCOREHEADER
+                w, h = struct.unpack("<HH", b[18:22])
+                bpp = struct.unpack("<H", b[24:26])[0]
+            else:
+                return none
+            return (abs(w), abs(h), max(1, bpp // 8), "bmp")
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = struct.unpack("<HH", b[6:10])
+            return (w, h, 3, "gif")
+        if b[:2] == b"\xff\xd8":                   # JPEG: scan segment markers
+            i, L = 2, len(b)
+            while i + 9 < L:
+                if b[i] != 0xFF:
+                    return none
+                marker = b[i + 1]
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+                    i += 2
+                    continue
+                seg_len = struct.unpack(">H", b[i + 2:i + 4])[0]
+                if marker in _JPEG_SOF:
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    return (w, h, b[i + 9], "jpeg")
+                if marker == 0xD9 or marker == 0xDA:
+                    return none                    # hit scan data: no SOF seen
+                i += 2 + seg_len
+    except (struct.error, ValueError, IndexError):
+        return none
+    return none
+
+
+class HeaderDecoder(Decoder):
+    """Real metadata decode: true dimensions/channels parsed from the actual
+    container bytes (see parse_media_header). Unrecognized payloads yield
+    null features with the byte count preserved."""
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        parsed = [parse_media_header(b) for b in content]
+        return pd.DataFrame({
+            "n_bytes": content.map(
+                lambda b: len(b) if b is not None else 0).astype("int64"),
+            "width": pd.array([p[0] for p in parsed], dtype="Int32"),
+            "height": pd.array([p[1] for p in parsed], dtype="Int32"),
+            "channels": pd.array([p[2] for p in parsed], dtype="Int32"),
+            "format": [p[3] for p in parsed],
         })
 
 
@@ -87,6 +201,32 @@ def documents_as_media(df: DataFrame, text_col: str = "text",
         F.struct(F.lit("documents").alias("source"),
                  F.octet_length(F.encode(F.col(text_col), "UTF-8"))
                   .cast("long").alias("n_bytes")).alias("meta"),
+    )
+
+
+def documents_as_ppm(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     max_w: int = 64, max_h: int = 48) -> DataFrame:
+    """Synthesize a REAL binary P6 PPM image per document — valid netpbm
+    container bytes (magic, dims, maxval, then 3*w*h pixel bytes), with
+    deterministic dims derived from the id so the DuckDB oracle can build
+    byte-identical content and parse the SAME header back with string ops.
+    Pixel bytes are the 'x' fill (ASCII keeps byte length == char length in
+    both engines). Built entirely from column expressions — the binary
+    payload never touches Python."""
+    w = (F.col(id_col) % max_w + 1).cast("int")
+    h = (F.col(id_col) % max_h + 1).cast("int")
+    content = F.encode(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                 h.cast("string"), F.lit("\n255\n"),
+                 F.repeat(F.lit("x"), w * h * 3)), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.lit("image").alias("media_type"),
+        F.struct(F.lit("ppm_synth").alias("source"),
+                 F.octet_length(content).cast("long").alias("n_bytes"))
+         .alias("meta"),
     )
 
 

@@ -184,6 +184,41 @@ def q_o14_frame_sample(spark, sf_dir):
     return multimodal.frame_sample(media, every_n_bytes=64)
 
 
+def q_o19_ppm_decode(spark, sf_dir):
+    """REAL media decode: synthesize valid P6 PPM bytes per document, then
+    parse true width/height/channels back out of the binary header with
+    HeaderDecoder (pure-Python netpbm parser inside Arrow batches). The
+    oracle constructs byte-identical content in SQL and string-parses the
+    SAME header — both engines decode, neither trusts the construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_ppm(docs)
+    return multimodal.extract_features(media, multimodal.HeaderDecoder())
+
+
+def _oracle_ppm_decode() -> str:
+    """Build the P6 content string exactly as documents_as_ppm does, then
+    parse the header back with split_part — an honest decode, not an echo
+    of the construction parameters."""
+    return """
+      WITH ppm AS (
+        SELECT doc_id::BIGINT AS media_id,
+               'P6' || chr(10)
+                 || ((doc_id % 64) + 1)::VARCHAR || ' '
+                 || ((doc_id % 48) + 1)::VARCHAR || chr(10) || '255' || chr(10)
+                 || repeat('x', (((doc_id % 64) + 1)
+                                 * ((doc_id % 48) + 1) * 3)::INT) AS content
+        FROM documents)
+      SELECT media_id,
+             octet_length(encode(content))::BIGINT AS n_bytes,
+             split_part(split_part(content, chr(10), 2), ' ', 1)::INT AS width,
+             split_part(split_part(content, chr(10), 2), ' ', 2)::INT AS height,
+             (CASE WHEN split_part(content, chr(10), 1) = 'P6'
+                   THEN 3 END)::INT AS channels,
+             (CASE WHEN split_part(content, chr(10), 1) = 'P6'
+                   THEN 'ppm' END) AS format
+      FROM ppm"""
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -479,6 +514,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o12_fingerprint": q_o12_fingerprint,
     "o13_media_features": q_o13_media_features,
     "o14_frame_sample": q_o14_frame_sample,
+    "o19_ppm_decode": q_o19_ppm_decode,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -505,8 +541,11 @@ OPERATOR_ORACLES: dict[str, str] = {
         "SELECT doc_id::BIGINT AS media_id, "
         "octet_length(encode(text))::BIGINT AS n_bytes, "
         "(octet_length(encode(text)) % 640)::INT AS width, "
-        "((octet_length(encode(text)) * 7) % 480)::INT AS height "
+        "((octet_length(encode(text)) * 7) % 480)::INT AS height, "
+        "(octet_length(encode(text)) % 4 + 1)::INT AS channels, "
+        "'fake' AS format "
         "FROM documents"),
+    "o19_ppm_decode": _oracle_ppm_decode(),
     "o14_frame_sample": (
         "SELECT doc_id::BIGINT AS media_id, "
         "unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64))::BIGINT "

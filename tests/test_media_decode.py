@@ -1,0 +1,116 @@
+"""Real media metadata decode: parse_media_header against generated binary
+fixtures with known dimensions (netpbm, BMP, PNG, GIF, JPEG — all public
+container specs, parsed without any codec library), plus the end-to-end
+Spark path (binary column -> mapInPandas -> HeaderDecoder) and the o19
+gate-query shape."""
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import multimodal
+from relationaldecomposition_spark.operators.multimodal import (
+    HeaderDecoder, parse_media_header)
+
+
+def make_ppm(w, h, magic=b"P6", comment=False):
+    hdr = magic + b"\n"
+    if comment:
+        hdr += b"# a netpbm comment\n"
+    hdr += b"%d %d\n255\n" % (w, h)
+    channels = 3 if magic in (b"P3", b"P6") else 1
+    return hdr + b"\x7f" * (w * h * channels)
+
+
+def make_bmp(w, h, bpp=24):
+    # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40), no pixel data needed
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, 0, 2835, 2835, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40, 0, 0, 54)
+    return file_hdr + info
+
+
+def make_png(w, h, color_type=6, bit_depth=8):
+    ihdr = struct.pack(">II", w, h) + bytes([bit_depth, color_type, 0, 0, 0])
+    chunk = b"IHDR" + ihdr
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk)))
+
+
+def make_gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+
+def make_jpeg(w, h, ncomp=3):
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 8 + 3 * ncomp) + b"\x08"
+            + struct.pack(">HH", h, w) + bytes([ncomp]) + b"\x01\x11\x00" * ncomp)
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xda\x00\x02" + b"\x00" * 8 + b"\xff\xd9"
+
+
+CASES = [
+    (make_ppm(17, 9), (17, 9, 3, "ppm")),
+    (make_ppm(640, 480, comment=True), (640, 480, 3, "ppm")),
+    (make_ppm(5, 4, magic=b"P5"), (5, 4, 1, "pgm")),
+    (make_ppm(3, 2, magic=b"P1"), (3, 2, 1, "pbm")),
+    (make_bmp(800, 600), (800, 600, 3, "bmp")),
+    (make_bmp(32, -32, bpp=32), (32, 32, 4, "bmp")),   # top-down BMP
+    (make_png(1920, 1080), (1920, 1080, 4, "png")),
+    (make_png(12, 34, color_type=2), (12, 34, 3, "png")),
+    (make_png(7, 7, color_type=0), (7, 7, 1, "png")),
+    (make_gif(101, 55), (101, 55, 3, "gif")),
+    (make_jpeg(256, 192), (256, 192, 3, "jpeg")),
+    (make_jpeg(64, 48, ncomp=1), (64, 48, 1, "jpeg")),
+]
+
+
+@pytest.mark.parametrize("payload,expect", CASES,
+                         ids=[c[1][3] + str(i) for i, c in enumerate(CASES)])
+def test_known_headers_parse(payload, expect):
+    assert parse_media_header(payload) == expect
+
+
+@pytest.mark.parametrize("junk", [
+    None, b"", b"short", b"not an image at all" * 10,
+    b"P9\n3 2\n255\n" + b"x" * 18,          # bad PNM magic
+    b"\x89PNG\r\n\x1a\x00" + b"\x00" * 30,  # corrupted PNG signature
+    b"\xff\xd8\xff\xda\x00\x02" + b"\x00" * 20,  # JPEG with no SOF
+    b"BM" + b"\x00" * 6,                    # truncated BMP
+])
+def test_junk_yields_nulls(junk):
+    assert parse_media_header(junk) == (None, None, None, None)
+
+
+def test_header_decoder_spark_end_to_end(spark):
+    rows = [(i, payload) for i, (payload, _) in enumerate(CASES)]
+    rows.append((99, b"garbage bytes, not an image"))
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in
+           multimodal.extract_features(media, HeaderDecoder()).collect()}
+    for i, (payload, (w, h, ch, fmt)) in enumerate(CASES):
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"], r["format"]) == \
+            (w, h, ch, fmt), fmt
+        assert r["n_bytes"] == len(payload)
+    junk = got[99]
+    assert junk["width"] is None and junk["format"] is None
+    assert junk["n_bytes"] == len(b"garbage bytes, not an image")
+
+
+def test_documents_as_ppm_roundtrip(spark):
+    """The synthesized PPM bytes must decode to exactly the dims they were
+    built with — the o19 gate-query invariant, on a local fixture."""
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (0, 1, 63, 64, 47, 48, 1000)],
+        "doc_id long, text string")
+    media = multimodal.documents_as_ppm(docs)
+    feats = {r["media_id"]: r for r in
+             multimodal.extract_features(media, HeaderDecoder()).collect()}
+    for i in (0, 1, 63, 64, 47, 48, 1000):
+        r = feats[i]
+        w, h = i % 64 + 1, i % 48 + 1
+        assert (r["width"], r["height"], r["channels"], r["format"]) == \
+            (w, h, 3, "ppm"), i
+        # header is "P6\n<w> <h>\n255\n" then exactly 3*w*h pixel bytes
+        assert r["n_bytes"] == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
