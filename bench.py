@@ -13,6 +13,9 @@ beyond-reference pipeline operators:
   - flagship:        entry()-style measure + validation summary
   - lsh_dedup:       MinHash-LSH near-dup candidate pairs on documents
   - cosine_topk:     brute-force + LSH-bucketed ANN over embeddings
+  - ann_topk:        multi-table multi-probe SRP-LSH top-k with the
+                     hot-bucket cap engaged (the o15/o18 scale path)
+  - ivf_topk:        IVF cell-probe ANN (o16): codebook assign + probe join
   - stream_window:   windowed + session aggregation over events (batch twin
                      of the streaming operators)
 
@@ -46,8 +49,14 @@ def build_queries(spark, sf_dir: str):
     from relationaldecomposition_spark.engine.measures import MeasureEngine
     from relationaldecomposition_spark.mining.jd_miner import JDMiner
     from relationaldecomposition_spark.operators.dedup import lsh_candidate_pairs
+    from relationaldecomposition_spark.operators.ivf import ivf_topk
+    from relationaldecomposition_spark.operators.registry import (
+        ANN_PLANES, ANN_PROBES, ANN_TABLES, IVF_CENTROID_IDS, IVF_PROBES)
     from relationaldecomposition_spark.operators.similarity import (
         cosine_topk, lsh_bucketed_topk)
+
+    ANN_QUERY_IDS = list(range(10))
+    ANN_MAX_BUCKET = 1000
     from relationaldecomposition_spark.queries import DECOMPOSITIONS
     from relationaldecomposition_spark.sources.tables import (
         denorm_customer_nation_region, load_table)
@@ -105,6 +114,20 @@ def build_queries(spark, sf_dir: str):
         cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
         lsh_bucketed_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
 
+    def ann_topk():
+        # the o15/o18 configuration: OR-construction + multi-probe, with the
+        # hot-bucket cap engaged so the guard's overhead is measured too
+        emb = load_table(spark, sf_dir, "embeddings")
+        lsh_bucketed_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
+                          n_planes=ANN_PLANES, n_probes=ANN_PROBES,
+                          n_tables=ANN_TABLES,
+                          max_bucket=ANN_MAX_BUCKET).count()
+
+    def ivf_topk_q():
+        emb = load_table(spark, sf_dir, "embeddings")
+        ivf_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
+                 centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES).count()
+
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
         windowed_counts(ev).count()
@@ -118,6 +141,8 @@ def build_queries(spark, sf_dir: str):
         "minsep_mine": minsep_mine,
         "lsh_dedup": lsh_dedup,
         "cosine_topk": cosine_topk_q,
+        "ann_topk": ann_topk,
+        "ivf_topk": ivf_topk_q,
         "stream_window": stream_window,
     }
 
