@@ -158,6 +158,16 @@ def q_o09_token_counts(spark, sf_dir):
                              "text", "doc_id")
 
 
+def q_o20_bpe_tokens(spark, sf_dir):
+    """TRUE BPE subword counts (functions/bpe.py) via Arrow-batched pandas
+    UDF. Deliberately has NO oracle_sql entry: iterative rank-order merges
+    are not SQL-expressible, so the driver records the rows-only check;
+    the value-level oracle is tests/test_bpe.py's independent sequential-
+    merge re-derivation."""
+    return text.bpe_token_counts(load_table(spark, sf_dir, "documents"),
+                                 "text", "doc_id")
+
+
 def q_o10_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -509,6 +519,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o17_lsh_pairs_guard": q_o17_lsh_pairs_guard,
     "o18_ann_topk_guard": q_o18_ann_topk_guard,
     "o09_token_counts": q_o09_token_counts,
+    "o20_bpe_tokens": q_o20_bpe_tokens,
     "o10_lang_id": q_o10_lang_id,
     "o11_quality": q_o11_quality,
     "o12_fingerprint": q_o12_fingerprint,

@@ -16,6 +16,8 @@ import re as _re
 
 from collections import Counter as _Counter
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import (
@@ -290,6 +292,32 @@ def sql_token_counts(table: str, text_col: str, id_col: str) -> str:
         f"SELECT {id_col}, len({sql_tokens(text_col)})::BIGINT AS ws_tokens, "
         f"len(regexp_extract_all({text_col}, '{BPE_ISH_RE}'))::BIGINT AS bpe_tokens, "
         f"length({text_col})::BIGINT AS n_chars FROM {table}"
+    )
+
+
+def bpe_token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """TRUE byte-pair-encoding token counts (functions/bpe.py: the public
+    Sennrich BPE with a deterministic import-time-learned merge table),
+    replacing the BPE_ISH_RE approximation where real subword counts
+    matter. Applied as an Arrow-batched pandas UDF — the one text operator
+    that genuinely needs Python (iterative rank-order merges are not a
+    column expression); per-word memoization makes the steady-state cost a
+    dict lookup per word. Not SQL-expressible, so its gate check is the
+    rows-only tier; the pytest oracle is an independent re-derivation
+    (tests/test_bpe.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def n_bpe(texts: pd.Series) -> pd.Series:
+        from ..functions.bpe import default_encoder
+        enc = default_encoder()
+        return texts.map(enc.count_tokens).astype("int64")
+
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        n_bpe(c).alias("bpe_tokens"),
+        F.size(tokens(c)).cast("bigint").alias("ws_tokens"),
     )
 
 
