@@ -248,11 +248,13 @@ def extract_features(media: DataFrame, decoder: Decoder | None = None,
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' plumbing demo: emit one row per sampled offset of
-    each payload (video-frame analogue) — pure column ops, no UDF."""
+    each payload (video-frame analogue) — pure column ops, no UDF. The
+    preview is the HEX of the leading bytes (binary-safe: real media bytes
+    would render a cast-to-string preview as mojibake)."""
     n = F.octet_length("content")
     offsets = F.sequence(F.lit(0), F.greatest((n - 1), F.lit(0)),
                          F.lit(every_n_bytes))
     return media.select("media_id",
                         F.explode(offsets).alias("frame_offset"),
-                        F.substring(F.col("content").cast("string"), 1, 8)
+                        F.hex(F.expr("substring(content, 1, 8)"))
                          .alias("frame_preview"))

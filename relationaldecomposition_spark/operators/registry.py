@@ -560,5 +560,6 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o14_frame_sample": (
         "SELECT doc_id::BIGINT AS media_id, "
         "unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64))::BIGINT "
-        "AS frame_offset, substr(text, 1, 8) AS frame_preview FROM documents"),
+        "AS frame_offset, substr(hex(encode(text)), 1, 16) AS frame_preview "
+        "FROM documents"),
 }
