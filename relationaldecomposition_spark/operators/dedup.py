@@ -246,6 +246,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
             .where(F.col("jaccard") >= tau))
 
 
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Cluster candidate pairs into connected components: (id, rep) with
+    rep = the minimum id reachable from `id` — the standard tail of a
+    near-dup pipeline (LSH pairs -> clusters -> keep one survivor per
+    cluster, rep being the canonical survivor).
+
+    Distributed label propagation with pointer jumping: each round takes
+    the min over (own label, neighbors' labels, label-of-label). Plain
+    neighbor-min needs diameter rounds; the pointer-jump join halves long
+    chains each round (log-diameter convergence — the same idea as
+    map-reduce CC algorithms a la Kiveris et al.), and near-dup clusters
+    are dense, so real corpora converge in a handful of rounds. Each round
+    is two bounded joins + a groupBy on edge endpoints; labels are
+    localCheckpoint'ed per round so lineage (and thus plan size) stays
+    constant — the loop is driver-side CONTROL only, all data stays
+    distributed. Raises RuntimeError if max_iter rounds don't converge
+    (pathological graph, not a corpus shape)."""
+    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    edges = fwd.union(fwd.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))) \
+               .distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .select("id", F.col("id").alias("rep"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("id").alias("b"),
+                                        F.col("rep").alias("brep")), "b")
+               .groupBy("a").agg(F.min("brep").alias("nrep"))
+               .select(F.col("a").alias("id"), "nrep"))
+        stepped = (labels.join(nbr, "id", "left")
+                   .select("id", F.least("rep", F.coalesce("nrep", "rep"))
+                           .alias("rep")))
+        jumped = (stepped.join(labels.select(F.col("id").alias("rep"),
+                                             F.col("rep").alias("rrep")),
+                               "rep")
+                  .select("id", F.least("rep", "rrep").alias("rep")))
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (new_labels.join(labels.select("id",
+                                                 F.col("rep").alias("old")),
+                                   "id")
+                   .where(F.col("rep") != F.col("old")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge "
+                       f"in {max_iter} rounds")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)

@@ -153,6 +153,33 @@ def q_o18_ann_topk_guard(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_o21_dedup_clusters(spark, sf_dir):
+    """Near-dup pipeline tail: LSH candidate pairs (o03 config) clustered
+    into connected components — (doc_id, cluster rep = min reachable id).
+    The oracle recomputes the same components with a recursive CTE
+    (transitive closure + min), so the distributed label-propagation loop
+    is value-checked end-to-end."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", N_HASHES,
+                                      BANDS, SHINGLE_K, LSH_MIN_EST,
+                                      MINHASH_SEED)
+    return dedup.connected_components(pairs).select(
+        F.col("id").cast("bigint").alias("id"),
+        F.col("rep").cast("bigint").alias("rep"))
+
+
+def _oracle_dedup_clusters() -> str:
+    return f"""
+      WITH RECURSIVE cand AS ({_oracle_lsh_pairs()}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      walk(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a)
+      SELECT id, min(r) AS rep FROM walk GROUP BY id"""
+
+
 def q_o09_token_counts(spark, sf_dir):
     return text.token_counts(load_table(spark, sf_dir, "documents"),
                              "text", "doc_id")
@@ -518,6 +545,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o16_ivf_topk": q_o16_ivf_topk,
     "o17_lsh_pairs_guard": q_o17_lsh_pairs_guard,
     "o18_ann_topk_guard": q_o18_ann_topk_guard,
+    "o21_dedup_clusters": q_o21_dedup_clusters,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
     "o10_lang_id": q_o10_lang_id,
@@ -544,6 +572,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o16_ivf_topk": _oracle_ivf_topk(),
     "o17_lsh_pairs_guard": _oracle_lsh_pairs(max_bucket=GUARD_LSH_MAX_BUCKET),
     "o18_ann_topk_guard": _oracle_ann_topk(max_bucket=GUARD_ANN_MAX_BUCKET),
+    "o21_dedup_clusters": _oracle_dedup_clusters(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

@@ -122,3 +122,33 @@ def test_timeout_runner_stops_search(spark, validator):
     # generous timeout completes
     miner = runner.run(mine_fast, timeout=600)
     assert miner.mined_min_seps
+
+
+def test_timeout_runner_stops_mvd_miner(spark, validator):
+    """The ADVICE r3 medium: a timed-out MVDMiner worker must stop LAUNCHING
+    Spark jobs once the stop flag flips (cancelJobGroup only kills in-flight
+    ones). Wide projection + tiny timeout forces the flag path; the miner
+    polls at level and batch boundaries, so jobs_run stops advancing shortly
+    after the TimeoutError surfaces."""
+    from relationaldecomposition_spark.engine.entropy import SparkEntropyEngine
+    from relationaldecomposition_spark.engine.measures import MeasureEngine
+    from relationaldecomposition_spark.mining.lattice import MVDMiner
+
+    eng = SparkEntropyEngine(validator.base, max_grouping_sets=2)
+    runner = TimeoutRunner(spark)
+    try:
+        with pytest.raises(TimeoutError):
+            runner.run(
+                lambda stop: MVDMiner(MeasureEngine(eng), alpha=0.0,
+                                      stop_flag=stop).mine(),
+                timeout=1.0)
+        jobs_at_timeout = eng.jobs_run
+        # the worker thread polls the flag before each batch: allow one
+        # in-flight batch to finish, then the count must freeze
+        time.sleep(8)
+        settled = eng.jobs_run
+        time.sleep(4)
+        assert eng.jobs_run == settled, "miner kept launching jobs after stop"
+        assert settled - jobs_at_timeout <= 2
+    finally:
+        eng.unpersist()

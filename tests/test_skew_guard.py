@@ -149,3 +149,32 @@ def test_ann_cap_bounds_candidates_keeps_topk(skewed_vecs):
     assert pairs(capped) <= pairs(full)
     # every query still gets results
     assert set(n_cap) == {200, 0}
+
+
+# ---------------------------------------------------------------------------
+# connected-components clustering (the dedup pipeline tail)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_shapes(spark):
+    # chain 1-2-3-4-5 (forces multi-round convergence), clique 10-11-12,
+    # isolated pair (20, 21)
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5),
+             (10, 11), (10, 12), (11, 12),
+             (20, 21)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["rep"] for r in
+           dedup.connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 64-node chain: plain neighbor-min needs 63 rounds; pointer jumping
+    # must converge within the 25-round bound (log-diameter)
+    pairs = [(i, i + 1) for i in range(64)]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    got = {r["id"]: r["rep"] for r in
+           dedup.connected_components(df).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 65
