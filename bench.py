@@ -109,6 +109,14 @@ def build_queries(spark, sf_dir: str):
         docs = load_table(spark, sf_dir, "documents")
         lsh_candidate_pairs(docs, "text", "doc_id").count()
 
+    def lsh_dedup_guarded():
+        # production configuration: the hot-bucket split guard engaged —
+        # near-no-op on benign data (buckets << cap), linear on templated
+        # corpora where the unguarded join goes quadratic
+        docs = load_table(spark, sf_dir, "documents")
+        lsh_candidate_pairs(docs, "text", "doc_id",
+                            max_bucket=1000, skew_mode="split").count()
+
     def cosine_topk_q():
         emb = load_table(spark, sf_dir, "embeddings")
         cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
@@ -140,6 +148,7 @@ def build_queries(spark, sf_dir: str):
         "flagship": flagship,
         "minsep_mine": minsep_mine,
         "lsh_dedup": lsh_dedup,
+        "lsh_dedup_guarded": lsh_dedup_guarded,
         "cosine_topk": cosine_topk_q,
         "ann_topk": ann_topk,
         "ivf_topk": ivf_topk_q,
@@ -147,12 +156,16 @@ def build_queries(spark, sf_dir: str):
     }
 
 
-def run_bench(spark, sf_dir: str, repeats: int = 1) -> dict[str, float]:
-    """Per-query median over `repeats` runs, in seconds."""
+def run_bench(spark, sf_dir: str, repeats: int = 1,
+              only: list[str] | None = None) -> dict[str, float]:
+    """Per-query median over `repeats` runs, in seconds. `only` restricts to
+    a subset (tools/bench_scaling.py's skewed section)."""
     from relationaldecomposition_spark.sources.tables import load_table
 
     load_table(spark, sf_dir, "lineitem").count()  # warm JVM/parquet footers
     queries = build_queries(spark, sf_dir)
+    if only is not None:
+        queries = {k: queries[k] for k in only}
     out: dict[str, float] = {}
     for name, fn in queries.items():
         samples = []

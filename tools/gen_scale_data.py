@@ -98,6 +98,52 @@ def scale_embeddings(df: DataFrame, factor: int) -> DataFrame:
     return out.withColumn("embedding", rot).drop("_rep")
 
 
+def apply_skew(name: str, df: DataFrame) -> DataFrame:
+    """Adversarial (Zipf-ish) distributions, applied AFTER scaling so every
+    replica contributes to the hot keys. All transforms are deterministic
+    id-modulo selections — no RNG, reruns are byte-stable.
+
+    - documents: every 4th doc collapses to ONE boilerplate template — a
+      single LSH band bucket holds 25% of the corpus (the templated-corpus
+      hazard the hot-bucket guard exists for).
+    - embeddings: every 4th vector becomes one fixed direction — one hot
+      SRP/IVF bucket with 25% of the vectors.
+    - lineitem: half the rows take the mode value in two measure columns —
+      hot group-by keys for the entropy/mining pipelines.
+    - events: every 3rd event reassigns to one hot user — one sessionize /
+      stateful-agg group carries a third of the stream.
+    """
+    if name == "documents":
+        hot = F.col("doc_id") % 4 == 0
+        template = F.lit(
+            "terms of service apply to all content provided by the site "
+            "operator all rights reserved worldwide without limitation")
+        return (df.withColumn("text",
+                              F.when(hot, template).otherwise(F.col("text")))
+                  .withColumn("n_chars", F.length("text").cast("bigint")))
+    if name == "embeddings":
+        hot = F.col("vec_id") % 4 == 0
+        fixed = F.transform(F.col("embedding"),
+                            lambda x: F.lit(0.5).cast("float"))
+        return df.withColumn(
+            "embedding", F.when(hot, fixed).otherwise(F.col("embedding")))
+    if name == "lineitem":
+        hot = F.col("l_orderkey") % 2 == 0
+        df = df.withColumn(
+            "l_quantity",
+            F.when(hot, F.lit(25.0)).otherwise(F.col("l_quantity")))
+        return df.withColumn(
+            "l_discount",
+            F.when(hot, F.lit(0.05)).otherwise(F.col("l_discount")))
+    if name == "events":
+        hot = F.col("event_id") % 3 == 0
+        min_user = df.agg(F.min("user_id")).first()[0] or 0
+        return df.withColumn(
+            "user_id",
+            F.when(hot, F.lit(min_user)).otherwise(F.col("user_id")))
+    return df
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -105,6 +151,9 @@ def main(argv=None) -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".data", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--skew", action="store_true",
+                    help="apply adversarial hot-key/hot-bucket skew "
+                         "(apply_skew) after scaling")
     args = ap.parse_args(argv)
     spark = get_spark("gen-scale-data")
     os.makedirs(args.dest, exist_ok=True)
@@ -121,6 +170,8 @@ def main(argv=None) -> int:
             out = scale_embeddings(df, args.factor)
         else:
             out = _shift_keys(df, KEY_SHIFTS[name], args.factor)
+        if args.skew:
+            out = apply_skew(name, out)
         dest = f"{args.dest}/{name}.parquet"
         out.coalesce(max(1, args.factor // 2)) \
            .write.mode("overwrite").parquet(dest)
