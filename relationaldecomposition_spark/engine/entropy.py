@@ -40,12 +40,17 @@ import math
 import threading
 import time
 import uuid
-from collections.abc import Iterable, Sequence
+from collections.abc import Callable, Iterable, Sequence
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, functions as F
 
 from ..core.attrset import attrset, sorted_cols
+
+
+class MiningCancelled(RuntimeError):
+    """Raised between entropy chunk jobs when the engine's stop_check flips
+    (B18 cooperative cancellation — see SparkEntropyEngine.stop_check)."""
 
 # Cap on grouping sets per job: each set replicates the scan's rows into the
 # shuffle, so width w multiplies shuffle input by w. 16 matches the spirit of
@@ -98,6 +103,12 @@ class SparkEntropyEngine:
         self.group_budget_rows = group_budget_rows
         self._cache: dict[frozenset[str], float] = {}
         self._lock = threading.Lock()
+        # cooperative cancellation (B18): when set, polled between chunk
+        # jobs — a timed-out miner stops launching NEW Spark jobs with at
+        # most one chunk of latency (cancelJobGroup only kills in-flight
+        # ones). Raising (not returning partial results) keeps measure
+        # semantics intact; the runner's worker thread dies on it.
+        self.stop_check: Callable[[], bool] | None = None
         # in-flight dedup: subset -> Event set when its batch lands in the
         # cache; concurrent miner threads wait instead of recomputing
         self._inflight: dict[frozenset[str], threading.Event] = {}
@@ -214,6 +225,9 @@ class SparkEntropyEngine:
                         self._batch_concurrent(todo)
                     else:
                         for chunk in self._plan_chunks(todo):
+                            if self.stop_check is not None and self.stop_check():
+                                raise MiningCancelled(
+                                    "entropy batch cancelled by stop flag")
                             self._batch_grouping_sets(chunk)
                 finally:
                     # always release waiters, even on failure/cancel — they

@@ -145,6 +145,7 @@ def run_minsep_experiment(df: DataFrame, out_csv: str, sep_dir: str,
         try:
             def mine(stop):
                 miner._stop = stop
+                miner.eng.stop_check = stop
                 miner.mine_all_min_seps()
                 if mine_full_mvds:
                     miner.mine_all_full_mvds()

@@ -76,6 +76,9 @@ class JDMiner:
         self._mined_lock = threading.Lock()
         # cooperative cancellation (B18): callable returning True to stop
         self._stop = stop_flag or (lambda: False)
+        if stop_flag is not None:
+            # engine hook: long chunked entropy batches stop mid-batch too
+            self.eng.stop_check = stop_flag
 
     def _map_pairs(self, fn, pairs):
         """Run fn over pairs concurrently (thread pool + FAIR scheduler),

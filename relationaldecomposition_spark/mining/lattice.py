@@ -72,8 +72,12 @@ class TopDownSearch:
         self.inferred_count = 0
         self.levels_run = 0
         # cooperative stop (TimeoutRunner contract, like JDMiner._stop):
-        # polled once per lattice level, BEFORE the level's Spark jobs launch
+        # polled once per lattice level, BEFORE the level's Spark jobs
+        # launch; also installed in the entropy engine so a long chunked
+        # measure batch stops mid-batch (one chunk of latency)
         self._stop = stop_flag or (lambda: False)
+        if stop_flag is not None:
+            meng.engine.stop_check = stop_flag
 
     def search(self) -> DependencySet:
         queue = DependencySet(self.dep_cls.most_general(self.schema))
@@ -110,9 +114,12 @@ class MVDMiner:
         self.border: DependencySet = DependencySet()
         # cooperative stop (TimeoutRunner contract): a timed-out worker
         # thread survives cancelJobGroup (only in-flight jobs die), so the
-        # miner must stop LAUNCHING jobs too — polled at every level and
-        # before every measure_all batch
+        # miner must stop LAUNCHING jobs too — polled at every level,
+        # before every measure_all batch, and (via the engine hook) between
+        # the chunked grouping-sets jobs inside a batch
         self._stop = stop_flag or (lambda: False)
+        if stop_flag is not None:
+            meng.engine.stop_check = stop_flag
 
     def _accurate(self, deps: list) -> list:
         """getAccurate (TopDownInductiveSearch.java:195-205), batched."""

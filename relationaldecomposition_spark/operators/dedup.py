@@ -295,6 +295,17 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                        f"in {max_iter} rounds")
 
 
+def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
+    """Materialize the deduplicated corpus: drop every row whose id appears
+    in `clusters` (connected_components output) with rep != id — i.e. keep
+    cluster survivors and all never-paired rows. One broadcast-or-shuffle
+    anti-join against the (tiny relative to the corpus) non-survivor list;
+    the corpus itself is never collected or re-keyed."""
+    losers = clusters.where(F.col("rep") != F.col("id")).select("id")
+    return df.join(losers.withColumnRenamed("id", id_col), id_col,
+                   "left_anti")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)

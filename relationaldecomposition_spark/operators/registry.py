@@ -180,6 +180,29 @@ def _oracle_dedup_clusters() -> str:
       SELECT id, min(r) AS rep FROM walk GROUP BY id"""
 
 
+def q_o22_dedup_apply(spark, sf_dir):
+    """End of the dedup pipeline: the surviving corpus after dropping
+    non-canonical near-dup cluster members (LSH pairs -> components ->
+    keep rep + never-paired docs). Returns ids + lengths so the oracle
+    hash covers which rows survived, not just how many."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", N_HASHES,
+                                      BANDS, SHINGLE_K, LSH_MIN_EST,
+                                      MINHASH_SEED)
+    clusters = dedup.connected_components(pairs)
+    kept = dedup.apply_dedup(docs, clusters, "doc_id")
+    return kept.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                       F.length("text").cast("bigint").alias("n_chars"))
+
+
+def _oracle_dedup_apply() -> str:
+    return f"""
+      WITH RECURSIVE comp AS ({_oracle_dedup_clusters()})
+      SELECT doc_id::BIGINT AS doc_id, length(text)::BIGINT AS n_chars
+      FROM documents
+      WHERE doc_id NOT IN (SELECT id FROM comp WHERE rep != id)"""
+
+
 def q_o09_token_counts(spark, sf_dir):
     return text.token_counts(load_table(spark, sf_dir, "documents"),
                              "text", "doc_id")
@@ -546,6 +569,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o17_lsh_pairs_guard": q_o17_lsh_pairs_guard,
     "o18_ann_topk_guard": q_o18_ann_topk_guard,
     "o21_dedup_clusters": q_o21_dedup_clusters,
+    "o22_dedup_apply": q_o22_dedup_apply,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
     "o10_lang_id": q_o10_lang_id,
@@ -573,6 +597,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o17_lsh_pairs_guard": _oracle_lsh_pairs(max_bucket=GUARD_LSH_MAX_BUCKET),
     "o18_ann_topk_guard": _oracle_ann_topk(max_bucket=GUARD_ANN_MAX_BUCKET),
     "o21_dedup_clusters": _oracle_dedup_clusters(),
+    "o22_dedup_apply": _oracle_dedup_apply(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

@@ -143,12 +143,13 @@ def test_timeout_runner_stops_mvd_miner(spark, validator):
                                       stop_flag=stop).mine(),
                 timeout=1.0)
         jobs_at_timeout = eng.jobs_run
-        # the worker thread polls the flag before each batch: allow one
-        # in-flight batch to finish, then the count must freeze
+        # the flag is polled between chunk jobs (engine stop_check hook), so
+        # at most ~one chunk launches after the timeout, then the count
+        # freezes
         time.sleep(8)
         settled = eng.jobs_run
         time.sleep(4)
         assert eng.jobs_run == settled, "miner kept launching jobs after stop"
-        assert settled - jobs_at_timeout <= 2
+        assert settled - jobs_at_timeout <= 3
     finally:
         eng.unpersist()

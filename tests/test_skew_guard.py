@@ -178,3 +178,14 @@ def test_connected_components_long_chain_converges(spark):
            dedup.connected_components(df).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 65
+
+
+def test_apply_dedup_keeps_survivors_and_unpaired(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], ["doc_id", "text"])
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)], ["id", "rep"])
+    kept = {r["doc_id"] for r in
+            dedup.apply_dedup(docs, clusters, "doc_id").collect()}
+    # reps 1 and 5 survive; 2,3,6 drop; 0,4,7 never paired -> kept
+    assert kept == {0, 1, 4, 5, 7}

@@ -66,7 +66,13 @@ def test_epsilon_sweep_monotone(spark):
 
 
 def test_every_query_has_an_oracle():
-    """Round-2 gate completeness: every queries() entry has a DuckDB oracle
-    twin (b03/b11/b15 gained exhaustive subset-entropy oracles in r2)."""
+    """Gate completeness: every queries() entry has a DuckDB oracle twin,
+    except the documented rows-only set (non-SQL-expressible operators,
+    each carrying its value oracle in pytest instead)."""
     from relationaldecomposition_spark.queries import ORACLES, QUERIES
-    assert set(QUERIES) == set(ORACLES)
+    ROWS_ONLY_BY_DESIGN = {
+        # true BPE: iterative rank-order merges; value oracle in test_bpe.py
+        "o20_bpe_tokens",
+    }
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_BY_DESIGN
+    assert not set(ORACLES) - set(QUERIES)
