@@ -72,3 +72,16 @@ def test_all_null_column_yields_empty_dictionary(spark):
     assert codes.columns == ["value", "code"]
     assert codes.count() == 0
     codes.unpersist()
+
+
+def test_a03_query_result_is_executor_resident(spark):
+    """r3 'what's wrong' #1: the a03 driver query must not round-trip the
+    dictionary through the driver. The returned frame has to scan an
+    executor-side checkpoint (Scan ExistingRDD), never a driver-collected
+    LocalTableScan."""
+    from relationaldecomposition_spark.queries import q_a03_dict_encode
+    out = q_a03_dict_encode(spark, "/root/testdata/sf0.001")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan" in plan
+    assert out.count() == 5
