@@ -73,3 +73,27 @@ def read_csv_ref(spark: SparkSession, path: str, header: bool = False,
             F.when(F.col(f"`{c}`").isNull(), F.lit(EMPTY_SENTINEL))
             .otherwise(F.trim(F.col(f"`{c}`"))).alias(name))
     return df.select(*cols)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str | None = None,
+               corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """Line-delimited JSON corpus reader — the standard wire format for
+    document-pipeline ingest. With an explicit schema the scan is
+    single-pass (no sampling job) and malformed lines land in
+    ``corrupt_col`` instead of poisoning the read (PERMISSIVE mode), so a
+    100 TB ingest keeps bad records quarantined and countable rather than
+    failing the job. Without a schema Spark infers it (extra pass — fine
+    interactively, avoid at scale)."""
+    reader = spark.read.option("mode", "PERMISSIVE") \
+                       .option("columnNameOfCorruptRecord", corrupt_col)
+    if schema is not None:
+        full = schema.rstrip() + f", {corrupt_col} string"
+        reader = reader.schema(full)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str = "gzip",
+                partitions: int | None = None) -> None:
+    """JSONL sink (one object per line, splittable-friendly gzip parts)."""
+    out = df.repartition(partitions) if partitions else df
+    out.write.mode("overwrite").option("compression", compression).json(path)

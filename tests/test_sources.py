@@ -76,3 +76,27 @@ def test_every_query_has_an_oracle():
     }
     assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_BY_DESIGN
     assert not set(ORACLES) - set(QUERIES)
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, tmp_path):
+    from relationaldecomposition_spark.sources.tables import (
+        read_jsonl, write_jsonl)
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "second doc"}\n'
+        'not json at all\n'
+        '{"doc_id": "wrongtype", "text": 3}\n')
+    df = read_jsonl(spark, str(src), "doc_id bigint, text string")
+    rows = df.collect()
+    good = {r["doc_id"]: r["text"] for r in rows
+            if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1: "hello world", 2: "second doc"}
+    assert len(bad) == 2          # quarantined, not dropped, not fatal
+    # write path round-trips the clean subset
+    clean = df.where(df["_corrupt_record"].isNull()).select("doc_id", "text")
+    write_jsonl(clean, str(tmp_path / "out"), partitions=2)
+    back = read_jsonl(spark, str(tmp_path / "out"),
+                      "doc_id bigint, text string")
+    assert {r["doc_id"]: r["text"] for r in back.collect()} == good
