@@ -265,9 +265,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     distributed. Raises RuntimeError if max_iter rounds don't converge
     (pathological graph, not a corpus shape)."""
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # hash-partition the (bigger) edge relation ON THE JOIN KEY before
+    # checkpointing: every round's neighbor join then reuses this
+    # partitioning instead of re-exchanging the edges each iteration —
+    # only the (smaller) label side moves per round
     edges = fwd.union(fwd.select(F.col("b").alias("a"),
                                  F.col("a").alias("b"))) \
-               .distinct().localCheckpoint(eager=True)
+               .distinct().repartition("b").localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .select("id", F.col("id").alias("rep"))
               .localCheckpoint(eager=True))

@@ -189,3 +189,36 @@ def test_apply_dedup_keeps_survivors_and_unpaired(spark):
             dedup.apply_dedup(docs, clusters, "doc_id").collect()}
     # reps 1 and 5 survive; 2,3,6 drop; 0,4,7 never paired -> kept
     assert kept == {0, 1, 4, 5, 7}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized cross-check: the distributed label propagation must agree
+    with a driver-side union-find on arbitrary graphs (seeded, so failures
+    reproduce)."""
+    import random
+
+    def union_find(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        nodes = rng.sample(range(1000), 60)
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["id"]: r["rep"] for r in
+               dedup.connected_components(df).collect()}
+        assert got == union_find(edges), seed
