@@ -206,3 +206,40 @@ def test_on_sf0001_lineitem(spark):
         assert eng.entropy(subset) == pytest.approx(
             oracle_entropy(rows, idxs), abs=1e-9)
     eng.unpersist()
+
+
+def test_entropy_random_frames_property():
+    """Property check over random relations: batched grouping-sets
+    entropies must equal the definition H(X) = log2(N) - sum(c*log2(c))/N
+    computed driver-side, for every subset of a random 4-column frame.
+    Seeded RNG (not hypothesis) keeps Spark round-trips bounded and
+    failures reproducible."""
+    import itertools as it
+    import math
+    import random
+    from collections import Counter
+
+    from tests.conftest import SF_DIR  # noqa: F401  (spark fixture import side)
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    cols = ["w", "x", "y", "z"]
+    for seed in (3, 17, 41):
+        rng = random.Random(seed)
+        rows = [tuple(rng.randint(0, rng.choice((1, 3, 9)))
+                      for _ in cols) for _ in range(rng.randint(20, 80))]
+        df = spark.createDataFrame(rows, cols)
+        eng = SparkEntropyEngine(df)
+        try:
+            subsets = [frozenset(c) for r in (1, 2, 3, 4)
+                       for c in it.combinations(cols, r)]
+            got = eng.entropies(subsets)
+            n = len(rows)
+            for s in subsets:
+                idx = [cols.index(c) for c in sorted(s)]
+                counts = Counter(tuple(row[i] for i in idx) for row in rows)
+                expect = math.log2(n) - sum(
+                    c * math.log2(c) for c in counts.values()) / n
+                assert abs(got[s] - expect) < 1e-9, (seed, sorted(s))
+        finally:
+            eng.unpersist()
