@@ -122,3 +122,42 @@ def test_windowed_counts_drops_late_data_with_watermark(spark, events_df, tmp_pa
     batch_keys = {(r["window_start"], r["event_type"])
                   for r in ev.windowed_counts(events_df).collect()}
     assert {(r["window_start"], r["event_type"]) for r in got} <= batch_keys
+
+
+def test_windowed_counts_append_mode_closes_windows(spark, events_df, tmp_path):
+    """APPEND mode (the at-scale config): only windows the advancing
+    watermark has CLOSED are emitted. Split the source into two files
+    processed as separate micro-batches; after the stream drains, every
+    emitted window must match the batch twin exactly, and the emitted set
+    must be the windows whose end <= max(ts) - watermark horizon."""
+    src_dir = tmp_path / "append_src"
+    early = events_df.orderBy("ts").limit(2000)
+    late = events_df.orderBy(F.col("ts").desc()).limit(2000)
+    early.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "p1"))
+    late.coalesce(1).write.mode("overwrite").parquet(str(src_dir / "p2"))
+    stream = (spark.readStream.schema(events_df.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src_dir / "*")))
+    q = (ev.windowed_counts(stream, watermark="10 minutes")
+         .writeStream.format("memory").queryName("win_append")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "chk_append"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+           for r in spark.table("win_append").collect()}
+    assert got, "append mode emitted nothing — watermark never closed windows"
+    both = early.unionByName(late)
+    batch = {(r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+             for r in ev.windowed_counts(both).collect()}
+    # every emitted (closed) window agrees exactly with the batch twin over
+    # the same data — no partial/duplicate emissions
+    for k, v in got.items():
+        assert batch[k] == v, k
+    # and emission is watermark-correct: a window only emits once its END
+    # falls behind the watermark, which never exceeds max(ts) - horizon
+    import datetime
+    max_ts = both.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    for (ws, _et) in got:
+        assert ws + datetime.timedelta(hours=1) <= horizon, ws
