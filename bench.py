@@ -12,6 +12,8 @@ beyond-reference pipeline operators:
                      (B10-B11, the SIGMOD'20 pipeline end-to-end)
   - flagship:        entry()-style measure + validation summary
   - lsh_dedup:       MinHash-LSH near-dup candidate pairs on documents
+  - dedup_pipeline:  pairs -> connected components -> surviving corpus
+                     (the o21/o22 tail; iterative CC rounds)
   - cosine_topk:     brute-force + LSH-bucketed ANN over embeddings
   - ann_topk:        multi-table multi-probe SRP-LSH top-k with the
                      hot-bucket cap engaged (the o15/o18 scale path)
@@ -117,6 +119,17 @@ def build_queries(spark, sf_dir: str):
         lsh_candidate_pairs(docs, "text", "doc_id",
                             max_bucket=1000, skew_mode="split").count()
 
+    def dedup_pipeline():
+        # the full near-dup tail: pairs -> connected components -> surviving
+        # corpus (o21/o22); iterative CC rounds dominate the fixed cost
+        from relationaldecomposition_spark.operators.dedup import (
+            apply_dedup, connected_components)
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = lsh_candidate_pairs(docs, "text", "doc_id",
+                                    max_bucket=1000, skew_mode="split")
+        clusters = connected_components(pairs)
+        apply_dedup(docs, clusters, "doc_id").count()
+
     def cosine_topk_q():
         emb = load_table(spark, sf_dir, "embeddings")
         cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
@@ -149,6 +162,7 @@ def build_queries(spark, sf_dir: str):
         "minsep_mine": minsep_mine,
         "lsh_dedup": lsh_dedup,
         "lsh_dedup_guarded": lsh_dedup_guarded,
+        "dedup_pipeline": dedup_pipeline,
         "cosine_topk": cosine_topk_q,
         "ann_topk": ann_topk,
         "ivf_topk": ivf_topk_q,
