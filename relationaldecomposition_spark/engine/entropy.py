@@ -496,6 +496,9 @@ class SparkEntropyEngine:
         desc = sc.getLocalProperty("spark.job.description")
 
         def compute(x):
+            if self.stop_check is not None and self.stop_check():
+                raise MiningCancelled(
+                    "entropy batch cancelled by stop flag")
             if group is not None:
                 sc.setJobGroup(group, desc, interruptOnCancel=True)
             return self._compute_single(x)
