@@ -270,13 +270,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     distributed. Raises RuntimeError if max_iter rounds don't converge
     (pathological graph, not a corpus shape)."""
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-    # hash-partition the (bigger) edge relation ON THE JOIN KEY before
-    # checkpointing: every round's neighbor join then reuses this
-    # partitioning instead of re-exchanging the edges each iteration —
-    # only the (smaller) label side moves per round
+    # NOTE on partitioning: pre-repartitioning edges on the join key does
+    # let the per-round neighbor join skip its edges Exchange — but ONLY
+    # with AQE off. Under AQE (the production session), the checkpoint's
+    # coalesced output partitioning no longer satisfies the join's
+    # requirement and EnsureRequirements re-exchanges anyway, so the extra
+    # up-front shuffle would be pure cost. Measured, not assumed — see
+    # test_plans.py history; we let AQE own the exchange placement.
     edges = fwd.union(fwd.select(F.col("b").alias("a"),
                                  F.col("a").alias("b"))) \
-               .distinct().repartition("b").localCheckpoint(eager=True)
+               .distinct().localCheckpoint(eager=True)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .select("id", F.col("id").alias("rep"))
               .localCheckpoint(eager=True))

@@ -142,3 +142,30 @@ def test_multimodal_is_arrow_batched(spark):
     feats = multimodal.extract_features(media)
     # mapInPandas shows up as MapInPandas (Arrow), never row-at-a-time
     assert "MapInPandas" in plan_of(feats)
+
+
+def test_cc_round_plan_is_bounded(spark):
+    """A connected_components propagation round is two bounded joins + one
+    aggregation over checkpointed inputs: the plan must stay constant-size
+    (scans of ExistingRDD, no accumulated lineage) and shuffle at most
+    three times (join sides + aggregation). Under AQE a checkpoint's
+    partitioning is NOT reusable across rounds (EnsureRequirements
+    re-exchanges after coalescing), so three is the honest floor — pinned
+    so a lineage leak or an extra pass shows up as a count change."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)],
+                                  ["id_a", "id_b"])
+    fwd = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = fwd.union(fwd.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"))) \
+               .distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("a").alias("id")).distinct()
+              .select("id", F.col("id").alias("rep"))
+              .localCheckpoint(eager=True))
+    nbr = (edges.join(labels.select(F.col("id").alias("b"),
+                                    F.col("rep").alias("brep")), "b")
+           .groupBy("a").agg(F.min("brep").alias("nrep")))
+    p = plan_of(nbr)
+    assert p.count("Exchange") <= 3, p
+    assert p.count("Scan ExistingRDD") == 2, p   # both inputs checkpointed
