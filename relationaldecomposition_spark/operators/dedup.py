@@ -59,19 +59,23 @@ def _bucket_guard(banded: DataFrame, keys: list[str], id_col: str,
         return banded, keys
     if mode not in ("split", "drop"):
         raise ValueError(f"unknown skew mode {mode!r}")
-    # per-bucket size via an unordered window count: ONE shuffle of the
-    # banded relation (which the downstream self-join re-keys anyway),
-    # instead of a groupBy + join-back pair — measured ~2x cheaper on
-    # benign data where the guard is a semantic no-op
-    from pyspark.sql import Window
-    g = banded.withColumn(
-        "_bsz", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+    # Bucket sizes via groupBy (map-side partial aggregation: a hot bucket
+    # collapses to one row per map partition — never a single-task window,
+    # which AQE cannot split), then join back ONLY the oversize buckets.
+    # That side is empty on benign corpora and a handful of rows on
+    # boilerplate-heavy ones (bounded by rows/cap), so the join is a
+    # broadcast of (keys, size) in practice — AQE picks it without a hint.
+    # Under-cap buckets never touch the join: their rows pass through with
+    # _bsz null -> sub 0.
+    over = (banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+            .where(F.col("_bsz") > max_bucket))
+    g = banded.join(over, keys, "left")
     if mode == "drop":
-        return g.where(F.col("_bsz") <= max_bucket).drop("_bsz"), keys
+        return g.where(F.col("_bsz").isNull()).drop("_bsz"), keys
     nsplit = F.floor((F.col("_bsz") + F.lit(max_bucket - 1))
                      / F.lit(float(max_bucket))).cast("long")
     sub = portable_hash32(F.col(id_col).cast("string")) % nsplit
-    return (g.withColumn("_sub", F.when(F.col("_bsz") <= max_bucket, F.lit(0))
+    return (g.withColumn("_sub", F.when(F.col("_bsz").isNull(), F.lit(0))
                                   .otherwise(sub).cast("long"))
              .drop("_bsz"),
             keys + ["_sub"])
