@@ -153,6 +153,46 @@ def q_o18_ann_topk_guard(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
+def q_o23_cosine_lsh_pairs(spark, sf_dir):
+    """o06's scale path: SRP-LSH candidate pairs (same plane literals as
+    o15's tables) re-scored with the exact cosine — precision 1.0 by
+    construction; the oracle mirrors bucket generation bit-for-bit, so
+    whatever recall the buckets give is value-checked, not assumed."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.srp_near_dup_pairs(emb, "embedding", "vec_id",
+                                          COSINE_TAU, n_planes=ANN_PLANES,
+                                          dim=EMB_DIM, n_tables=ANN_TABLES)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", ROUND).alias("cosine"))
+
+
+def _oracle_cosine_lsh_pairs() -> str:
+    """SRP bucket twin of _oracle_cosine_pairs: per-table sign-bit buckets
+    (same plane literals as the Spark side), distinct colliding pairs,
+    exact-cosine filter at tau."""
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    tables = similarity.table_planes(ANN_PLANES, EMB_DIM, 42, ANN_TABLES)
+    bk_selects = []
+    for t, planes in enumerate(tables):
+        sig = " + ".join(
+            f"(CASE WHEN {_sql_plane_dot(p)} > 0 THEN (1::BIGINT << {i}) "
+            f"ELSE 0 END)" for i, p in enumerate(planes))
+        bk_selects.append(f"SELECT vec_id, {t} AS tbl, {sig} AS bk "
+                          f"FROM embeddings")
+    return f"""
+      WITH bkt AS ({' UNION ALL '.join(bk_selects)}),
+      pairs AS (
+        SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+        FROM bkt x JOIN bkt y
+          ON x.tbl = y.tbl AND x.bk = y.bk AND x.vec_id < y.vec_id)
+      SELECT id_a, id_b, round({dot} / ({na} * {nb}), {ROUND}) AS cosine
+      FROM pairs JOIN embeddings a ON a.vec_id = id_a
+                 JOIN embeddings b ON b.vec_id = id_b
+      WHERE {dot} / ({na} * {nb}) >= {COSINE_TAU}"""
+
+
 def q_o21_dedup_clusters(spark, sf_dir):
     """Near-dup pipeline tail: LSH candidate pairs (o03 config) clustered
     into connected components — (doc_id, cluster rep = min reachable id).
@@ -569,6 +609,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o17_lsh_pairs_guard": q_o17_lsh_pairs_guard,
     "o18_ann_topk_guard": q_o18_ann_topk_guard,
     "o21_dedup_clusters": q_o21_dedup_clusters,
+    "o23_cosine_lsh_pairs": q_o23_cosine_lsh_pairs,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
@@ -597,6 +638,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o17_lsh_pairs_guard": _oracle_lsh_pairs(max_bucket=GUARD_LSH_MAX_BUCKET),
     "o18_ann_topk_guard": _oracle_ann_topk(max_bucket=GUARD_ANN_MAX_BUCKET),
     "o21_dedup_clusters": _oracle_dedup_clusters(),
+    "o23_cosine_lsh_pairs": _oracle_cosine_lsh_pairs(),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),

@@ -61,6 +61,62 @@ def _as_double(vec_col):
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                       tau: float = 0.95,
+                       n_planes: int = DEFAULT_N_PLANES,
+                       dim: int = DEFAULT_DIM, seed: int = 42,
+                       n_tables: int = 1,
+                       max_bucket: int | None = None) -> DataFrame:
+    """Scale path for embedding near-duplicate detection: the LSH twin of
+    dedup.embedding_cosine_pairs (which is O(n^2) crossJoin by design — the
+    verifier). Candidate pairs are rows colliding in any of L sign-random-
+    projection hash tables (same OR-construction and seeded plane literals
+    as lsh_bucketed_topk); every candidate is then re-scored with the EXACT
+    cosine and filtered at tau, so the output is a subset of the exact
+    operator's pairs — precision 1.0, recall = P(bucket collision), which
+    rises with n_tables and falls with n_planes.
+
+    Scale shape (100 TB): the self-join shuffles slim (id, table, bucket)
+    rows — never the embeddings, never a cross product; vectors are joined
+    back only for the deduped candidate set. Per-bucket work is quadratic
+    in bucket size, so `max_bucket` (cap_buckets truncation) is the skew
+    guard for corpora with many identical-direction vectors.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b — o06's exact schema.
+    tests/test_similarity_recall.py measures pair recall vs the exact
+    baseline."""
+    tables = table_planes(n_planes, dim, seed, n_tables)
+    base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+            .withColumn("n", _norm(F.col("v"))))
+    band_structs = F.array(*[
+        F.struct(F.lit(t).alias("tbl"),
+                 _bucket_expr(F.col("v"), pl).alias("bk"))
+        for t, pl in enumerate(tables)])
+    banded = (base.select(F.col(id_col), F.explode(band_structs).alias("b"))
+              .select(id_col, F.col("b.tbl").alias("tbl"),
+                      F.col("b.bk").alias("bk")))
+    if max_bucket is not None:
+        banded = cap_buckets(banded, ["tbl", "bk"], id_col, max_bucket)
+    right = banded.select(F.col(id_col).alias("_rid"),
+                          F.col("tbl").alias("_rtbl"),
+                          F.col("bk").alias("_rbk"))
+    pairs = (banded.join(right, (F.col("tbl") == F.col("_rtbl"))
+                         & (F.col("bk") == F.col("_rbk"))
+                         & (F.col(id_col) < F.col("_rid")))
+             .select(F.col(id_col).alias("id_a"), F.col("_rid").alias("id_b")))
+    if n_tables > 1:
+        pairs = pairs.distinct()
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                    F.col("n").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                    F.col("n").alias("nb"))
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .select("id_a", "id_b",
+                    (_dot(F.col("va"), F.col("vb"))
+                     / (F.col("na") * F.col("nb"))).alias("cosine"))
+            .where(F.col("cosine") >= tau))
+
+
 def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
                 query_ids: list[int], k: int = 5) -> DataFrame:
     """Exact top-k neighbors for the given query ids (excluding self).

@@ -59,6 +59,42 @@ def test_multi_probe_widens_candidates(emb, truth):
     assert r2 >= r1
 
 
+def test_srp_pairs_precision_and_recall(spark, emb):
+    """srp_near_dup_pairs is a strict subset of the exact pairs (precision
+    1.0 — every candidate is re-scored with the true cosine) with measured
+    recall from the OR-construction; on the near-orthogonal fixture the
+    o23 config (b=3, L=10) recovers >= 85% of the exact tau-pairs."""
+    from relationaldecomposition_spark.operators import dedup
+    from relationaldecomposition_spark.operators.registry import (
+        ANN_PLANES, ANN_TABLES, COSINE_TAU)
+    exact = dedup.embedding_cosine_pairs(
+        emb, "embedding", "vec_id", COSINE_TAU).toPandas()
+    truth_pairs = set(zip(exact.id_a, exact.id_b))
+    approx = similarity.srp_near_dup_pairs(
+        emb, "embedding", "vec_id", COSINE_TAU, n_planes=ANN_PLANES,
+        n_tables=ANN_TABLES).toPandas()
+    got = set(zip(approx.id_a, approx.id_b))
+    assert got <= truth_pairs, "precision must be 1.0 (exact re-rank)"
+    assert len(got) / len(truth_pairs) >= 0.85
+
+
+def test_srp_pairs_guard_bounds_candidates(spark, emb):
+    """With the hot-bucket cap engaged the pair set is a subset of the
+    unguarded one and the plan stays cross-product-free."""
+    capped = similarity.srp_near_dup_pairs(
+        emb, "embedding", "vec_id", 0.0, n_planes=2, n_tables=2,
+        max_bucket=16)
+    full = similarity.srp_near_dup_pairs(
+        emb, "embedding", "vec_id", 0.0, n_planes=2, n_tables=2)
+    got = {tuple(r) for r in capped.select("id_a", "id_b").collect()}
+    allp = {tuple(r) for r in full.select("id_a", "id_b").collect()}
+    assert got < allp  # strictly fewer: 2-plane buckets exceed the cap
+    # cap=16 bounds within-bucket pair fan-out to C(16,2) per (tbl, bk)
+    assert len(got) <= 2 * (2 ** 2) * (16 * 15 // 2)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_ann_plan_has_no_cross_product(spark, emb):
     df = similarity.lsh_bucketed_topk(emb, "embedding", "vec_id", QIDS, K,
                                       n_planes=3, n_tables=10, n_probes=2)
