@@ -14,7 +14,7 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import dedup, ivf, multimodal, similarity, text
+from . import dedup, ivf, joins, multimodal, similarity, text
 
 ROUND = 6
 
@@ -191,6 +191,47 @@ def _oracle_cosine_lsh_pairs() -> str:
       FROM pairs JOIN embeddings a ON a.vec_id = id_a
                  JOIN embeddings b ON b.vec_id = id_b
       WHERE {dot} / ({na} * {nb}) >= {COSINE_TAU}"""
+
+
+def q_o24_asof_join(spark, sf_dir):
+    """As-of join over events: each purchase enriched with the latest click
+    by the same user at-or-before it (left-outer; ties on click ts broken
+    by greatest event_id). The oracle is DuckDB's native ASOF LEFT JOIN
+    over the same tie-deduped click set — two independent as-of engines,
+    value-compared."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    out = joins.asof_join(purchases, clicks, "user_id", "ts", "ts",
+                          ["event_id", "value"], tiebreak="event_id",
+                          payload_prefix="click_")
+    # timestamps as formatted strings: value-identical across engines (the
+    # column is TIMESTAMP_NTZ, so no zone math) without pandas datetime-
+    # resolution (ns vs us) comparison artifacts
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        F.col("event_id").cast("bigint").alias("purchase_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("ts", fmt).alias("purchase_ts_s"),
+        F.col("click_event_id").cast("bigint").alias("click_event_id"),
+        F.round("click_value", ROUND).alias("click_value"),
+        F.date_format("click_asof_ts", fmt).alias("click_ts_s"))
+
+
+def _oracle_asof_join() -> str:
+    return f"""
+      WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, ts, event_id, value, row_number() OVER
+                (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'),
+      cd AS (SELECT user_id, ts, event_id, value FROM c WHERE rn = 1)
+      SELECT p.event_id::BIGINT AS purchase_id, p.user_id::BIGINT AS user_id,
+             strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts_s,
+             cd.event_id::BIGINT AS click_event_id,
+             round(cd.value, {ROUND}) AS click_value,
+             strftime(cd.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_s
+      FROM p ASOF LEFT JOIN cd
+        ON p.user_id = cd.user_id AND p.ts >= cd.ts"""
 
 
 def q_o21_dedup_clusters(spark, sf_dir):
@@ -610,6 +651,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o18_ann_topk_guard": q_o18_ann_topk_guard,
     "o21_dedup_clusters": q_o21_dedup_clusters,
     "o23_cosine_lsh_pairs": q_o23_cosine_lsh_pairs,
+    "o24_asof_join": q_o24_asof_join,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
@@ -639,6 +681,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o18_ann_topk_guard": _oracle_ann_topk(max_bucket=GUARD_ANN_MAX_BUCKET),
     "o21_dedup_clusters": _oracle_dedup_clusters(),
     "o23_cosine_lsh_pairs": _oracle_cosine_lsh_pairs(),
+    "o24_asof_join": _oracle_asof_join(),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),

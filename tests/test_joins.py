@@ -1,0 +1,119 @@
+"""asof_join semantics on hand fixtures: inclusive backward match, ties,
+left-outer nulls, forward direction, tolerance, and the one-shuffle plan
+shape (union+window, no join operator at all)."""
+
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators.joins import asof_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01T10:00:00"), "p1"),
+         (2, 10, ts("2024-01-01T12:00:00"), "p2"),
+         (3, 10, ts("2024-01-01T09:00:00"), "p3"),   # before any right row
+         (4, 20, ts("2024-01-01T11:00:00"), "p4"),   # key with no right rows
+         (5, 30, ts("2024-01-01T11:00:00"), "p5")],  # equal-ts (inclusive)
+        "lid long, k long, lts timestamp, tag string")
+    right = spark.createDataFrame(
+        [(100, 10, ts("2024-01-01T09:30:00"), 1.0),
+         (101, 10, ts("2024-01-01T11:00:00"), 2.0),
+         (102, 10, ts("2024-01-01T11:30:00"), 3.0),
+         (103, 30, ts("2024-01-01T11:00:00"), 7.0),   # equal-ts tie pair:
+         (104, 30, ts("2024-01-01T11:00:00"), 8.0)],  # greatest rid wins
+        "rid long, k long, rts timestamp, val double")
+    return left, right
+
+
+def _rows(df):
+    return {r["lid"]: r.asDict() for r in df.collect()}
+
+
+def test_backward_inclusive_and_outer(frames):
+    left, right = frames
+    out = asof_join(left, right, "k", "lts", "rts", ["rid", "val"],
+                    tiebreak="rid")
+    assert set(out.columns) == {"lid", "k", "lts", "tag", "rid", "val",
+                                "asof_ts"}
+    got = _rows(out)
+    assert len(got) == 5                       # every left row survives
+    assert got[1]["rid"] == 100                # latest at-or-before 10:00
+    assert got[2]["rid"] == 102                # 11:30 < 12:00
+    assert got[3]["rid"] is None               # no right row before 09:00
+    assert got[4]["rid"] is None               # key 20 has no right rows
+    assert got[5]["rid"] == 104                # equal ts matches; max rid wins
+    assert got[5]["val"] == 8.0                # payload comes from the SAME row
+    assert got[5]["asof_ts"] == ts("2024-01-01T11:00:00")
+
+
+def test_forward_direction(frames):
+    left, right = frames
+    out = asof_join(left, right, "k", "lts", "rts", ["rid"],
+                    direction="forward", tiebreak="rid")
+    got = _rows(out)
+    assert got[1]["rid"] == 101                # earliest at-or-after 10:00
+    assert got[2]["rid"] is None               # nothing after 12:00
+    assert got[3]["rid"] == 100                # 09:30 >= 09:00
+    assert got[5]["rid"] == 104                # equal ts inclusive, max rid
+
+
+def test_tolerance_nulls_stale_matches(frames):
+    left, right = frames
+    out = asof_join(left, right, "k", "lts", "rts", ["rid", "val"],
+                    tiebreak="rid", tolerance_s=15 * 60)
+    got = _rows(out)
+    assert got[1]["rid"] is None               # 30 min gap > 15 min: nulled
+    assert got[2]["rid"] is None               # 30 min gap > 15 min: nulled
+    assert got[5]["rid"] == 104                # 0 gap: kept
+    assert len(got) == 5                       # left rows never dropped
+
+
+def test_tolerance_exact_cutoff(spark):
+    left = spark.createDataFrame([(1, 1, ts("2024-01-01T01:00:00"))],
+                                 "lid long, k long, lts timestamp")
+    right = spark.createDataFrame([(9, 1, ts("2024-01-01T00:00:00"), 5.0)],
+                                  "rid long, k long, rts timestamp, val double")
+    keep = asof_join(left, right, "k", "lts", "rts", ["val"],
+                     tolerance_s=3600).collect()[0]
+    drop = asof_join(left, right, "k", "lts", "rts", ["val"],
+                     tolerance_s=3599).collect()[0]
+    assert keep["val"] == 5.0 and keep["asof_ts"] is not None
+    assert drop["val"] is None and drop["asof_ts"] is None
+
+
+def test_payload_prefix_avoids_collisions(frames):
+    left, right = frames
+    out = asof_join(left.withColumnRenamed("lid", "rid"), right, "k",
+                    "lts", "rts", ["rid", "val"], tiebreak="rid",
+                    payload_prefix="r_")
+    assert {"rid", "r_rid", "r_val", "r_asof_ts"} <= set(out.columns)
+
+
+def test_plan_is_one_window_no_join(frames):
+    left, right = frames
+    out = asof_join(left, right, "k", "lts", "rts", ["rid"], tiebreak="rid")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, "asof must be union+window, not a join"
+    assert plan.count("Window") >= 1
+
+
+def test_matches_naive_inequality_join(spark, frames):
+    """Property check vs the quadratic formulation on the fixture."""
+    left, right = frames
+    out = asof_join(left, right, "k", "lts", "rts", ["rid"], tiebreak="rid")
+    naive = (left.join(right, (left.k == right.k) & (right.rts <= left.lts))
+             .groupBy("lid")
+             .agg(F.max(F.struct("rts", "rid")).alias("m"))
+             .select("lid", F.col("m.rid").alias("rid")))
+    nv = {r["lid"]: r["rid"] for r in naive.collect()}
+    for lid, row in _rows(out).items():
+        assert row["rid"] == nv.get(lid)
