@@ -299,6 +299,17 @@ def q_o20_bpe_tokens(spark, sf_dir):
                                  "text", "doc_id")
 
 
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 160
+
+
+def q_o25_doc_chunks(spark, sf_dir):
+    """Overlapping character-window chunking of the documents table (LLM
+    context preparation): 200-char chunks every 160 chars."""
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"),
+                                "text", "doc_id", CHUNK_SIZE, CHUNK_STRIDE)
+
+
 def q_o10_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -652,6 +663,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o21_dedup_clusters": q_o21_dedup_clusters,
     "o23_cosine_lsh_pairs": q_o23_cosine_lsh_pairs,
     "o24_asof_join": q_o24_asof_join,
+    "o25_doc_chunks": q_o25_doc_chunks,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
@@ -682,6 +694,8 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o21_dedup_clusters": _oracle_dedup_clusters(),
     "o23_cosine_lsh_pairs": _oracle_cosine_lsh_pairs(),
     "o24_asof_join": _oracle_asof_join(),
+    "o25_doc_chunks": text.sql_chunk_documents("documents", "text", "doc_id",
+                                               CHUNK_SIZE, CHUNK_STRIDE),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),

@@ -468,3 +468,44 @@ def sql_fingerprint(table: str, text_col: str, id_col: str,
     ah = sql_affine_hash(sql_hash32("s"), a, b)
     return (f"SELECT {id_col}, coalesce(list_min(list_transform({sh}, "
             f"s -> {ah})), -1)::BIGINT AS fingerprint FROM {table}")
+
+
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    size: int = 200, stride: int = 160) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap — the
+    LLM-context-window preparation staple (size > stride gives size-stride
+    chars of overlap between consecutive chunks). Pure column expressions:
+    sequence + posexplode + substring, fully distributed, no UDF; at 100 TB
+    this is a map-only stage (one row amplification of ~len/stride, zero
+    shuffles). Empty documents produce zero chunks.
+
+    Returns (id, chunk_id, char_offset, chunk, n_chars), chunk_id 0-based
+    consecutive per document."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    n = F.length(F.col(text_col))
+    offs = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    ex = df.select(F.col(id_col), F.col(text_col).alias("_t"),
+                   F.posexplode(F.when(n > 0, offs)).alias("chunk_id", "off"))
+    chunk = F.substring(F.col("_t"), F.col("off") + 1, F.lit(size))
+    return ex.select(F.col(id_col),
+                     F.col("chunk_id").cast("bigint").alias("chunk_id"),
+                     F.col("off").cast("bigint").alias("char_offset"),
+                     chunk.alias("chunk"),
+                     F.length(chunk).cast("bigint").alias("n_chars"))
+
+
+def sql_chunk_documents(table: str, text_col: str, id_col: str,
+                        size: int = 200, stride: int = 160) -> str:
+    return f"""
+      WITH c AS (
+        SELECT {id_col}, {text_col} AS t,
+               unnest(range(0, greatest(length({text_col}) - 1, 0) + 1,
+                            {stride})) AS off
+        FROM {table} WHERE length({text_col}) > 0)
+      SELECT {id_col}::BIGINT AS {id_col},
+             (off // {stride})::BIGINT AS chunk_id,
+             off::BIGINT AS char_offset,
+             substr(t, (off + 1)::INT, {size}) AS chunk,
+             length(substr(t, (off + 1)::INT, {size}))::BIGINT AS n_chars
+      FROM c"""

@@ -180,3 +180,41 @@ def test_frame_sample_offsets(docs):
     doc1 = sorted(r["frame_offset"] for r in out if r["media_id"] == 1)
     n = len("the quick brown fox jumps over the lazy dog")
     assert doc1 == list(range(0, n, 16))
+
+
+def test_chunk_documents_reconstruction(docs):
+    """Chunks with size == stride partition the text exactly; overlapping
+    chunks start every `stride` chars and carry `size` chars (short tail)."""
+    out = text.chunk_documents(docs, "text", "doc_id", size=10, stride=10) \
+              .collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert 5 not in by_doc                      # empty doc -> zero chunks
+    for did, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert [r["char_offset"] for r in rows] == \
+            [i * 10 for i in range(len(rows))]
+        assert "".join(r["chunk"] for r in rows) == texts[did]
+        assert all(r["n_chars"] == len(r["chunk"]) for r in rows)
+
+
+def test_chunk_documents_overlap(docs):
+    out = text.chunk_documents(docs, "text", "doc_id", size=20, stride=10)
+    rows = sorted((r for r in out.collect() if r["doc_id"] == 1),
+                  key=lambda r: r["chunk_id"])
+    full = "the quick brown fox jumps over the lazy dog"
+    for r in rows:
+        assert r["chunk"] == full[r["char_offset"]:r["char_offset"] + 20]
+    # consecutive chunks share size - stride = 10 chars
+    for a, b in zip(rows, rows[1:]):
+        assert a["chunk"][10:] == b["chunk"][:len(a["chunk"][10:])]
+
+
+def test_chunk_documents_validates_params(docs):
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, "text", "doc_id", size=0)
+    with pytest.raises(ValueError):
+        text.chunk_documents(docs, "text", "doc_id", stride=-1)
