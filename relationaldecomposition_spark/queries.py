@@ -219,6 +219,50 @@ def q_a08_entropy_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("subset", F.round("h", ROUND).alias("h")))
 
 
+SAMPLED_RATE = 0.25
+SAMPLED_SUBSETS = [
+    ("event_type",),
+    ("user_id",),
+    ("event_type", "user_id"),
+    ("event_type", "props"),
+]
+
+
+def q_a22_sampled_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100 TB profiling path: plug-in entropies over the deterministic
+    multiplicative-hash sample (operators/sampling.py) of events. The
+    sample predicate is a map-side filter at the scan; the entropy batch
+    then runs the normal A8 grouping-sets engine on ~rate*N rows. The
+    oracle takes the bit-identical sample in SQL, so the whole sampled
+    pipeline is value-checked, not just the estimator formula. n_sample
+    rides along so sample membership parity is itself part of the hash."""
+    from .operators.sampling import hash_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    smp = hash_sample(ev, "event_id", SAMPLED_RATE)
+    eng = SparkEntropyEngine(smp, cache_input=False)
+    got = eng.entropies([frozenset(s) for s in SAMPLED_SUBSETS])
+    n = eng.num_rows
+    rows = [(_subset_id(s), int(n), float(got[frozenset(s)]))
+            for s in SAMPLED_SUBSETS]
+    eng.unpersist()
+    return (spark.createDataFrame(rows, "subset string, n_sample long, h double")
+            .select("subset", "n_sample", F.round("h", ROUND).alias("h")))
+
+
+def _oracle_sampled_entropy() -> str:
+    from .operators.sampling import sql_hash_sample_where
+
+    pred = sql_hash_sample_where("event_id", SAMPLED_RATE)
+    parts = [
+        f"SELECT '{_subset_id(s)}' AS subset, "
+        f"(SELECT count(*) FROM smp)::BIGINT AS n_sample, "
+        f"round({_sql_entropy('smp', sorted(s))}, {ROUND}) AS h"
+        for s in SAMPLED_SUBSETS]
+    return (f"WITH smp AS (SELECT * FROM events WHERE {pred}) "
+            + " UNION ALL ".join(parts))
+
+
 CUBE_COLS = ["l_returnflag", "l_linestatus", "l_quantity"]
 
 
@@ -441,6 +485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a07_entropy_single": q_a07_entropy_single,
     "a08_entropy_batch": q_a08_entropy_batch,
     "a11_all_entropies": q_a11_all_entropies,
+    "a22_sampled_entropy": q_a22_sampled_entropy,
     "a12_projection_distinct": q_a12_projection_distinct,
     "a16_distinct_count": q_a16_distinct_count,
     "a18_fd_measures": q_a18_fd_measures,
@@ -635,6 +680,7 @@ B15_SCHEMAS = [
      ("c_custkey", "r_name")),
 ]
 
+ORACLES["a22_sampled_entropy"] = _oracle_sampled_entropy()
 ORACLES["b03_mine_mvds"] = oracle_b03(DENORM_SQL, B03_COLS)
 ORACLES["b11_min_seps"] = oracle_b11(DENORM_SQL, DENORM6_COLS)
 ORACLES["b15_enumerate_schemas"] = oracle_b15(DENORM_SQL, DENORM6_COLS,

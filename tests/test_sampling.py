@@ -1,0 +1,85 @@
+"""Deterministic hash sampling: rate accuracy, determinism, scan-stage
+predicate, and the sampled-entropy profiling property."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.engine.entropy import SparkEntropyEngine
+from relationaldecomposition_spark.operators.sampling import (
+    SAMPLE_MOD, hash_sample, hash_sample_pred)
+from tests.conftest import load
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 20000).withColumnRenamed("id", "k")
+
+
+def test_rate_accuracy_on_dense_keys(ids):
+    """Odd multiplier mod 2^16 is a bijection on the low 16 bits, so dense
+    key ranges sample at the exact configured rate (±1/65536 rounding)."""
+    for rate in (0.1, 0.25, 0.5):
+        n = hash_sample(ids, "k", rate).count()
+        assert abs(n / 20000 - rate) < 0.01, (rate, n)
+
+
+def test_rate_bounds(ids):
+    assert hash_sample(ids, "k", 0.0).count() == 0
+    assert hash_sample(ids, "k", 1.0).count() == 20000
+    with pytest.raises(ValueError):
+        hash_sample_pred(F.col("k"), 1.5)
+
+
+def test_deterministic_and_not_systematic(ids):
+    a = {r["k"] for r in hash_sample(ids, "k", 0.25).collect()}
+    b = {r["k"] for r in hash_sample(ids, "k", 0.25).collect()}
+    assert a == b
+    # nested samples: lower rate is a subset of higher rate (threshold cut)
+    c = {r["k"] for r in hash_sample(ids, "k", 0.1).collect()}
+    assert c < a
+    # not periodic in the key: systematic sampling (k % m == 0) has exactly
+    # one gap; the multiplicative sequence realizes the three-distance-
+    # theorem maximum of 3 distinct gaps
+    gaps = {y - x for x, y in zip(sorted(a), sorted(a)[1:])}
+    assert len(gaps) >= 2
+
+
+def test_negative_keys_supported(spark):
+    df = spark.range(-1000, 1000).withColumnRenamed("id", "k")
+    n = hash_sample(df, "k", 0.25).count()
+    assert abs(n / 2000 - 0.25) < 0.05
+
+
+def test_predicate_reaches_the_scan(spark):
+    """The sample must be a pushable filter evaluated before any exchange —
+    no shuffle, no sample materialization."""
+    ev = load(spark, "events")
+    plan = (hash_sample(ev, "event_id", 0.25)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "Filter" in plan
+
+
+def test_sampled_entropy_tracks_full(spark):
+    """Profiling property: on a low-cardinality subset the plug-in entropy
+    of a 25% sample lands near the full-relation entropy, and rate=1.0
+    reproduces it exactly."""
+    ev = load(spark, "events").select("event_id", "event_type", "user_id")
+    full_eng = SparkEntropyEngine(ev, cache_input=False)
+    h_full = full_eng.entropy(["event_type"])
+    h2_full = full_eng.entropy(["event_type", "user_id"])
+    full_eng.unpersist()
+
+    same = SparkEntropyEngine(hash_sample(ev, "event_id", 1.0),
+                              cache_input=False)
+    assert same.entropy(["event_type"]) == pytest.approx(h_full, abs=1e-12)
+    same.unpersist()
+
+    smp = SparkEntropyEngine(hash_sample(ev, "event_id", 0.25),
+                             cache_input=False)
+    assert smp.entropy(["event_type"]) == pytest.approx(h_full, abs=0.05)
+    # higher-cardinality subset: still close on this fixture, bias is low
+    assert smp.entropy(["event_type", "user_id"]) == pytest.approx(
+        h2_full, abs=0.2)
+    smp.unpersist()
