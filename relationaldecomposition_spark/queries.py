@@ -527,9 +527,20 @@ def q_s03_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_user_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_s04_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast enrichment (events x event_type dimension)
+    rolled up to category totals — the batch face of the stream-static
+    join; the pytest suite pins stream==batch on the same pipeline."""
+    from .streaming.events import enriched_category_totals, event_type_dim
+
+    return enriched_category_totals(load_table(spark, sf_dir, "events"),
+                                    event_type_dim(spark))
+
+
 QUERIES["s01_windowed_counts"] = q_s01_windowed_counts
 QUERIES["s02_sessionize"] = q_s02_sessionize
 QUERIES["s03_user_stats"] = q_s03_user_stats
+QUERIES["s04_stream_enrich"] = q_s04_stream_enrich
 
 # pipeline operators (dedup / similarity / text / multimodal)
 from .operators.registry import OPERATOR_ORACLES, OPERATOR_QUERIES  # noqa: E402
@@ -692,5 +703,7 @@ from .streaming.events import (  # noqa: E402
 ORACLES["s01_windowed_counts"] = sql_windowed_counts("events")
 ORACLES["s02_sessionize"] = sql_sessionize("events")
 ORACLES["s03_user_stats"] = sql_user_stats("events")
+from .streaming.events import sql_enriched_category_totals  # noqa: E402
+ORACLES["s04_stream_enrich"] = sql_enriched_category_totals("events")
 
 ORACLES.update(OPERATOR_ORACLES)

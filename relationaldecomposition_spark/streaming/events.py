@@ -115,6 +115,58 @@ def sql_user_stats(table: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# stream-static enrichment join
+# ---------------------------------------------------------------------------
+
+# event_type dimension: (type, category, weight). A stand-in for the small
+# reference/dimension tables a pipeline joins against (user registries,
+# source metadata, label maps). Literal rows so the DuckDB oracle embeds
+# the identical dimension as a VALUES list.
+EVENT_TYPE_DIM: list[tuple[str, str, float]] = [
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("purchase", "conversion", 10.0),
+    ("signup", "conversion", 5.0),
+    ("error", "ops", 0.0),
+]
+
+
+def event_type_dim(spark) -> DataFrame:
+    return spark.createDataFrame(
+        EVENT_TYPE_DIM, "event_type string, category string, weight double")
+
+
+def enrich_events(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static broadcast join: annotate each event with its dimension
+    row and a weighted value. Works identically on batch and streaming
+    inputs (stream-static equi-joins are stateless in Structured
+    Streaming — each micro-batch joins against the static side; broadcast
+    keeps it map-side, no stream-side shuffle). Left join: unknown types
+    survive with NULL category."""
+    return (events.join(F.broadcast(dim), "event_type", "left")
+            .withColumn("weighted_value", F.col("value") * F.col("weight")))
+
+
+def enriched_category_totals(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Enrichment + rollup to (event_type, category): the gate-facing
+    aggregate (count, summed weighted value) whose values pin the join."""
+    return (enrich_events(events, dim)
+            .groupBy("event_type", "category")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("weighted_value"), 6).alias("sum_weighted")))
+
+
+def sql_enriched_category_totals(table: str) -> str:
+    dim_rows = ", ".join(f"('{t}', '{c}', {w})" for t, c, w in EVENT_TYPE_DIM)
+    return f"""
+      WITH dim(event_type, category, weight) AS (VALUES {dim_rows})
+      SELECT e.event_type, d.category, count(*)::BIGINT AS n_events,
+             round(sum(e.value * d.weight), 6) AS sum_weighted
+      FROM {table} e LEFT JOIN dim d ON e.event_type = d.event_type
+      GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------------
 # custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------
 

@@ -161,3 +161,30 @@ def test_windowed_counts_append_mode_closes_windows(spark, events_df, tmp_path):
     horizon = max_ts - datetime.timedelta(minutes=10)
     for (ws, _et) in got:
         assert ws + datetime.timedelta(hours=1) <= horizon, ws
+
+
+def test_stream_static_enrichment_batch_equals_stream(spark, events_df, tmp_path):
+    """Stream-static broadcast join + rollup: the streamed pipeline must
+    converge to the batch twin's totals (stateless join, complete-mode
+    aggregate)."""
+    batch = ev.enriched_category_totals(events_df,
+                                        ev.event_type_dim(spark)).collect()
+    stream = _run_stream(
+        spark,
+        ev.enriched_category_totals(_stream_source(spark, events_df, tmp_path),
+                                    ev.event_type_dim(spark)),
+        "enrich", tmp_path)
+    got = stream.collect()
+    key = lambda r: (r["event_type"], r["category"])
+    assert {key(r): (r["n_events"], r["sum_weighted"]) for r in batch} == \
+           {key(r): (r["n_events"], r["sum_weighted"]) for r in got}
+
+
+def test_enrich_events_left_join_keeps_unknown_types(spark):
+    rows = [(1, "click", 2.0), (2, "mystery", 3.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_id"]: r for r in
+           ev.enrich_events(df, ev.event_type_dim(spark)).collect()}
+    assert out[1]["category"] == "engagement"
+    assert out[1]["weighted_value"] == 2.0
+    assert out[2]["category"] is None and out[2]["weighted_value"] is None
