@@ -43,12 +43,6 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
-def _sqdist(v: Column, lit_vec: Column) -> Column:
-    """||v - c||² with left-to-right summation (matches DuckDB list_sum)."""
-    return F.aggregate(F.zip_with(v, lit_vec, lambda x, y: (x - y) * (x - y)),
-                       F.lit(0.0), lambda acc, d: acc + d)
-
-
 def seed_centroids(df: DataFrame, vec_col: str, id_col: str,
                    centroid_ids: list[int]) -> list[tuple[int, list[float]]]:
     """Codebook from fixed seed rows: [(cell_id, vector)] where cell_id IS
@@ -64,22 +58,32 @@ def seed_centroids(df: DataFrame, vec_col: str, id_col: str,
     return [(i, got[i]) for i in centroid_ids]
 
 
-def _dist_structs(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _dist_structs(vname: str, centroids: list[tuple[int, list[float]]]) -> Column:
     """array<struct<d: double, cell: int>> sorted ascending by (distance,
-    cell id) — struct field order gives the deterministic tie-break."""
-    return F.array_sort(F.array(*[
-        F.struct(_sqdist(v, F.array(*[F.lit(x) for x in c])).alias("d"),
-                 F.lit(cid).alias("cell"))
-        for cid, c in centroids]))
+    cell id) — struct field order gives the deterministic tie-break.
+
+    The codebook is embedded as ONE parsed SQL literal (array of (cell,
+    vector) structs) + a transform, not n_cells·dim Python-built literal
+    nodes — same construction-cost fix as similarity._bucket_sql, same
+    float semantics (zip_with squared-diff, left-to-right aggregate add —
+    the same summation order as DuckDB's list_sum, bit-for-bit)."""
+    cents = "array(" + ",".join(
+        f"named_struct('cell', {int(cid)}, 'cv', "
+        f"array({','.join(repr(float(x)) + 'D' for x in c)}))"
+        for cid, c in centroids) + ")"
+    return F.expr(
+        f"array_sort(transform({cents}, c -> named_struct('d', "
+        f"aggregate(zip_with({vname}, c.cv, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (a, b) -> a + b), 'cell', c.cell)))")
 
 
 def assign_cells(df: DataFrame, vec_col: str, id_col: str,
                  centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """(id, cell): nearest-centroid assignment as a map-only expression."""
-    return df.select(
-        F.col(id_col),
-        F.element_at(_dist_structs(_as_double(vec_col), centroids), 1)["cell"]
-         .alias("cell"))
+    return (df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+            .select(F.col(id_col),
+                    F.element_at(_dist_structs("_v", centroids), 1)["cell"]
+                     .alias("cell")))
 
 
 def lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
@@ -97,10 +101,10 @@ def lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
     path) embeds centroids as plan literals and IS bit-stable."""
     dim = len(centroids[0][1])
     for _ in range(iters):
-        assigned = df.select(_as_double(vec_col).alias("v"),
-                             F.element_at(
-                                 _dist_structs(_as_double(vec_col), centroids),
-                                 1)["cell"].alias("cell"))
+        assigned = (df.select(_as_double(vec_col).alias("v"))
+                    .select("v", F.element_at(
+                        _dist_structs("v", centroids), 1)["cell"]
+                        .alias("cell")))
         means = (assigned
                  .select("cell", F.posexplode("v").alias("dim", "x"))
                  .groupBy("cell", "dim").agg(F.avg("x").alias("m"))
@@ -142,12 +146,12 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
     base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
             .withColumn("n", _norm(F.col("v"))))
     data = base.withColumn(
-        "cell", F.element_at(_dist_structs(F.col("v"), centroids), 1)["cell"])
+        "cell", F.element_at(_dist_structs("v", centroids), 1)["cell"])
     q = base.where(F.col(id_col).isin(query_ids)) \
             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
                     F.col("n").alias("qn"))
     qprobes = (q.select("query_id",
-                        F.explode(F.slice(_dist_structs(F.col("qv"), centroids),
+                        F.explode(F.slice(_dist_structs("qv", centroids),
                                           1, n_probes)).alias("p"))
                .select("query_id", F.col("p.cell").alias("cell")))
     # each data row lives in ONE cell and a query's probed cells are

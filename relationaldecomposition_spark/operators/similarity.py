@@ -90,7 +90,7 @@ def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
             .withColumn("n", _norm(F.col("v"))))
     band_structs = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
-                 _bucket_expr(F.col("v"), pl).alias("bk"))
+                 _bucket_expr("v", pl).alias("bk"))
         for t, pl in enumerate(tables)])
     banded = (base.select(F.col(id_col), F.explode(band_structs).alias("b"))
               .select(id_col, F.col("b.tbl").alias("tbl"),
@@ -137,9 +137,35 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
-def _plane_dots(v, planes) -> "F.Column":
-    """array<double> of v . r_i over the hyperplanes."""
-    return F.array(*[_dot(v, F.array(*[F.lit(x) for x in p])) for p in planes])
+# Plane literals are embedded as ONE parsed SQL expression (array-of-arrays
+# literal + higher-order functions) instead of thousands of Python-built
+# literal Column nodes: with L=10 tables x 64-dim planes the unrolled tree
+# made DataFrame construction/analysis dominate wall-clock (10s of a 14s
+# query at sf0.1; measured). The SQL form is ~5x faster to build and
+# bit-identical: the dot product is the same zip_with-multiply +
+# sequential-aggregate-add, so float semantics (and the DuckDB oracle
+# parity) are unchanged.
+
+def _sql_planes_lit(planes: list[list[float]]) -> str:
+    return "array(" + ",".join(
+        "array(" + ",".join(repr(x) + "D" for x in p) + ")"
+        for p in planes) + ")"
+
+
+def _bucket_sql(vname: str, planes: list[list[float]]) -> str:
+    """Bucket id = bit vector of sign(v . r_i): one parsed expression."""
+    pl = _sql_planes_lit(planes)
+    return (f"aggregate(sequence(0, {len(planes) - 1}), 0L, (acc, i) -> acc"
+            f" + shiftleft(CAST(aggregate(zip_with({vname}, "
+            f"element_at({pl}, i + 1), (x, y) -> x * y), 0.0D, "
+            f"(a, b) -> a + b) > 0.0D AS BIGINT), i))")
+
+
+def _plane_dots_sql(vname: str, planes: list[list[float]]) -> str:
+    """array<double> of v . r_i over the hyperplanes (SQL expression)."""
+    pl = _sql_planes_lit(planes)
+    return (f"transform({pl}, p -> aggregate(zip_with({vname}, p, "
+            f"(x, y) -> x * y), 0.0D, (a, b) -> a + b))")
 
 
 def lsh_bucket_signature(df: DataFrame, vec_col: str, id_col: str,
@@ -147,13 +173,9 @@ def lsh_bucket_signature(df: DataFrame, vec_col: str, id_col: str,
                          dim: int = DEFAULT_DIM, seed: int = 42) -> DataFrame:
     """Bucket id = bit vector of sign(v . r_i) over the seeded hyperplanes."""
     planes = random_hyperplanes(n_planes, dim, seed)
-    v = _as_double(vec_col)
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        r = F.array(*[F.lit(x) for x in plane])
-        bit = (_dot(v, r) > 0).cast("long")
-        sig = sig + F.shiftleft(bit, i)
-    return df.select(F.col(id_col), sig.alias("bucket"))
+    return (df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+            .select(F.col(id_col),
+                    F.expr(_bucket_sql("_v", planes)).alias("bucket")))
 
 
 def table_planes(n_planes: int, dim: int, seed: int, n_tables: int):
@@ -164,12 +186,9 @@ def table_planes(n_planes: int, dim: int, seed: int, n_tables: int):
             for t in range(n_tables)]
 
 
-def _bucket_expr(vcol, planes):
-    sig = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        r = F.array(*[F.lit(x) for x in plane])
-        sig = sig + F.shiftleft((_dot(vcol, r) > 0).cast("long"), i)
-    return sig
+def _bucket_expr(vname: str, planes):
+    """Bucket signature of the vector column named `vname`."""
+    return F.expr(_bucket_sql(vname, planes))
 
 
 def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
@@ -209,7 +228,7 @@ def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
             .withColumn("n", _norm(F.col("v"))))
     band_structs = F.array(*[
         F.struct(F.lit(t).alias("tbl"),
-                 _bucket_expr(F.col("v"), pl).alias("bk"))
+                 _bucket_expr("v", pl).alias("bk"))
         for t, pl in enumerate(tables)])
     banded = (base.select(F.col(id_col), F.explode(band_structs).alias("b"))
               .select(id_col, F.col("b.tbl").alias("tbl"),
@@ -223,16 +242,16 @@ def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
     pow2 = F.array(*[F.lit(1 << j).cast("long") for j in range(n_planes)])
     probe_structs = []
     for t, pl in enumerate(tables):
-        qb = _bucket_expr(F.col("qv"), pl)
+        qb = _bucket_expr("qv", pl)
         probe_structs.append(F.struct(F.lit(t).alias("tbl"), qb.alias("bk")))
         if n_probes > 1:
-            dots = _plane_dots(F.col("qv"), pl)
             # sort planes by |margin| ascending, ties by plane index — both
             # deterministic in Spark's struct comparison (field order)
-            margins = F.array_sort(F.array(*[
-                F.struct(F.abs(F.element_at(dots, i + 1)).alias("m"),
-                         F.lit(i).alias("i"))
-                for i in range(n_planes)]))
+            margins = F.expr(
+                f"array_sort(transform(sequence(0, {n_planes - 1}), "
+                f"i -> named_struct('m', "
+                f"abs(element_at({_plane_dots_sql('qv', pl)}, i + 1)), "
+                f"'i', i)))")
             for p in range(1, n_probes):
                 flip_i = F.element_at(margins, p)["i"]
                 probe_structs.append(F.struct(
