@@ -310,6 +310,35 @@ def q_o25_doc_chunks(spark, sf_dir):
                                 "text", "doc_id", CHUNK_SIZE, CHUNK_STRIDE)
 
 
+# o26: downweight the dominant language, keep the rare ones whole — the
+# canonical corpus-rebalancing shape
+STRAT_RATES = {"en": 0.25, "zh": 1.0, "fr": 1.0}
+STRAT_DEFAULT = 0.5
+
+
+def q_o26_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling of documents by language
+    (operators/sampling.py): en kept at 25%, zh/fr at 100%, others at 50%.
+    The oracle applies the bit-identical predicate, so stratum routing AND
+    hash membership are both value-checked."""
+    from .sampling import stratified_hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_hash_sample(docs, "doc_id", "lang", STRAT_RATES,
+                                 STRAT_DEFAULT)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang", F.col("n_chars").cast("bigint").alias("n_chars"))
+
+
+def _oracle_stratified_sample() -> str:
+    from .sampling import sql_stratified_sample_where
+
+    pred = sql_stratified_sample_where("doc_id", "lang", STRAT_RATES,
+                                       STRAT_DEFAULT)
+    return (f"SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT "
+            f"AS n_chars FROM documents WHERE {pred}")
+
+
 def q_o10_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -664,6 +693,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o23_cosine_lsh_pairs": q_o23_cosine_lsh_pairs,
     "o24_asof_join": q_o24_asof_join,
     "o25_doc_chunks": q_o25_doc_chunks,
+    "o26_stratified_sample": q_o26_stratified_sample,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
@@ -696,6 +726,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o24_asof_join": _oracle_asof_join(),
     "o25_doc_chunks": text.sql_chunk_documents("documents", "text", "doc_id",
                                                CHUNK_SIZE, CHUNK_STRIDE),
+    "o26_stratified_sample": _oracle_stratified_sample(),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),

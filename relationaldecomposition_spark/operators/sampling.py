@@ -51,6 +51,43 @@ def hash_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.where(hash_sample_pred(F.col(key_col), rate))
 
 
+def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           rates: dict[str, float],
+                           default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-balancing /
+    source-reweighting staple of training-data pipelines (downsample the
+    dominant web crawl, keep all of the rare high-quality source). Each
+    stratum gets its own keep-rate; rows in strata not listed use
+    ``default_rate``. Still a pure map-side predicate (one CASE over the
+    stratum column feeding the same multiplicative-hash threshold), so it
+    composes and pushes down exactly like hash_sample."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1]")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    thresh = F.lit(int(round(default_rate * SAMPLE_MOD)))
+    for s, r in sorted(rates.items()):
+        thresh = F.when(F.col(stratum_col) == s,
+                        F.lit(int(round(r * SAMPLE_MOD)))).otherwise(thresh)
+    bucket = F.pmod(F.col(key_col).cast("long") * F.lit(SAMPLE_MULT),
+                    F.lit(SAMPLE_MOD))
+    return df.where(bucket < thresh)
+
+
+def sql_stratified_sample_where(key_col: str, stratum_col: str,
+                                rates: dict[str, float],
+                                default_rate: float = 0.0) -> str:
+    """DuckDB twin of stratified_hash_sample's predicate."""
+    e = f"({key_col}::BIGINT * {SAMPLE_MULT})"
+    bucket = f"((({e} % {SAMPLE_MOD}) + {SAMPLE_MOD}) % {SAMPLE_MOD})"
+    cases = " ".join(
+        f"WHEN {stratum_col} = '{s}' THEN {int(round(r * SAMPLE_MOD))}"
+        for s, r in sorted(rates.items()))
+    thresh = f"(CASE {cases} ELSE {int(round(default_rate * SAMPLE_MOD))} END)"
+    return f"{bucket} < {thresh}"
+
+
 def sql_hash_sample_where(key_col: str, rate: float) -> str:
     """DuckDB twin of hash_sample_pred (pmod spelled out since SQL % takes
     the dividend's sign)."""

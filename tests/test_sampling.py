@@ -83,3 +83,37 @@ def test_sampled_entropy_tracks_full(spark):
     assert smp.entropy(["event_type", "user_id"]) == pytest.approx(
         h2_full, abs=0.2)
     smp.unpersist()
+
+
+def test_stratified_rates_and_consistency(spark):
+    from relationaldecomposition_spark.operators.sampling import (
+        hash_sample, stratified_hash_sample)
+    docs = load(spark, "documents")
+    out = stratified_hash_sample(docs, "doc_id", "lang",
+                                 {"en": 0.25, "zh": 1.0}, 0.5)
+    by_lang = {r["lang"]: r["n"] for r in
+               out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    tot = {r["lang"]: r["n"] for r in
+           docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_lang["zh"] == tot["zh"]                  # rate 1.0 keeps all
+    assert 0.1 < by_lang["en"] / tot["en"] < 0.4       # ~25%
+    for lang in tot:
+        if lang not in ("en", "zh"):
+            assert 0.3 < by_lang.get(lang, 0) / tot[lang] < 0.7  # ~50%
+    # stratum membership uses the SAME hash: a stratum sampled at rate r
+    # contains exactly the global hash_sample(r) rows of that stratum
+    ens = {r["doc_id"] for r in out.where(F.col("lang") == "en").collect()}
+    glob = {r["doc_id"] for r in
+            hash_sample(docs, "doc_id", 0.25)
+            .where(F.col("lang") == "en").collect()}
+    assert ens == glob
+
+
+def test_stratified_validates_rates(spark):
+    from relationaldecomposition_spark.operators.sampling import (
+        stratified_hash_sample)
+    docs = load(spark, "documents")
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "doc_id", "lang", {"en": 2.0})
+    with pytest.raises(ValueError):
+        stratified_hash_sample(docs, "doc_id", "lang", {}, default_rate=-0.1)
