@@ -45,6 +45,8 @@ import time
 def build_queries(spark, sf_dir: str):
     """name -> zero-arg callable; each call does the full work (engines are
     constructed inside, caches built and torn down per run)."""
+    from pyspark.sql import functions as F
+
     from relationaldecomposition_spark.core.deps import MVD
     from relationaldecomposition_spark.engine.decompose import DecompositionValidator
     from relationaldecomposition_spark.engine.entropy import SparkEntropyEngine
@@ -154,6 +156,16 @@ def build_queries(spark, sf_dir: str):
         windowed_counts(ev).count()
         sessionize(ev).count()
 
+    def asof_join_q():
+        # union+window as-of join (o24): purchases enriched with the latest
+        # prior click per user — one shuffle on user_id, no range join
+        from relationaldecomposition_spark.operators.joins import asof_join
+        ev = load_table(spark, sf_dir, "events")
+        asof_join(ev.where(F.col("event_type") == "purchase"),
+                  ev.where(F.col("event_type") == "click"),
+                  "user_id", "ts", "ts", ["event_id", "value"],
+                  tiebreak="event_id", payload_prefix="click_").count()
+
     return {
         "entropy_batch32": entropy_batch32,
         "mvd_sweep": mvd_sweep,
@@ -167,6 +179,7 @@ def build_queries(spark, sf_dir: str):
         "ann_topk": ann_topk,
         "ivf_topk": ivf_topk_q,
         "stream_window": stream_window,
+        "asof_join": asof_join_q,
     }
 
 

@@ -117,3 +117,45 @@ def test_matches_naive_inequality_join(spark, frames):
     nv = {r["lid"]: r["rid"] for r in naive.collect()}
     for lid, row in _rows(out).items():
         assert row["rid"] == nv.get(lid)
+
+
+def test_randomized_against_python_reference(spark):
+    """Seeded random instance (duplicate timestamps, sparse keys, both
+    directions) vs a brute-force Python as-of."""
+    import random
+    rng = random.Random(20240814)
+    base = ts("2024-01-01T00:00:00").timestamp()
+    lrows = [(i, rng.randrange(8),
+              datetime.fromtimestamp(base + rng.randrange(0, 3600)))
+             for i in range(200)]
+    rrows = [(1000 + i, rng.randrange(8),
+              datetime.fromtimestamp(base + rng.randrange(0, 3600)),
+              float(rng.randrange(100)))
+             for i in range(200)]
+    left = spark.createDataFrame(lrows, "lid long, k long, lts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k long, rts timestamp, val double")
+
+    def ref(direction):
+        out = {}
+        for lid, lk, lt in lrows:
+            cands = [(rt, rid, v) for rid, rk, rt, v in rrows
+                     if rk == lk and (rt <= lt if direction == "backward"
+                                      else rt >= lt)]
+            if not cands:
+                out[lid] = (None, None)
+                continue
+            if direction == "backward":
+                rt, rid, v = max(cands, key=lambda c: (c[0], c[1]))
+            else:
+                # nearest future ts; greatest rid among ties on that ts
+                best_ts = min(c[0] for c in cands)
+                rt, rid, v = max((c for c in cands if c[0] == best_ts),
+                                 key=lambda c: c[1])
+            out[lid] = (rid, v)
+        return out
+
+    for direction in ("backward", "forward"):
+        got = {r["lid"]: (r["rid"], r["val"]) for r in
+               asof_join(left, right, "k", "lts", "rts", ["rid", "val"],
+                         direction=direction, tiebreak="rid").collect()}
+        assert got == ref(direction), f"direction={direction}"
