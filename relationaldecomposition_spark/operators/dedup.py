@@ -97,7 +97,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        seed: int = 42) -> DataFrame:
     """(id, mh_0..mh_{n-1}): min over shingles of (a_i*h32(shingle)+b_i)%P.
     Documents with no shingles get sentinel P (impossible hash value).
-    One explode + one groupBy — two narrow shuffles regardless of n."""
+    One explode + one groupBy — two narrow shuffles regardless of n.
+
+    Why not map-only (array_min over transform of the shingle array, the
+    oracle's list_min shape, zero shuffles)? Measured at sf0.1: 4x SLOWER
+    (6.0s vs 1.5s for the signatures; 22s vs 3.7s for lsh_candidate_pairs)
+    because higher-order-function lambdas are CodegenFallback — n_hashes
+    interpreted traversals per document vs codegen'd min-aggregates here.
+    The groupBy shuffle is doc-sized after map-side combine (partial mins),
+    not shingle-sized, so the exchange this formulation keeps is cheap and
+    it doubles as the materialization point both sides of the band
+    self-join reuse."""
     params = minhash_params(n_hashes, seed)
     sh = df.select(F.col(id_col),
                    F.explode_outer(word_shingles(F.col(text_col), shingle_k))
