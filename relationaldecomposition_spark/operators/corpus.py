@@ -1,0 +1,311 @@
+"""Corpus-hygiene operators for training-data pipelines: benchmark
+decontamination, PII detection/redaction, repetition-based quality
+(Gopher-style), and TF-IDF keyword extraction.
+
+All four are pure DataFrame pipelines (no Python UDFs) over the portable
+hash/tokenize primitives in functions/hashing.py, each with a DuckDB SQL
+twin generated from the same constants so the driver's oracle gate
+value-checks them.
+
+Scale notes (100 TB):
+- decontaminate: the benchmark n-gram set is eval-corpus-sized (MBs, not
+  TBs) regardless of training-corpus size, so the membership probe is a
+  BROADCAST semi-join — the corpus is never shuffled on content; the only
+  wide exchange is the per-document hit count, keyed by the uniform doc id.
+- pii_scan/redact: map-only column expressions (regexp_count /
+  regexp_replace inside whole-stage codegen); zero shuffles.
+- repetition_metrics: per-document n-gram mode via explode + two keyed
+  aggregations (both map-side combining) — never a per-row O(len^2)
+  higher-order-function loop, so a single pathological 1 GB document
+  costs O(len) per stage, not O(len^2) on one core.
+- tfidf_topk: document-frequency aggregation map-side combines to
+  vocabulary size; the tf<->df join is token-keyed (sort-merge at scale,
+  AQE broadcasts it when the vocabulary is small); the top-k window
+  partitions by document — no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import (
+    portable_hash32, sql_hash32, sql_tokens, sql_word_shingles, tokens,
+    word_shingles)
+
+# -- decontamination ---------------------------------------------------------
+
+DECON_SHINGLE_K = 3     # n-gram width matched against the benchmark
+DECON_TAU = 0.2         # overlap fraction above which a doc is contaminated
+
+
+def decontaminate(df: DataFrame, text_col: str, id_col: str,
+                  benchmark: DataFrame, k: int = DECON_SHINGLE_K,
+                  tau: float = DECON_TAU) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its distinct
+    k-word shingles that appear anywhere in the benchmark corpus (the
+    standard n-gram-overlap decontamination rule used for public LLM
+    training sets). `benchmark` is any frame with the same text column.
+
+    Returns (id, n_shingles, n_hits, overlap_frac, contaminated) — one row
+    per input document, shingle-less documents included with zeros.
+
+    The benchmark's distinct shingle hashes are broadcast (an eval set is
+    small by construction); the corpus side is exploded once and never
+    re-shuffled except for the final doc-keyed count."""
+    sh = F.array_distinct(word_shingles(F.col(text_col), k))
+    ex = df.select(F.col(id_col),
+                   F.explode_outer(sh).alias("shingle")) \
+           .select(F.col(id_col),
+                   F.when(F.col("shingle").isNotNull(),
+                          portable_hash32(F.col("shingle"))).alias("h"))
+    bench = (benchmark
+             .select(F.explode(F.array_distinct(
+                 word_shingles(F.col(text_col), k))).alias("shingle"))
+             .select(portable_hash32(F.col("shingle")).alias("h"))
+             .distinct()
+             .withColumn("_hit", F.lit(1)))
+    joined = ex.join(F.broadcast(bench), "h", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count("h").alias("n_shingles"),
+        F.count("_hit").alias("n_hits"))
+    frac = F.when(F.col("n_shingles") > 0,
+                  F.col("n_hits") / F.col("n_shingles").cast("double")) \
+            .otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(id_col),
+        F.col("n_shingles").cast("bigint").alias("n_shingles"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(frac, 6).alias("overlap_frac"),
+        (frac >= F.lit(tau)).cast("int").alias("contaminated"))
+
+
+def sql_decontaminate(table: str, text_col: str, id_col: str,
+                      bench_where: str, k: int = DECON_SHINGLE_K,
+                      tau: float = DECON_TAU) -> str:
+    """DuckDB twin; `bench_where` is the predicate selecting benchmark rows
+    from the same table (the gate pins the benchmark as a table subset so
+    both engines derive it identically)."""
+    sh = sql_word_shingles(text_col, k)
+    h = sql_hash32("s")
+    frac = ("CASE WHEN n_shingles > 0 "
+            "THEN n_hits / CAST(n_shingles AS DOUBLE) ELSE 0.0 END")
+    return f"""
+      WITH ex AS (
+        SELECT {id_col}, unnest(list_transform(list_distinct({sh}),
+                                               s -> {h})) AS h
+        FROM {table}),
+      bench AS (
+        SELECT DISTINCT unnest(list_transform(list_distinct({sh}),
+                                              s -> {h})) AS h
+        FROM {table} WHERE {bench_where}),
+      agg AS (
+        SELECT e.{id_col}, count(*) AS n_shingles, count(b.h) AS n_hits
+        FROM ex e LEFT JOIN bench b ON e.h = b.h
+        GROUP BY e.{id_col})
+      SELECT d.{id_col},
+             coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
+             coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+             round(coalesce({frac}, 0.0), 6) AS overlap_frac,
+             (CASE WHEN coalesce({frac}, 0.0) >= {tau}
+                   THEN 1 ELSE 0 END)::INT AS contaminated
+      FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.{id_col}"""
+
+
+# -- PII detection / redaction ----------------------------------------------
+
+# Patterns restricted to syntax Java regex and RE2 read identically
+# (no backrefs, no lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_RULES: list[tuple[str, str, str]] = [
+    ("email", PII_EMAIL_RE, "[EMAIL]"),
+    ("phone", PII_PHONE_RE, "[PHONE]"),
+    ("ipv4", PII_IPV4_RE, "[IPV4]"),
+]
+
+
+def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Count + redact PII spans (emails, NNN-NNN-NNNN phones, IPv4
+    addresses). Map-only: one regexp_count per rule + chained
+    regexp_replace, all inside whole-stage codegen. Redaction order is
+    rule-list order (emails first, so user@host never half-matches as a
+    host-only token after replacing).
+
+    Returns (id, n_email, n_phone, n_ipv4, redacted)."""
+    c = F.col(text_col)
+    counts = [F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+              for name, pat, _ in PII_RULES]
+    red = c
+    for _, pat, repl in PII_RULES:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+
+
+def sql_pii_scan(table: str, text_col: str, id_col: str) -> str:
+    # DuckDB single-quoted literals are escape-free (standard SQL): '\d'
+    # IS backslash-d, so only quotes need doubling.
+    def q(p: str) -> str:
+        return p.replace("'", "''")
+
+    counts = [f"len(regexp_extract_all({text_col}, '{q(pat)}'))::BIGINT "
+              f"AS n_{name}" for name, pat, _ in PII_RULES]
+    red = text_col
+    for _, pat, repl in PII_RULES:
+        red = f"regexp_replace({red}, '{q(pat)}', '{repl}', 'g')"
+    return (f"SELECT {id_col}, {', '.join(counts)}, {red} AS redacted "
+            f"FROM {table}")
+
+
+def with_synthetic_pii(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Deterministically inject PII spans into a text column (the synthetic
+    corpus has none): emails on id%3==0, phones on id%5==0, IPv4 on id%7==0
+    — so zero-, one- and multi-hit rows all occur. The SQL twin
+    (sql_with_synthetic_pii) builds byte-identical strings."""
+    i = F.col(id_col)
+    c = F.col(text_col)
+    email = F.when(i % 3 == 0, F.concat(
+        F.lit(" contact user"), i.cast("string"), F.lit("@example.com")))
+    phone = F.when(i % 5 == 0, F.concat(
+        F.lit(" call 555-123-"), F.lpad((i % 10000).cast("string"), 4, "0")))
+    ip = F.when(i % 7 == 0, F.concat(
+        F.lit(" host 10.0."), (i % 256).cast("string"), F.lit("."),
+        ((i * 7) % 256).cast("string")))
+    aug = F.concat(c, F.coalesce(email, F.lit("")),
+                   F.coalesce(phone, F.lit("")), F.coalesce(ip, F.lit("")))
+    return df.withColumn(text_col, aug)
+
+
+def sql_with_synthetic_pii(table: str, text_col: str, id_col: str) -> str:
+    """CTE body producing the same augmented rows as with_synthetic_pii."""
+    i = id_col
+    email = (f"CASE WHEN {i} % 3 = 0 THEN ' contact user' || {i}::VARCHAR "
+             f"|| '@example.com' ELSE '' END")
+    phone = (f"CASE WHEN {i} % 5 = 0 THEN ' call 555-123-' || "
+             f"lpad(({i} % 10000)::VARCHAR, 4, '0') ELSE '' END")
+    ip = (f"CASE WHEN {i} % 7 = 0 THEN ' host 10.0.' || ({i} % 256)::VARCHAR "
+          f"|| '.' || (({i} * 7) % 256)::VARCHAR ELSE '' END")
+    return (f"SELECT * REPLACE ({text_col} || {email} || {phone} || {ip} "
+            f"AS {text_col}) FROM {table}")
+
+
+# -- repetition metrics (Gopher-style quality rules) -------------------------
+
+REP_NGRAM_N = 2         # n-gram whose mode share is measured
+REP_TOP_FRAC_MAX = 0.18  # Gopher's top-2-gram threshold family
+
+
+def repetition_metrics(df: DataFrame, text_col: str, id_col: str,
+                       n: int = REP_NGRAM_N,
+                       top_frac_max: float = REP_TOP_FRAC_MAX) -> DataFrame:
+    """Per-document repetition signals (the Gopher / MassiveText quality
+    rule family): duplicate-token fraction (1 - distinct/total) and the
+    fraction of all n-grams taken by the single most frequent n-gram.
+    `repetitive` flags documents whose top-n-gram share exceeds the
+    threshold — the standard boilerplate/template detector.
+
+    Returns (id, n_tokens, dup_token_frac, top_ngram_frac, repetitive),
+    one row per document (token-less documents report zeros)."""
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col),
+                     F.size(toks).cast("bigint").alias("n_tokens"),
+                     F.size(F.array_distinct(toks)).cast("bigint")
+                      .alias("n_distinct"))
+    grams = df.select(F.col(id_col),
+                      F.explode(word_shingles(F.col(text_col), n))
+                       .alias("gram"))
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_gram.groupBy(id_col).agg(F.max("c").alias("top_c"),
+                                           F.sum("c").alias("n_grams"))
+    j = base.join(per_doc, id_col, "left")
+    dup = F.when(F.col("n_tokens") > 0,
+                 1.0 - F.col("n_distinct") / F.col("n_tokens").cast("double")) \
+           .otherwise(F.lit(0.0))
+    top = F.coalesce(F.col("top_c") / F.col("n_grams").cast("double"),
+                     F.lit(0.0))
+    return j.select(F.col(id_col), F.col("n_tokens"),
+                    F.round(dup, 6).alias("dup_token_frac"),
+                    F.round(top, 6).alias("top_ngram_frac"),
+                    (top > F.lit(top_frac_max)).cast("int").alias("repetitive"))
+
+
+def sql_repetition_metrics(table: str, text_col: str, id_col: str,
+                           n: int = REP_NGRAM_N,
+                           top_frac_max: float = REP_TOP_FRAC_MAX) -> str:
+    toks = sql_tokens(text_col)
+    sh = sql_word_shingles(text_col, n)
+    return f"""
+      WITH base AS (
+        SELECT {id_col}, len({toks})::BIGINT AS n_tokens,
+               len(list_distinct({toks}))::BIGINT AS n_distinct
+        FROM {table}),
+      grams AS (SELECT {id_col}, unnest({sh}) AS gram FROM {table}),
+      per_gram AS (SELECT {id_col}, gram, count(*) AS c
+                   FROM grams GROUP BY {id_col}, gram),
+      per_doc AS (SELECT {id_col}, max(c) AS top_c, sum(c) AS n_grams
+                  FROM per_gram GROUP BY {id_col})
+      SELECT b.{id_col}, b.n_tokens,
+             round(CASE WHEN b.n_tokens > 0
+                        THEN 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)
+                        ELSE 0.0 END, 6) AS dup_token_frac,
+             round(coalesce(p.top_c / CAST(p.n_grams AS DOUBLE), 0.0), 6)
+               AS top_ngram_frac,
+             (CASE WHEN coalesce(p.top_c / CAST(p.n_grams AS DOUBLE), 0.0)
+                        > {top_frac_max}
+                   THEN 1 ELSE 0 END)::INT AS repetitive
+      FROM base b LEFT JOIN per_doc p ON b.{id_col} = p.{id_col}"""
+
+
+# -- TF-IDF keyword extraction ----------------------------------------------
+
+TFIDF_TOPK = 3
+
+
+def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
+               k: int = TFIDF_TOPK) -> DataFrame:
+    """Top-k keywords per document by tf * ln(N/df) with raw term counts
+    (the textbook smoothing-free variant, so the SQL twin is exact).
+
+    Ranking orders by the 6-decimal-ROUNDED score (then token) in BOTH
+    engines: two mathematically equal scores reached by different
+    (tf, df) pairs — e.g. 2*ln(10) vs ln(100) — can differ by 1 ulp
+    between JVM and C libm log, and rounding before ordering keeps the
+    rank (and the k-boundary selection) engine-independent.
+
+    N is the total document count — a bounded scalar read, same as the
+    entropy engine's num_distinct."""
+    n_docs = df.count()
+    tf = (df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs))
+                                        / F.col("dfreq").cast("double")),
+                    6).alias("tfidf")
+    scored = tf.join(dfreq, "token").select(F.col(id_col), "token", score)
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(F.col(id_col), "token", "tfidf",
+                          F.col("rank").cast("bigint").alias("rank")))
+
+
+def sql_tfidf_topk(table: str, text_col: str, id_col: str,
+                   k: int = TFIDF_TOPK) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+      WITH tf AS (
+        SELECT {id_col}, unnest({toks}) AS token FROM {table}),
+      tfc AS (SELECT {id_col}, token, count(*) AS tf
+              FROM tf GROUP BY {id_col}, token),
+      dfc AS (SELECT token, count(*) AS dfreq FROM tfc GROUP BY token),
+      scored AS (
+        SELECT t.{id_col}, t.token,
+               round(t.tf * ln((SELECT count(*) FROM {table})::DOUBLE
+                               / d.dfreq), 6) AS tfidf
+        FROM tfc t JOIN dfc d ON t.token = d.token)
+      SELECT {id_col}, token, tfidf, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY {id_col}
+                    ORDER BY tfidf DESC, token ASC)::BIGINT AS rank
+        FROM scored)
+      WHERE rank <= {k}"""

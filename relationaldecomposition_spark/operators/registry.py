@@ -14,7 +14,7 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import dedup, ivf, joins, multimodal, similarity, text
+from . import corpus, dedup, ivf, joins, multimodal, similarity, text
 
 ROUND = 6
 
@@ -337,6 +337,51 @@ def _oracle_stratified_sample() -> str:
                                        STRAT_DEFAULT)
     return (f"SELECT doc_id::BIGINT AS doc_id, lang, n_chars::BIGINT "
             f"AS n_chars FROM documents WHERE {pred}")
+
+
+# o27: benchmark = every 20th document starting at 7 (~5% of the corpus) —
+# a deterministic stand-in for an eval set; both engines derive it from the
+# same predicate so contamination is value-checked end-to-end.
+DECON_BENCH_MOD, DECON_BENCH_REM = 20, 7
+
+
+def q_o27_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination (operators/corpus.py): per-document
+    overlap fraction of distinct 3-word shingles against a broadcast
+    benchmark shingle set."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
+    return corpus.decontaminate(docs, "text", "doc_id", bench)
+
+
+def q_o28_pii_redact(spark, sf_dir):
+    """PII scan + redaction over documents with deterministically injected
+    emails/phones/IPv4s (the synthetic corpus has none; the oracle builds
+    byte-identical augmented text, so detection AND the redacted string are
+    both value-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = corpus.with_synthetic_pii(docs, "text", "doc_id")
+    return corpus.pii_scan(aug, "text", "doc_id")
+
+
+def q_o29_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics: duplicate-token fraction +
+    top-bigram share per document."""
+    return corpus.repetition_metrics(load_table(spark, sf_dir, "documents"),
+                                     "text", "doc_id")
+
+
+def q_o30_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF keywords per document (rounded-score ranking so the
+    k-boundary selection is engine-independent)."""
+    return corpus.tfidf_topk(load_table(spark, sf_dir, "documents"),
+                             "text", "doc_id")
+
+
+def _oracle_pii_redact() -> str:
+    aug = corpus.sql_with_synthetic_pii("documents", "text", "doc_id")
+    return ("WITH aug AS (" + aug + ") "
+            + corpus.sql_pii_scan("aug", "text", "doc_id"))
 
 
 def q_o10_lang_id(spark, sf_dir):
@@ -695,6 +740,10 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o25_doc_chunks": q_o25_doc_chunks,
     "o26_stratified_sample": q_o26_stratified_sample,
     "o22_dedup_apply": q_o22_dedup_apply,
+    "o27_decontaminate": q_o27_decontaminate,
+    "o28_pii_redact": q_o28_pii_redact,
+    "o29_repetition": q_o29_repetition,
+    "o30_tfidf_topk": q_o30_tfidf_topk,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
     "o10_lang_id": q_o10_lang_id,
@@ -728,6 +777,13 @@ OPERATOR_ORACLES: dict[str, str] = {
                                                CHUNK_SIZE, CHUNK_STRIDE),
     "o26_stratified_sample": _oracle_stratified_sample(),
     "o22_dedup_apply": _oracle_dedup_apply(),
+    "o27_decontaminate": corpus.sql_decontaminate(
+        "documents", "text", "doc_id",
+        f"doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}"),
+    "o28_pii_redact": _oracle_pii_redact(),
+    "o29_repetition": corpus.sql_repetition_metrics(
+        "documents", "text", "doc_id"),
+    "o30_tfidf_topk": corpus.sql_tfidf_topk("documents", "text", "doc_id"),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

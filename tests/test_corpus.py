@@ -1,0 +1,166 @@
+"""Corpus-hygiene operators (operators/corpus.py): brute-force Python
+oracles on hand-built fixtures + plan shape checks. The driver's DuckDB
+oracle gate covers the same operators at sf0.01 (o27-o30)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from relationaldecomposition_spark.operators import corpus
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in enumerate(rows)])
+
+
+FIX = [
+    "the quick brown fox jumps over the lazy dog",          # 0
+    "the quick brown fox sat on the mat",                   # 1: shares 3-grams with 0
+    "completely different words here entirely",             # 2
+    "",                                                     # 3: empty
+    "one two",                                              # 4: < k tokens, no shingles
+    "spam spam spam spam spam spam spam spam",              # 5: repetitive
+]
+
+
+def _shingles(text, k=3):
+    toks = text.split()
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+class TestDecontaminate:
+    def test_matches_python_oracle(self, spark):
+        docs = _docs(spark, FIX)
+        bench = docs.where(F.col("doc_id") == 0)
+        out = {r["doc_id"]: r for r in
+               corpus.decontaminate(docs, "text", "doc_id", bench).collect()}
+        bench_sh = _shingles(FIX[0])
+        assert len(out) == len(FIX)
+        for i, t in enumerate(FIX):
+            sh = _shingles(t)
+            hits = len(sh & bench_sh)
+            assert out[i]["n_shingles"] == len(sh)
+            assert out[i]["n_hits"] == hits
+            exp_frac = hits / len(sh) if sh else 0.0
+            assert out[i]["overlap_frac"] == pytest.approx(exp_frac, abs=1e-6)
+            assert out[i]["contaminated"] == int(exp_frac >= corpus.DECON_TAU)
+        # doc 0 is the benchmark itself -> fully contaminated
+        assert out[0]["overlap_frac"] == 1.0 and out[0]["contaminated"] == 1
+        # doc 1 shares 'the quick brown'/'quick brown fox' with the benchmark
+        assert out[1]["n_hits"] == 2
+        # shingle-less docs report zeros, not missing rows
+        assert out[3]["n_shingles"] == 0 and out[4]["n_shingles"] == 0
+
+    def test_benchmark_side_is_broadcast(self, spark):
+        docs = _docs(spark, FIX)
+        bench = docs.where(F.col("doc_id") == 0)
+        plan = corpus.decontaminate(docs, "text", "doc_id", bench) \
+                     ._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestPii:
+    def test_counts_and_redaction(self, spark):
+        rows = [
+            "mail me at alice.smith+x@corp.example.org today",
+            "call 555-123-4567 or 555-999-0000",
+            "server at 192.168.0.1 and 10.0.255.7",
+            "clean text with no pii at all",
+            "mixed bob@x.io 111-222-3333 127.0.0.1",
+        ]
+        out = {r["doc_id"]: r for r in
+               corpus.pii_scan(_docs(spark, rows), "text", "doc_id").collect()}
+        assert (out[0]["n_email"], out[0]["n_phone"], out[0]["n_ipv4"]) == (1, 0, 0)
+        assert (out[1]["n_email"], out[1]["n_phone"]) == (0, 2)
+        assert out[2]["n_ipv4"] == 2
+        assert (out[3]["n_email"], out[3]["n_phone"], out[3]["n_ipv4"]) == (0, 0, 0)
+        assert out[3]["redacted"] == rows[3]
+        assert out[4]["redacted"] == "mixed [EMAIL] [PHONE] [IPV4]"
+        assert "[EMAIL]" in out[0]["redacted"]
+        assert "alice" not in out[0]["redacted"]
+
+    def test_map_only_plan(self, spark):
+        df = _docs(spark, ["a@b.co"])
+        plan = corpus.pii_scan(df, "text", "doc_id") \
+                     ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_synthetic_injection_is_detected(self, spark):
+        docs = _docs(spark, ["base text"] * 40) \
+            .withColumn("doc_id", F.col("doc_id").cast("long"))
+        aug = corpus.with_synthetic_pii(docs, "text", "doc_id")
+        out = {r["doc_id"]: r for r in
+               corpus.pii_scan(aug, "text", "doc_id").collect()}
+        for i in range(40):
+            assert out[i]["n_email"] == (1 if i % 3 == 0 else 0)
+            assert out[i]["n_phone"] == (1 if i % 5 == 0 else 0)
+            assert out[i]["n_ipv4"] == (1 if i % 7 == 0 else 0)
+
+
+class TestRepetition:
+    def test_matches_python_oracle(self, spark):
+        out = {r["doc_id"]: r for r in
+               corpus.repetition_metrics(_docs(spark, FIX), "text",
+                                         "doc_id").collect()}
+        from collections import Counter
+        for i, t in enumerate(FIX):
+            toks = t.split()
+            grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+            exp_dup = 1 - len(set(toks)) / len(toks) if toks else 0.0
+            exp_top = (max(Counter(grams).values()) / len(grams)
+                       if grams else 0.0)
+            assert out[i]["n_tokens"] == len(toks)
+            assert out[i]["dup_token_frac"] == pytest.approx(exp_dup, abs=1e-6)
+            assert out[i]["top_ngram_frac"] == pytest.approx(exp_top, abs=1e-6)
+            assert out[i]["repetitive"] == int(exp_top > corpus.REP_TOP_FRAC_MAX)
+        assert out[5]["repetitive"] == 1       # 'spam spam' dominates
+        # long-enough all-distinct text stays under the threshold (short
+        # docs trip it by construction: few bigrams -> high mode share,
+        # the documented caveat of the Gopher rule without a length floor)
+        assert out[0]["repetitive"] == 0
+
+
+class TestTfidf:
+    def test_matches_python_oracle(self, spark):
+        rows = ["apple banana apple cherry",
+                "banana cherry cherry date",
+                "apple date elderberry elderberry elderberry"]
+        out = corpus.tfidf_topk(_docs(spark, rows), "text", "doc_id",
+                                k=2).collect()
+        from collections import Counter
+        n = len(rows)
+        tf = [Counter(r.split()) for r in rows]
+        dfreq = Counter(t for c in tf for t in c)
+        exp = {}
+        for i, c in enumerate(tf):
+            scored = sorted(((round(cnt * math.log(n / dfreq[t]), 6), t)
+                             for t, cnt in c.items()),
+                            key=lambda s: (-s[0], s[1]))
+            exp[i] = [(t, s) for s, t in scored[:2]]
+        got = {}
+        for r in sorted(out, key=lambda r: (r["doc_id"], r["rank"])):
+            got.setdefault(r["doc_id"], []).append((r["token"], r["tfidf"]))
+        assert got == {i: [(t, pytest.approx(s, abs=1e-6)) for t, s in v]
+                       for i, v in exp.items()}
+
+    def test_ubiquitous_token_scores_zero(self, spark):
+        rows = ["common alpha", "common beta", "common gamma"]
+        out = corpus.tfidf_topk(_docs(spark, rows), "text", "doc_id", k=2) \
+                    .collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], {})[r["token"]] = r["tfidf"]
+        for i in range(3):
+            assert by_doc[i]["common"] == 0.0
+            # the distinctive token outranks the ubiquitous one
+            top = min(out, key=lambda r: r["rank"] if r["doc_id"] == i else 9)
+        assert all(r["rank"] == 1 and r["token"] != "common"
+                   for r in out if r["rank"] == 1)
+
+    def test_empty_docs_produce_no_rows(self, spark):
+        out = corpus.tfidf_topk(_docs(spark, ["", "word"]), "text",
+                                "doc_id").collect()
+        assert {r["doc_id"] for r in out} == {1}
