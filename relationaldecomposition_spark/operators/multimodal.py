@@ -176,6 +176,90 @@ class HeaderDecoder(Decoder):
         })
 
 
+PIXEL_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("channels", T.IntegerType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+])
+
+
+def _pnm_payload_offset(b: bytes) -> int | None:
+    """Byte offset of the first pixel sample in a binary PNM: after the
+    magic, three header tokens (width height maxval), and the single
+    whitespace byte that terminates the header (netpbm spec)."""
+    toks, i, L, need = 0, 2, len(b), 3
+    while toks < need and i < L:
+        c = b[i:i + 1]
+        if c in b" \t\r\n":
+            i += 1
+        elif c == b"#":
+            while i < L and b[i:i + 1] != b"\n":
+                i += 1
+        else:
+            while i < L and b[i:i + 1] not in b" \t\r\n":
+                i += 1
+            toks += 1
+    return i + 1 if toks == need and i < L else None
+
+
+class PixelStatsDecoder(Decoder):
+    """REAL pixel-level decode for binary PPM (P6, maxval<=255): parses the
+    header, then computes per-channel mean brightness over the actual
+    sample bytes with numpy — a true decode of uncompressed image data, no
+    codec library involved. Non-P6 payloads yield null stats.
+
+    Runs inside the same Arrow-batched mapInPandas plumbing as the other
+    decoders: bytes stream through numpy views, never per-pixel Python."""
+
+    def decode_batch(self, content: pd.Series) -> pd.DataFrame:
+        import numpy as np
+        rows = []
+        for b in content:
+            w, h, ch, fmt = parse_media_header(b)
+            if fmt != "ppm" or b[1:2] != b"6" or ch != 3:
+                rows.append((None, None, None, None, None, None))
+                continue
+            off = _pnm_payload_offset(b)
+            n = w * h * ch
+            if off is None or len(b) < off + n:
+                rows.append((w, h, ch, None, None, None))
+                continue
+            px = np.frombuffer(b, dtype=np.uint8, count=n, offset=off) \
+                   .reshape(-1, 3)
+            # half-away-from-zero at 6 decimals (SQL round semantics —
+            # Python's round() banker's-rounds exact ties like x.0390625
+            # the other way); means are non-negative so floor(+0.5) is it
+            m = np.floor(px.mean(axis=0) * 1e6 + 0.5) / 1e6
+            rows.append((w, h, ch, float(m[0]), float(m[1]), float(m[2])))
+        return pd.DataFrame(
+            {"width": pd.array([r[0] for r in rows], dtype="Int32"),
+             "height": pd.array([r[1] for r in rows], dtype="Int32"),
+             "channels": pd.array([r[2] for r in rows], dtype="Int32"),
+             "mean_r": pd.array([r[3] for r in rows], dtype="float64"),
+             "mean_g": pd.array([r[4] for r in rows], dtype="float64"),
+             "mean_b": pd.array([r[5] for r in rows], dtype="float64")})
+
+
+def extract_pixel_stats(media: DataFrame,
+                        batch_size: int = 256) -> DataFrame:
+    """PixelStatsDecoder via mapInPandas (Arrow-batched, map-only)."""
+    decoder = PixelStatsDecoder()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                feats = decoder.decode_batch(chunk["content"])
+                feats.insert(0, "media_id", chunk["media_id"].values)
+                yield feats
+
+    return media.mapInPandas(run, schema=PIXEL_SCHEMA)
+
+
 class PillowDecoder(Decoder):
     """Real image decoding — STUB: requires Pillow, which this environment
     does not ship. Import-gated so the module always loads."""
@@ -225,6 +309,36 @@ def documents_as_ppm(df: DataFrame, text_col: str = "text",
         content.alias("content"),
         F.lit("image").alias("media_type"),
         F.struct(F.lit("ppm_synth").alias("source"),
+                 F.octet_length(content).cast("long").alias("n_bytes"))
+         .alias("meta"),
+    )
+
+
+def documents_as_ppm_textured(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id",
+                              max_w: int = 64, max_h: int = 48) -> DataFrame:
+    """documents_as_ppm with REAL pixel variety: sample bytes are the
+    document's printable-ASCII characters tiled to fill w*h*3 — so
+    per-channel means are a genuine function of the pixel data, not a
+    constant fill. Text is sanitized to [space..~] (keeps byte length ==
+    char length and keeps newlines out of the payload, letting the SQL
+    oracle slice the payload with split_part) and padded with 'x' so empty
+    documents still produce a full image. Column expressions only."""
+    w = (F.col(id_col) % max_w + 1).cast("int")
+    h = (F.col(id_col) % max_h + 1).cast("int")
+    max_bytes = max_w * max_h * 3
+    clean = F.concat(F.regexp_replace(F.col(text_col), "[^ -~]", ""),
+                     F.lit("x"))
+    times = (F.floor(F.lit(max_bytes) / F.length(clean)) + 1).cast("int")
+    payload = F.substring(F.repeat(clean, times), F.lit(1), w * h * 3)
+    content = F.encode(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                 h.cast("string"), F.lit("\n255\n"), payload), "UTF-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        content.alias("content"),
+        F.lit("image").alias("media_type"),
+        F.struct(F.lit("ppm_textured").alias("source"),
                  F.octet_length(content).cast("long").alias("n_bytes"))
          .alias("meta"),
     )

@@ -421,6 +421,54 @@ def q_o19_ppm_decode(spark, sf_dir):
     return multimodal.extract_features(media, multimodal.HeaderDecoder())
 
 
+def q_o31_ppm_pixels(spark, sf_dir):
+    """REAL pixel-level decode: P6 images whose sample bytes tile the
+    document's ASCII text, then per-channel mean brightness computed from
+    the actual payload bytes (numpy over Arrow batches). The oracle builds
+    byte-identical images and re-derives the means by string-slicing the
+    SAME payload — both engines decode pixels, neither echoes the
+    construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_ppm_textured(docs)
+    return multimodal.extract_pixel_stats(media)
+
+
+def _oracle_ppm_pixels(max_w: int = 64, max_h: int = 48) -> str:
+    mb = max_w * max_h * 3
+    return f"""
+      WITH src AS (
+        SELECT doc_id::BIGINT AS media_id,
+               (doc_id % {max_w} + 1)::INT AS w,
+               (doc_id % {max_h} + 1)::INT AS h,
+               regexp_replace(text, '[^ -~]', '', 'g') || 'x' AS clean
+        FROM documents),
+      ppm AS (
+        SELECT media_id,
+               'P6' || chr(10) || w::VARCHAR || ' ' || h::VARCHAR || chr(10)
+                 || '255' || chr(10)
+                 || substr(repeat(clean, ({mb} // length(clean) + 1)::INT),
+                           1, (w * h * 3)::INT) AS content
+        FROM src),
+      hdr AS (
+        SELECT media_id,
+               split_part(split_part(content, chr(10), 2), ' ', 1)::INT AS width,
+               split_part(split_part(content, chr(10), 2), ' ', 2)::INT AS height,
+               (CASE WHEN split_part(content, chr(10), 1) = 'P6'
+                     THEN 3 END)::INT AS channels,
+               split_part(content, chr(10), 4) AS payload
+        FROM ppm),
+      codes AS (
+        SELECT media_id, width, height, channels,
+               list_transform(range(1, length(payload) + 1),
+                              i -> ascii(substr(payload, i::INT, 1))) AS cl
+        FROM hdr)
+      SELECT media_id, width, height, channels,
+             round(list_aggregate(cl[1:len(cl):3], 'avg'), 6) AS mean_r,
+             round(list_aggregate(cl[2:len(cl):3], 'avg'), 6) AS mean_g,
+             round(list_aggregate(cl[3:len(cl):3], 'avg'), 6) AS mean_b
+      FROM codes"""
+
+
 def _oracle_ppm_decode() -> str:
     """Build the P6 content string exactly as documents_as_ppm does, then
     parse the header back with split_part — an honest decode, not an echo
@@ -752,6 +800,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o13_media_features": q_o13_media_features,
     "o14_frame_sample": q_o14_frame_sample,
     "o19_ppm_decode": q_o19_ppm_decode,
+    "o31_ppm_pixels": q_o31_ppm_pixels,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -797,6 +846,7 @@ OPERATOR_ORACLES: dict[str, str] = {
         "'fake' AS format "
         "FROM documents"),
     "o19_ppm_decode": _oracle_ppm_decode(),
+    "o31_ppm_pixels": _oracle_ppm_pixels(),
     "o14_frame_sample": (
         "SELECT doc_id::BIGINT AS media_id, "
         "unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64))::BIGINT "

@@ -114,3 +114,40 @@ def test_documents_as_ppm_roundtrip(spark):
             (w, h, 3, "ppm"), i
         # header is "P6\n<w> <h>\n255\n" then exactly 3*w*h pixel bytes
         assert r["n_bytes"] == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+
+
+def test_pixel_stats_decoder_matches_python_oracle(spark):
+    """PixelStatsDecoder's per-channel means equal a byte-level Python
+    re-derivation of the same textured payloads (the o31 gate invariant)."""
+    fixture = [(0, "abc"), (5, "hello world"), (66, ""),
+               (7, "ünïcode stuff\nnewline")]
+    docs = spark.createDataFrame(fixture, "doc_id long, text string")
+    media = multimodal.documents_as_ppm_textured(docs)
+    got = {r["media_id"]: r for r in
+           multimodal.extract_pixel_stats(media).collect()}
+    for i, t in fixture:
+        w, h = i % 64 + 1, i % 48 + 1
+        clean = "".join(c for c in t if " " <= c <= "~") + "x"
+        payload = (clean * (64 * 48 * 3 // len(clean) + 1))[: w * h * 3]
+        r = got[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            codes = [ord(c) for c in payload[ch::3]]
+            import math
+            exp = math.floor(sum(codes) / len(codes) * 1e6 + 0.5) / 1e6
+            assert r[name] == pytest.approx(exp, abs=1e-9), (i, name)
+
+
+def test_pixel_stats_rejects_non_p6(spark):
+    """Grayscale P5, truncated P6, and junk all yield null means (and the
+    truncated case keeps its parsed header dims)."""
+    p5 = b"P5\n2 2\n255\n" + bytes([1, 2, 3, 4])
+    p6_short = b"P6\n4 4\n255\n" + b"xy"          # needs 48 sample bytes
+    rows = [(1, p5), (2, p6_short), (3, b"not an image at all......")]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r for r in
+           multimodal.extract_pixel_stats(media).collect()}
+    assert got[1]["mean_r"] is None and got[1]["width"] is None
+    assert got[2]["width"] == 4 and got[2]["height"] == 4
+    assert got[2]["mean_r"] is None
+    assert got[3]["width"] is None and got[3]["mean_b"] is None
