@@ -18,6 +18,8 @@ beyond-reference pipeline operators:
   - ann_topk:        multi-table multi-probe SRP-LSH top-k with the
                      hot-bucket cap engaged (the o15/o18 scale path)
   - ivf_topk:        IVF cell-probe ANN (o16): codebook assign + probe join
+  - decontaminate:   benchmark n-gram overlap over documents (o27)
+  - tfidf_topk:      TF-IDF top-k keywords per document (o30)
   - stream_window:   windowed + session aggregation over events (batch twin
                      of the streaming operators)
 
@@ -151,6 +153,20 @@ def build_queries(spark, sf_dir: str):
         ivf_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
                  centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES).count()
 
+    def decontaminate_q():
+        # benchmark n-gram overlap (o27): broadcast benchmark shingle set,
+        # one doc-keyed count shuffle
+        from relationaldecomposition_spark.operators.corpus import decontaminate
+        docs = load_table(spark, sf_dir, "documents")
+        bench = docs.where(F.col("doc_id") % 20 == 7)
+        decontaminate(docs, "text", "doc_id", bench).count()
+
+    def tfidf_topk_q():
+        # tf/df aggregation + token join + per-doc top-k window (o30)
+        from relationaldecomposition_spark.operators.corpus import tfidf_topk
+        docs = load_table(spark, sf_dir, "documents")
+        tfidf_topk(docs, "text", "doc_id").count()
+
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
         windowed_counts(ev).count()
@@ -178,6 +194,8 @@ def build_queries(spark, sf_dir: str):
         "cosine_topk": cosine_topk_q,
         "ann_topk": ann_topk,
         "ivf_topk": ivf_topk_q,
+        "decontaminate": decontaminate_q,
+        "tfidf_topk": tfidf_topk_q,
         "stream_window": stream_window,
         "asof_join": asof_join_q,
     }

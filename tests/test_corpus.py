@@ -155,8 +155,7 @@ class TestTfidf:
             by_doc.setdefault(r["doc_id"], {})[r["token"]] = r["tfidf"]
         for i in range(3):
             assert by_doc[i]["common"] == 0.0
-            # the distinctive token outranks the ubiquitous one
-            top = min(out, key=lambda r: r["rank"] if r["doc_id"] == i else 9)
+        # the distinctive token outranks the ubiquitous one in every doc
         assert all(r["rank"] == 1 and r["token"] != "common"
                    for r in out if r["rank"] == 1)
 
@@ -164,3 +163,28 @@ class TestTfidf:
         out = corpus.tfidf_topk(_docs(spark, ["", "word"]), "text",
                                 "doc_id").collect()
         assert {r["doc_id"] for r in out} == {1}
+
+
+class TestStreamingParity:
+    def test_pii_scan_batch_equals_stream(self, spark, tmp_path):
+        """pii_scan is map-only, so the SAME call runs unmodified on a
+        streaming frame (the 'streams are the same plan' invariant) — a
+        streaming corpus can be redacted on ingest with zero extra code."""
+        rows = ["write to a@b.co", "dial 555-123-4567", "plain text",
+                "at 10.0.0.1 now"]
+        batch = _docs(spark, rows)
+        src = str(tmp_path / "pii_src")
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = corpus.pii_scan(stream, "text", "doc_id")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("pii_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in
+               spark.sql("SELECT * FROM pii_stream").collect()}
+        exp = {r["doc_id"]: r for r in
+               corpus.pii_scan(batch, "text", "doc_id").collect()}
+        assert len(got) == len(exp)
+        for i in exp:
+            assert got[i] == exp[i]
