@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from ..functions.hashing import (
     portable_hash32, sql_hash32, sql_tokens, sql_word_shingles, tokens,
     word_shingles)
+from .text import round6, sql_round6
 
 # -- decontamination ---------------------------------------------------------
 
@@ -75,7 +76,7 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col),
         F.col("n_shingles").cast("bigint").alias("n_shingles"),
         F.col("n_hits").cast("bigint").alias("n_hits"),
-        F.round(frac, 6).alias("overlap_frac"),
+        round6(frac).alias("overlap_frac"),
         (frac >= F.lit(tau)).cast("int").alias("contaminated"))
 
 
@@ -105,7 +106,7 @@ def sql_decontaminate(table: str, text_col: str, id_col: str,
       SELECT d.{id_col},
              coalesce(a.n_shingles, 0)::BIGINT AS n_shingles,
              coalesce(a.n_hits, 0)::BIGINT AS n_hits,
-             round(coalesce({frac}, 0.0), 6) AS overlap_frac,
+             {sql_round6(f"coalesce({frac}, 0.0)")} AS overlap_frac,
              (CASE WHEN coalesce({frac}, 0.0) >= {tau}
                    THEN 1 ELSE 0 END)::INT AS contaminated
       FROM {table} d LEFT JOIN agg a ON d.{id_col} = a.{id_col}"""
@@ -125,6 +126,12 @@ PII_RULES: list[tuple[str, str, str]] = [
 ]
 
 
+def pii_count_cols(c) -> list:
+    """One n_<rule> count expression per PII rule (fusion-reusable)."""
+    return [F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
+            for name, pat, _ in PII_RULES]
+
+
 def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Count + redact PII spans (emails, NNN-NNN-NNNN phones, IPv4
     addresses). Map-only: one regexp_count per rule + chained
@@ -134,12 +141,10 @@ def pii_scan(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Returns (id, n_email, n_phone, n_ipv4, redacted)."""
     c = F.col(text_col)
-    counts = [F.regexp_count(c, F.lit(pat)).cast("bigint").alias(f"n_{name}")
-              for name, pat, _ in PII_RULES]
     red = c
     for _, pat, repl in PII_RULES:
         red = F.regexp_replace(red, pat, repl)
-    return df.select(F.col(id_col), *counts, red.alias("redacted"))
+    return df.select(F.col(id_col), *pii_count_cols(c), red.alias("redacted"))
 
 
 def sql_pii_scan(table: str, text_col: str, id_col: str) -> str:
@@ -224,8 +229,8 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str,
     top = F.coalesce(F.col("top_c") / F.col("n_grams").cast("double"),
                      F.lit(0.0))
     return j.select(F.col(id_col), F.col("n_tokens"),
-                    F.round(dup, 6).alias("dup_token_frac"),
-                    F.round(top, 6).alias("top_ngram_frac"),
+                    round6(dup).alias("dup_token_frac"),
+                    round6(top).alias("top_ngram_frac"),
                     (top > F.lit(top_frac_max)).cast("int").alias("repetitive"))
 
 
@@ -245,15 +250,61 @@ def sql_repetition_metrics(table: str, text_col: str, id_col: str,
       per_doc AS (SELECT {id_col}, max(c) AS top_c, sum(c) AS n_grams
                   FROM per_gram GROUP BY {id_col})
       SELECT b.{id_col}, b.n_tokens,
-             round(CASE WHEN b.n_tokens > 0
+             {sql_round6('''CASE WHEN b.n_tokens > 0
                         THEN 1.0 - b.n_distinct / CAST(b.n_tokens AS DOUBLE)
-                        ELSE 0.0 END, 6) AS dup_token_frac,
-             round(coalesce(p.top_c / CAST(p.n_grams AS DOUBLE), 0.0), 6)
+                        ELSE 0.0 END''')} AS dup_token_frac,
+             {sql_round6("coalesce(p.top_c / CAST(p.n_grams AS DOUBLE), 0.0)")}
                AS top_ngram_frac,
              (CASE WHEN coalesce(p.top_c / CAST(p.n_grams AS DOUBLE), 0.0)
                         > {top_frac_max}
                    THEN 1 ELSE 0 END)::INT AS repetitive
       FROM base b LEFT JOIN per_doc p ON b.{id_col} = p.{id_col}"""
+
+
+# -- fused per-document profile ---------------------------------------------
+
+
+def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """ONE map-only scan computing every per-row corpus signal at once:
+    token/char counts, quality score, content fingerprint, PII counts, and
+    language ID — operator fusion for the 100 TB ingest pass, where five
+    separate operators would mean five full reads of the corpus. Catalyst
+    collapses the staged projections into a single WholeStageCodegen over
+    the scan; zero shuffles, zero joins (pinned in tests/test_corpus.py).
+
+    Returns (id, ws_tokens, bpe_tokens, n_chars, quality, fingerprint,
+    n_email, n_phone, n_ipv4, pred_lang)."""
+    from .text import (fingerprint_col, lang_id, quality_col,
+                       token_count_cols)
+    c = F.col(text_col)
+    sigs = df.select(F.col(id_col), c,
+                     *token_count_cols(c), quality_col(c),
+                     fingerprint_col(c), *pii_count_cols(c))
+    keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality", "fingerprint"] \
+        + [f"n_{name}" for name, _, _ in PII_RULES]
+    return lang_id(sigs, text_col, id_col, keep=keep)
+
+
+def sql_document_profile(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB twin: the individual operator twins joined on the id — the
+    values are identical to the fused scan's, only the oracle pays the
+    joins."""
+    from .text import (sql_fingerprint, sql_lang_id, sql_quality_score,
+                       sql_token_counts)
+    pii = sql_pii_scan(table, text_col, id_col)
+    return f"""
+      WITH tok AS ({sql_token_counts(table, text_col, id_col)}),
+      qual AS ({sql_quality_score(table, text_col, id_col)}),
+      fp AS ({sql_fingerprint(table, text_col, id_col)}),
+      pii AS ({pii}),
+      lang AS ({sql_lang_id(table, text_col, id_col)})
+      SELECT t.{id_col}, t.ws_tokens, t.bpe_tokens, t.n_chars, q.quality,
+             f.fingerprint, p.n_email, p.n_phone, p.n_ipv4, l.pred_lang
+      FROM tok t
+      JOIN qual q ON t.{id_col} = q.{id_col}
+      JOIN fp f ON t.{id_col} = f.{id_col}
+      JOIN pii p ON t.{id_col} = p.{id_col}
+      JOIN lang l ON t.{id_col} = l.{id_col}"""
 
 
 # -- TF-IDF keyword extraction ----------------------------------------------
@@ -279,9 +330,9 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
                     F.explode(tokens(F.col(text_col))).alias("token"))
             .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
-    score = F.round(F.col("tf") * F.log(F.lit(float(n_docs))
-                                        / F.col("dfreq").cast("double")),
-                    6).alias("tfidf")
+    score = round6(F.col("tf") * F.log(F.lit(float(n_docs))
+                                       / F.col("dfreq").cast("double"))) \
+        .alias("tfidf")
     scored = tf.join(dfreq, "token").select(F.col(id_col), "token", score)
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -293,6 +344,8 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
 def sql_tfidf_topk(table: str, text_col: str, id_col: str,
                    k: int = TFIDF_TOPK) -> str:
     toks = sql_tokens(text_col)
+    score = sql_round6(f"t.tf * ln((SELECT count(*) FROM {table})::DOUBLE"
+                       f" / d.dfreq)")
     return f"""
       WITH tf AS (
         SELECT {id_col}, unnest({toks}) AS token FROM {table}),
@@ -300,9 +353,7 @@ def sql_tfidf_topk(table: str, text_col: str, id_col: str,
               FROM tf GROUP BY {id_col}, token),
       dfc AS (SELECT token, count(*) AS dfreq FROM tfc GROUP BY token),
       scored AS (
-        SELECT t.{id_col}, t.token,
-               round(t.tf * ln((SELECT count(*) FROM {table})::DOUBLE
-                               / d.dfreq), 6) AS tfidf
+        SELECT t.{id_col}, t.token, {score} AS tfidf
         FROM tfc t JOIN dfc d ON t.token = d.token)
       SELECT {id_col}, token, tfidf, rank FROM (
         SELECT *, row_number() OVER (PARTITION BY {id_col}

@@ -378,6 +378,22 @@ def q_o30_tfidf_topk(spark, sf_dir):
                              "text", "doc_id")
 
 
+def q_o32_doc_profile(spark, sf_dir):
+    """Fused one-scan document profile (tokens + quality + fingerprint +
+    PII counts + language) over PII-augmented documents — the single-pass
+    ingest profile a 100 TB corpus gets instead of five separate reads."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = corpus.with_synthetic_pii(docs, "text", "doc_id")
+    return corpus.document_profile(aug, "text", "doc_id")
+
+
+def _oracle_doc_profile() -> str:
+    aug = corpus.sql_with_synthetic_pii("documents", "text", "doc_id")
+    prof = corpus.sql_document_profile("aug", "text", "doc_id")
+    # prepend the augmentation CTE to the profile's WITH chain
+    return prof.replace("WITH tok AS", f"WITH aug AS ({aug}),\n      tok AS", 1)
+
+
 def _oracle_pii_redact() -> str:
     aug = corpus.sql_with_synthetic_pii("documents", "text", "doc_id")
     return ("WITH aug AS (" + aug + ") "
@@ -792,6 +808,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o28_pii_redact": q_o28_pii_redact,
     "o29_repetition": q_o29_repetition,
     "o30_tfidf_topk": q_o30_tfidf_topk,
+    "o32_doc_profile": q_o32_doc_profile,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
     "o10_lang_id": q_o10_lang_id,
@@ -833,6 +850,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o29_repetition": corpus.sql_repetition_metrics(
         "documents", "text", "doc_id"),
     "o30_tfidf_topk": corpus.sql_tfidf_topk("documents", "text", "doc_id"),
+    "o32_doc_profile": _oracle_doc_profile(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

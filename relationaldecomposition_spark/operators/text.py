@@ -26,6 +26,20 @@ from ..functions.hashing import (
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
+
+def round6(col):
+    """6-decimal rounding as floor(x*1e6 + 0.5)/1e6 — the SAME double ops
+    in Spark and the DuckDB twins (sql_round6), so results are
+    bit-identical. Engine-native round() differs on boundary values:
+    Spark's BigDecimal-HALF_UP on the shortest decimal repr vs DuckDB's
+    multiply-and-round can split a x.xxx1875-style score between
+    ...187 and ...188 (seen in the o32 gate). Non-negative inputs only."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def sql_round6(expr: str) -> str:
+    return f"(floor(({expr}) * 1000000.0 + 0.5) / 1000000.0)"
+
 # -- language-ID model (deterministic, embedded) -----------------------------
 
 # Seed text per Latin-script language: short everyday prose, heavy on
@@ -276,15 +290,18 @@ def _marker_re(words: list[str]) -> str:
     return r"\b(" + "|".join(words) + r")\b"
 
 
-def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count + char count."""
-    c = F.col(text_col)
-    return df.select(
-        F.col(id_col),
+def token_count_cols(c) -> list:
+    """The token_counts output expressions, reusable for fused profiles."""
+    return [
         F.size(tokens(c)).cast("bigint").alias("ws_tokens"),
         F.regexp_count(c, F.lit(BPE_ISH_RE)).cast("bigint").alias("bpe_tokens"),
         F.length(c).cast("bigint").alias("n_chars"),
-    )
+    ]
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    return df.select(F.col(id_col), *token_count_cols(F.col(text_col)))
 
 
 def sql_token_counts(table: str, text_col: str, id_col: str) -> str:
@@ -328,7 +345,8 @@ def _profile_re(trigrams: list[str]) -> str:
     return "(" + "|".join(_re.escape(t) for t in trigrams) + ")"
 
 
-def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def lang_id(df: DataFrame, text_col: str, id_col: str,
+            keep: list[str] | None = None) -> DataFrame:
     """Character-trigram + script-range language ID over 25 languages.
 
     1. Count characters per non-Latin Unicode script and Latin letters.
@@ -345,7 +363,12 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Pure column expressions; the DuckDB twin (sql_lang_id) is generated
     from the same profile constants, so results are bit-comparable.
     Held-out accuracy is measured in tests/test_langid.py (48/48 on the
-    fixture at ship time)."""
+    fixture at ship time).
+
+    `keep` columns pass through both projection stages untouched, so fused
+    pipelines (document_profile) carry other per-row signals through the
+    scoring select without a join."""
+    keep = keep or []
     c = F.concat(F.lit(" "),
                  F.trim(F.regexp_replace(F.lower(F.col(text_col)),
                                          r"\s+", " ")),
@@ -361,7 +384,8 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             W_SHARED * F.regexp_count(c, F.lit(_profile_re(shared))),
         ))
         hit_cols.append(score.alias(f"h_{lang}"))
-    scored = df.select(F.col(id_col), latin, *script_cols, *hit_cols)
+    scored = df.select(F.col(id_col), *[F.col(k) for k in keep],
+                       latin, *script_cols, *hit_cols)
 
     script_total = sum(F.col(f"s_{lang}") for lang, _ in SCRIPT_RANGES)
     script_pred = F.lit("und")
@@ -376,7 +400,8 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                             F.lit(p[0])).otherwise(latin_pred)
     pred = F.when(script_total > F.col("s_latin"), script_pred) \
             .otherwise(latin_pred)
-    return scored.select(F.col(id_col), pred.alias("pred_lang"))
+    return scored.select(F.col(id_col), *[F.col(k) for k in keep],
+                         pred.alias("pred_lang"))
 
 
 def sql_lang_id(table: str, text_col: str, id_col: str) -> str:
@@ -410,10 +435,8 @@ def sql_lang_id(table: str, text_col: str, id_col: str) -> str:
         f"FROM (SELECT {id_col}, {', '.join(cols)} FROM {table})")
 
 
-def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Heuristic quality in [0,1]: length saturation, alpha ratio, stopword
-    presence, moderate punctuation. Deterministic weighted sum."""
-    c = F.col(text_col)
+def quality_col(c):
+    """The quality expression (see quality_score), reusable for fusion."""
     n_tok = F.size(tokens(c)).cast("double")
     n_chars = F.length(c).cast("double")
     alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
@@ -427,7 +450,13 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      .otherwise(F.lit(0.0))
     score = (0.35 * len_score + 0.3 * alpha_ratio + 0.25 * stop_ratio
              + 0.1 * (1.0 - punct_penalty))
-    return df.select(F.col(id_col), F.round(score, 6).alias("quality"))
+    return round6(score).alias("quality")
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality in [0,1]: length saturation, alpha ratio, stopword
+    presence, moderate punctuation. Deterministic weighted sum."""
+    return df.select(F.col(id_col), quality_col(F.col(text_col)))
 
 
 def sql_quality_score(table: str, text_col: str, id_col: str) -> str:
@@ -437,28 +466,33 @@ def sql_quality_score(table: str, text_col: str, id_col: str) -> str:
     punct = f"len(regexp_extract_all({text_col}, '[^A-Za-z0-9\\s]'))::DOUBLE"
     stop = (f"len(regexp_extract_all(lower({text_col}), "
             f"'{_marker_re(STOPWORDS)}'))::DOUBLE")
-    return f"""
-      SELECT {id_col}, round(
-        0.35 * least({toks} / 50.0, 1.0)
+    score = f"""0.35 * least({toks} / 50.0, 1.0)
         + 0.3 * (CASE WHEN {n_chars} > 0 THEN {alpha} / {n_chars} ELSE 0.0 END)
         + 0.25 * (CASE WHEN {toks} > 0
                   THEN least({stop} / {toks} * 5.0, 1.0) ELSE 0.0 END)
         + 0.1 * (1.0 - (CASE WHEN {n_chars} > 0
                         THEN least({punct} / {n_chars} * 10.0, 1.0)
-                        ELSE 0.0 END)), 6) AS quality
+                        ELSE 0.0 END))"""
+    return f"""
+      SELECT {id_col}, {sql_round6(score)} AS quality
       FROM {table}"""
+
+
+def fingerprint_col(c, shingle_k: int = 3, seed: int = 7):
+    """The fingerprint expression (see fingerprint), reusable for fusion."""
+    (a, b) = minhash_params(1, seed)[0]
+    sh = word_shingles(c, shingle_k)
+    fp = F.array_min(F.transform(
+        sh, lambda s: affine_hash(portable_hash32(s), a, b)))
+    return F.coalesce(fp, F.lit(-1)).cast("bigint").alias("fingerprint")
 
 
 def fingerprint(df: DataFrame, text_col: str, id_col: str,
                 shingle_k: int = 3, seed: int = 7) -> DataFrame:
     """Rolling-hash document fingerprint: min affine hash over k-word
     shingles (a 1-function minhash); -1 sentinel for shingle-less docs."""
-    (a, b) = minhash_params(1, seed)[0]
-    sh = word_shingles(F.col(text_col), shingle_k)
-    fp = F.array_min(F.transform(
-        sh, lambda s: affine_hash(portable_hash32(s), a, b)))
     return df.select(F.col(id_col),
-                     F.coalesce(fp, F.lit(-1)).cast("bigint").alias("fingerprint"))
+                     fingerprint_col(F.col(text_col), shingle_k, seed))
 
 
 def sql_fingerprint(table: str, text_col: str, id_col: str,

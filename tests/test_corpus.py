@@ -188,3 +188,39 @@ class TestStreamingParity:
         assert len(got) == len(exp)
         for i in exp:
             assert got[i] == exp[i]
+
+
+class TestDocumentProfile:
+    def test_equals_individual_operators(self, spark):
+        from relationaldecomposition_spark.operators import text as t
+        docs = _docs(spark, FIX)
+        prof = {r["doc_id"]: r for r in
+                corpus.document_profile(docs, "text", "doc_id").collect()}
+        tok = {r["doc_id"]: r for r in
+               t.token_counts(docs, "text", "doc_id").collect()}
+        qual = {r["doc_id"]: r for r in
+                t.quality_score(docs, "text", "doc_id").collect()}
+        fp = {r["doc_id"]: r for r in
+              t.fingerprint(docs, "text", "doc_id").collect()}
+        lang = {r["doc_id"]: r for r in
+                t.lang_id(docs, "text", "doc_id").collect()}
+        pii = {r["doc_id"]: r for r in
+               corpus.pii_scan(docs, "text", "doc_id").collect()}
+        for i in prof:
+            p = prof[i]
+            assert p["ws_tokens"] == tok[i]["ws_tokens"]
+            assert p["bpe_tokens"] == tok[i]["bpe_tokens"]
+            assert p["n_chars"] == tok[i]["n_chars"]
+            assert p["quality"] == qual[i]["quality"]
+            assert p["fingerprint"] == fp[i]["fingerprint"]
+            assert p["pred_lang"] == lang[i]["pred_lang"]
+            for c in ("n_email", "n_phone", "n_ipv4"):
+                assert p[c] == pii[i][c]
+
+    def test_single_scan_no_shuffle(self, spark):
+        """Fusion invariant: ONE file scan, zero exchanges — five operators
+        for the price of one read."""
+        docs = _docs(spark, FIX)
+        plan = corpus.document_profile(docs, "text", "doc_id") \
+                     ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
