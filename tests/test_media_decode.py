@@ -151,3 +151,34 @@ def test_pixel_stats_rejects_non_p6(spark):
     assert got[2]["width"] == 4 and got[2]["height"] == 4
     assert got[2]["mean_r"] is None
     assert got[3]["width"] is None and got[3]["mean_b"] is None
+
+
+def _pillow_available():
+    try:
+        import PIL  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def test_pillow_decoder_raises_cleanly_without_pillow():
+    """Without Pillow, the decoder fails with NotImplementedError at the
+    batch boundary (import-gated — module import never touches PIL)."""
+    import pandas as pd
+    if _pillow_available():
+        pytest.skip("Pillow installed; covered by the agreement test")
+    with pytest.raises(NotImplementedError):
+        multimodal.PillowDecoder().decode_batch(pd.Series([b"P6\n1 1\n255\nabc"]))
+
+
+@pytest.mark.skipif(not _pillow_available(), reason="Pillow not installed")
+def test_pillow_decoder_agrees_with_header_decoder():
+    """Where Pillow exists, its codec-backed decode must agree with the
+    pure-Python header parse on the formats both understand."""
+    import pandas as pd
+    ppm = b"P6\n3 2\n255\n" + bytes(range(18))
+    got = multimodal.PillowDecoder().decode_batch(pd.Series([ppm]))
+    hdr = multimodal.HeaderDecoder().decode_batch(pd.Series([ppm]))
+    assert got.loc[0, "width"] == hdr.loc[0, "width"] == 3
+    assert got.loc[0, "height"] == hdr.loc[0, "height"] == 2
+    assert got.loc[0, "channels"] == hdr.loc[0, "channels"] == 3
