@@ -19,6 +19,7 @@ beyond-reference pipeline operators:
                      hot-bucket cap engaged (the o15/o18 scale path)
   - ivf_topk:        IVF cell-probe ANN (o16): codebook assign + probe join
   - decontaminate:   benchmark n-gram overlap over documents (o27)
+  - doc_profile:     fused one-scan per-document profile (o32)
   - tfidf_topk:      TF-IDF top-k keywords per document (o30)
   - stream_window:   windowed + session aggregation over events (batch twin
                      of the streaming operators)
@@ -161,6 +162,13 @@ def build_queries(spark, sf_dir: str):
         bench = docs.where(F.col("doc_id") % 20 == 7)
         decontaminate(docs, "text", "doc_id", bench).count()
 
+    def doc_profile():
+        # fused one-scan profile (o32): tokens+quality+fingerprint+PII+lang
+        from relationaldecomposition_spark.operators.corpus import (
+            document_profile)
+        docs = load_table(spark, sf_dir, "documents")
+        document_profile(docs, "text", "doc_id").count()
+
     def tfidf_topk_q():
         # tf/df aggregation + token join + per-doc top-k window (o30)
         from relationaldecomposition_spark.operators.corpus import tfidf_topk
@@ -195,6 +203,7 @@ def build_queries(spark, sf_dir: str):
         "ann_topk": ann_topk,
         "ivf_topk": ivf_topk_q,
         "decontaminate": decontaminate_q,
+        "doc_profile": doc_profile,
         "tfidf_topk": tfidf_topk_q,
         "stream_window": stream_window,
         "asof_join": asof_join_q,

@@ -224,3 +224,60 @@ class TestDocumentProfile:
         plan = corpus.document_profile(docs, "text", "doc_id") \
                      ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestRandomizedOracle:
+    def test_random_corpus_matches_python(self, spark):
+        """Seeded random word-soup corpus (the suite's randomized-oracle
+        pattern — bounded Spark round-trips, deterministic seed): one
+        collect per operator, every row checked against an independent
+        Python re-derivation."""
+        import random
+        from collections import Counter
+
+        rng = random.Random(20260814)
+        vocab = [f"w{j}" for j in range(30)]
+        rows = [" ".join(rng.choice(vocab)
+                         for _ in range(rng.randrange(0, 25)))
+                for _ in range(60)]
+        docs = _docs(spark, rows)
+        bench_ids = {i for i in range(60) if i % 9 == 2}
+        bench = docs.where((F.col("doc_id") % 9) == 2)
+
+        out = {r["doc_id"]: r for r in
+               corpus.decontaminate(docs, "text", "doc_id", bench).collect()}
+        bench_sh = set().union(*(_shingles(rows[i]) for i in bench_ids))
+        for i, t in enumerate(rows):
+            sh = _shingles(t)
+            assert out[i]["n_shingles"] == len(sh), i
+            assert out[i]["n_hits"] == len(sh & bench_sh), i
+
+        rep = {r["doc_id"]: r for r in
+               corpus.repetition_metrics(docs, "text", "doc_id").collect()}
+        for i, t in enumerate(rows):
+            toks = t.split()
+            grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+            exp_top = (max(Counter(grams).values()) / len(grams)
+                       if grams else 0.0)
+            assert rep[i]["top_ngram_frac"] == pytest.approx(exp_top,
+                                                             abs=1e-6), i
+
+        k = 4
+        tf = [Counter(r.split()) for r in rows]
+        dfreq = Counter(t for c in tf for t in c)
+        n = len(rows)
+        got = {}
+        for r in corpus.tfidf_topk(docs, "text", "doc_id", k=k).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["rank"], r["token"], r["tfidf"]))
+        for i, c in enumerate(tf):
+            if not c:
+                assert i not in got
+                continue
+            exp = sorted(
+                ((math.floor(cnt * math.log(n / dfreq[t]) * 1e6 + 0.5) / 1e6,
+                  t) for t, cnt in c.items()),
+                key=lambda s: (-s[0], s[1]))[:k]
+            assert sorted(got[i]) == [
+                (j + 1, t, pytest.approx(s, abs=1e-9))
+                for j, (s, t) in enumerate(exp)], i
