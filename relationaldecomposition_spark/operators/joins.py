@@ -107,3 +107,66 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str] | str,
         *[F.col(f"_m_{c}").alias(f"{payload_prefix}{c}")
           for c in payload_cols],
         F.col("_m_ts").alias(f"{payload_prefix}asof_ts"))
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  on: list[str] | str, ts_col: str,
+                  start_col: str, end_col: str,
+                  payload_cols: list[str], bucket_s: int,
+                  payload_prefix: str = "") -> DataFrame:
+    """Interval (range) join: every (point, interval) pair with the same
+    key where start <= ts <= end (inclusive both ends) — one output row
+    per matching pair, points inside k overlapping intervals emit k rows.
+
+    Spark has no native range join, and the ON-BETWEEN formulation plans
+    as a broadcast-nested-loop (quadratic per key). The scale-correct
+    shape is BUCKETIZED EQUI-JOIN:
+
+      1. choose a bucket width ~ the typical interval length;
+      2. each interval explodes to the time buckets it overlaps
+         (amplification = len/width + 1, bounded by construction);
+      3. each point maps to exactly ONE bucket (no amplification on the
+         big side);
+      4. equi-join on (key..., bucket) — shuffle-partitionable, skew
+         handled by AQE like any hash join — then the exact
+         start <= ts <= end filter.
+
+    A pair is emitted exactly once: the point's bucket intersects the
+    interval's covered-bucket set at most once, so no post-join dedup.
+    At 100 TB: one shuffle per side on (key, bucket); nothing quadratic.
+
+    Output: every point column, then <prefix><payload_cols...>,
+    <prefix>start, <prefix>end."""
+    key = [on] if isinstance(on, str) else list(on)
+    if bucket_s <= 0:
+        raise ValueError("bucket_s must be positive")
+    w_us = int(bucket_s) * 1_000_000
+
+    def bk(col):
+        # cast handles TIMESTAMP_NTZ (unix_micros rejects it); both sides
+        # go through the same conversion so bucket alignment is exact
+        return F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(w_us))
+
+    p = points.select(
+        F.struct(*points.columns).alias("_p"),
+        *[F.col(k) for k in key],
+        F.col(ts_col).alias("_ts"),
+        bk(F.col(ts_col)).alias("_bk"))
+    iv = intervals.select(
+        *[F.col(k) for k in key],
+        F.col(start_col).alias("_start"),
+        F.col(end_col).alias("_end"),
+        *[F.col(c).alias(f"_pay_{c}") for c in payload_cols],
+    ).where(F.col("_start") <= F.col("_end")).select(
+        "*",
+        F.explode(F.sequence(bk(F.col("_start")), bk(F.col("_end"))))
+        .alias("_bk"))
+    j = p.join(iv, key + ["_bk"]) \
+         .where((F.col("_ts") >= F.col("_start"))
+                & (F.col("_ts") <= F.col("_end")))
+    return j.select(
+        "_p.*",
+        *[F.col(f"_pay_{c}").alias(f"{payload_prefix}{c}")
+          for c in payload_cols],
+        F.col("_start").alias(f"{payload_prefix}start"),
+        F.col("_end").alias(f"{payload_prefix}end"))

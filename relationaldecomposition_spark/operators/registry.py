@@ -234,6 +234,61 @@ def _oracle_asof_join() -> str:
         ON p.user_id = cd.user_id AND p.ts >= cd.ts"""
 
 
+INTERVAL_WIN_MIN = 30        # purchase window half-width (minutes)
+INTERVAL_BUCKET_S = 1800     # bucket width ~ interval length
+
+
+def q_o33_interval_join(spark, sf_dir):
+    """Bucketized interval join (operators/joins.py:interval_join): every
+    click inside the +/-30 min window around a purchase by the same user —
+    an equi-join on (user, time-bucket) + exact BETWEEN filter, never a
+    broadcast-nested-loop range join. The oracle is DuckDB's native
+    BETWEEN range join over the same windows."""
+    ev = load_table(spark, sf_dir, "events")
+    half = f"INTERVAL {INTERVAL_WIN_MIN} MINUTES"
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr(f"ts - {half}").alias("w_start"),
+        F.expr(f"ts + {half}").alias("w_end"),
+        F.col("value").alias("purchase_value"))
+    clicks = ev.where(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    out = joins.interval_join(clicks, pur, "user_id", "ts",
+                              "w_start", "w_end",
+                              ["purchase_id", "purchase_value"],
+                              bucket_s=INTERVAL_BUCKET_S)
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        F.col("event_id").cast("bigint").alias("click_id"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.date_format("ts", fmt).alias("click_ts_s"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.round("purchase_value", ROUND).alias("purchase_value"),
+        F.date_format("start", fmt).alias("w_start_s"),
+        F.date_format("end", fmt).alias("w_end_s"))
+
+
+def _oracle_interval_join() -> str:
+    return f"""
+      WITH pur AS (
+        SELECT user_id, event_id AS purchase_id,
+               ts - INTERVAL {INTERVAL_WIN_MIN} MINUTE AS w_start,
+               ts + INTERVAL {INTERVAL_WIN_MIN} MINUTE AS w_end,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'),
+      cl AS (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'click')
+      SELECT c.event_id::BIGINT AS click_id, c.user_id::BIGINT AS user_id,
+             strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts_s,
+             p.purchase_id::BIGINT AS purchase_id,
+             round(p.purchase_value, {ROUND}) AS purchase_value,
+             strftime(p.w_start, '%Y-%m-%d %H:%M:%S.%f') AS w_start_s,
+             strftime(p.w_end, '%Y-%m-%d %H:%M:%S.%f') AS w_end_s
+      FROM cl c JOIN pur p
+        ON c.user_id = p.user_id AND c.ts BETWEEN p.w_start AND p.w_end"""
+
+
 def q_o21_dedup_clusters(spark, sf_dir):
     """Near-dup pipeline tail: LSH candidate pairs (o03 config) clustered
     into connected components — (doc_id, cluster rep = min reachable id).
@@ -801,6 +856,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o21_dedup_clusters": q_o21_dedup_clusters,
     "o23_cosine_lsh_pairs": q_o23_cosine_lsh_pairs,
     "o24_asof_join": q_o24_asof_join,
+    "o33_interval_join": q_o33_interval_join,
     "o25_doc_chunks": q_o25_doc_chunks,
     "o26_stratified_sample": q_o26_stratified_sample,
     "o22_dedup_apply": q_o22_dedup_apply,
@@ -839,6 +895,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o21_dedup_clusters": _oracle_dedup_clusters(),
     "o23_cosine_lsh_pairs": _oracle_cosine_lsh_pairs(),
     "o24_asof_join": _oracle_asof_join(),
+    "o33_interval_join": _oracle_interval_join(),
     "o25_doc_chunks": text.sql_chunk_documents("documents", "text", "doc_id",
                                                CHUNK_SIZE, CHUNK_STRIDE),
     "o26_stratified_sample": _oracle_stratified_sample(),

@@ -159,3 +159,90 @@ def test_randomized_against_python_reference(spark):
                asof_join(left, right, "k", "lts", "rts", ["rid", "val"],
                          direction=direction, tiebreak="rid").collect()}
         assert got == ref(direction), f"direction={direction}"
+
+
+# -- interval_join -----------------------------------------------------------
+
+from relationaldecomposition_spark.operators.joins import interval_join
+
+
+@pytest.fixture(scope="module")
+def iv_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, 10, ts("2024-01-01T10:00:00")),
+         (2, 10, ts("2024-01-01T10:30:00")),   # inside two intervals
+         (3, 10, ts("2024-01-01T23:00:00")),   # inside none
+         (4, 20, ts("2024-01-01T10:00:00")),   # other key, same instant
+         (5, 10, ts("2024-01-01T11:00:00"))],  # exactly on an end bound
+        "pid long, k long, pts timestamp")
+    ivs = spark.createDataFrame(
+        [(100, 10, ts("2024-01-01T09:45:00"), ts("2024-01-01T11:00:00"), "a"),
+         (101, 10, ts("2024-01-01T10:15:00"), ts("2024-01-01T10:45:00"), "b"),
+         (102, 20, ts("2024-01-01T09:00:00"), ts("2024-01-01T10:00:00"), "c"),
+         (103, 30, ts("2024-01-01T00:00:00"), ts("2024-01-02T00:00:00"), "d")],
+        "iid long, k long, s timestamp, e timestamp, tag string")
+    return pts, ivs
+
+
+def test_interval_join_semantics(iv_frames):
+    pts, ivs = iv_frames
+    out = interval_join(pts, ivs, "k", "pts", "s", "e",
+                        ["iid", "tag"], bucket_s=600).collect()
+    got = sorted((r["pid"], r["iid"]) for r in out)
+    # point 1 in 100 only; 2 in both 100+101; 3 nowhere; 4 on 102's
+    # inclusive end; 5 on 100's inclusive end
+    assert got == [(1, 100), (2, 100), (2, 101), (4, 102), (5, 100)]
+    by = {(r["pid"], r["iid"]): r for r in out}
+    assert by[(2, 101)]["tag"] == "b"
+    # point columns survive untouched
+    assert by[(1, 100)]["k"] == 10 and by[(1, 100)]["pts"] is not None
+
+
+def test_interval_join_no_nested_loop(iv_frames):
+    """The scale invariant: bucketized equi-join — never a broadcast
+    nested loop or cartesian product, regardless of the range predicate."""
+    pts, ivs = iv_frames
+    plan = interval_join(pts, ivs, "k", "pts", "s", "e", ["iid"],
+                         bucket_s=600) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_bucket_width_invariance(iv_frames):
+    """Results are independent of the bucket width (only the plan's
+    amplification changes)."""
+    pts, ivs = iv_frames
+    ref = None
+    for width in (60, 3600, 86400 * 400):
+        got = sorted((r["pid"], r["iid"]) for r in
+                     interval_join(pts, ivs, "k", "pts", "s", "e",
+                                   ["iid"], bucket_s=width).collect())
+        if ref is None:
+            ref = got
+        assert got == ref, width
+
+
+def test_interval_join_randomized_against_python(spark):
+    import random
+    rng = random.Random(33)
+    base = datetime(2024, 1, 1).timestamp()
+    pts_rows = [(i, rng.randrange(3),
+                 datetime.fromtimestamp(base + rng.randrange(0, 86400)))
+                for i in range(120)]
+    iv_rows = []
+    for j in range(40):
+        s = base + rng.randrange(0, 86400)
+        iv_rows.append((1000 + j, rng.randrange(3),
+                        datetime.fromtimestamp(s),
+                        datetime.fromtimestamp(s + rng.randrange(0, 7200))))
+    pts = spark.createDataFrame(pts_rows, "pid long, k long, pts timestamp")
+    ivs = spark.createDataFrame(iv_rows, "iid long, k long, s timestamp, e timestamp")
+    got = sorted((r["pid"], r["iid"]) for r in
+                 interval_join(pts, ivs, "k", "pts", "s", "e", ["iid"],
+                               bucket_s=900).collect())
+    exp = sorted((pid, iid)
+                 for pid, pk, pt in pts_rows
+                 for iid, ik, s, e in iv_rows
+                 if pk == ik and s <= pt <= e)
+    assert got == exp
