@@ -14,7 +14,7 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import corpus, dedup, ivf, joins, multimodal, similarity, text
+from . import corpus, dedup, ivf, joins, multimodal, similarity, stats, text
 
 ROUND = 6
 
@@ -455,6 +455,49 @@ def _oracle_pii_redact() -> str:
             + corpus.sql_pii_scan("aug", "text", "doc_id"))
 
 
+QUANTILE_QS = [0.25, 0.5, 0.9, 0.99]
+PROFILE_KEYS = ["l_returnflag", "l_linestatus"]
+
+
+def q_o35_group_quantiles(spark, sf_dir):
+    """Exact per-group quantiles of lineitem prices (operators/stats.py):
+    Spark percentile vs DuckDB quantile_cont — same interpolation, value-
+    checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.group_quantiles(li, PROFILE_KEYS, "l_extendedprice",
+                                 QUANTILE_QS)
+
+
+def q_o36_numeric_profile(spark, sf_dir):
+    """Per-group numeric column profile with a deterministic DECIMAL-sum
+    mean (FP sums are partition-order-dependent; decimal sums are not)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.profile_numeric(li, PROFILE_KEYS, "l_extendedprice")
+
+
+WEIGHTED_K = 50
+
+
+def q_o34_weighted_sample(spark, sf_dir):
+    """Weighted top-k sample (Efraimidis-Spirakis with deterministic hash
+    randomness): 50 documents drawn with probability proportional to
+    n_chars — the size-weighted corpus-subsampling staple. TakeOrdered
+    plan, never a single-partition sort."""
+    from .sampling import weighted_sample_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_sample_topk(docs, "doc_id", "n_chars", WEIGHTED_K)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "n_chars", "samp_score")
+
+
+def _oracle_weighted_sample() -> str:
+    from .sampling import sql_weighted_sample_topk
+
+    return sql_weighted_sample_topk("documents", "doc_id", "n_chars",
+                                    WEIGHTED_K, weight_name="n_chars")
+
+
 def q_o10_lang_id(spark, sf_dir):
     return text.lang_id(load_table(spark, sf_dir, "documents"), "text", "doc_id")
 
@@ -859,6 +902,9 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o33_interval_join": q_o33_interval_join,
     "o25_doc_chunks": q_o25_doc_chunks,
     "o26_stratified_sample": q_o26_stratified_sample,
+    "o34_weighted_sample": q_o34_weighted_sample,
+    "o35_group_quantiles": q_o35_group_quantiles,
+    "o36_numeric_profile": q_o36_numeric_profile,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o27_decontaminate": q_o27_decontaminate,
     "o28_pii_redact": q_o28_pii_redact,
@@ -899,6 +945,11 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o25_doc_chunks": text.sql_chunk_documents("documents", "text", "doc_id",
                                                CHUNK_SIZE, CHUNK_STRIDE),
     "o26_stratified_sample": _oracle_stratified_sample(),
+    "o34_weighted_sample": _oracle_weighted_sample(),
+    "o35_group_quantiles": stats.sql_group_quantiles(
+        "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS),
+    "o36_numeric_profile": stats.sql_profile_numeric(
+        "lineitem", PROFILE_KEYS, "l_extendedprice"),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o27_decontaminate": corpus.sql_decontaminate(
         "documents", "text", "doc_id",

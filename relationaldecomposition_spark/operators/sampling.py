@@ -95,3 +95,69 @@ def sql_hash_sample_where(key_col: str, rate: float) -> str:
     e = f"({key_col}::BIGINT * {SAMPLE_MULT})"
     return (f"((({e} % {SAMPLE_MOD}) + {SAMPLE_MOD}) % {SAMPLE_MOD})"
             f" < {thresh}")
+
+
+# -- weighted top-k sampling (Efraimidis-Spirakis) ---------------------------
+
+# Larger modulus than the rate-sampler: the uniform feeds a log, so we want
+# fine granularity; +0.5 keeps u strictly inside (0,1).
+WS_MULT = 1327217           # odd, ~ 2^21 / golden ratio
+WS_MOD = 2097152            # 2^21
+
+
+def weighted_sample_topk(df: DataFrame, key_col: str, weight_col,
+                         k: int) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of size k — the
+    Efraimidis-Spirakis A-ES scheme with deterministic hash randomness:
+    each row gets u = hash(key) mapped into (0,1) and score ln(u)/w
+    (monotone twin of u^(1/w)); the k largest scores are the sample, so a
+    row's inclusion probability is proportional to its weight, and the
+    same rows are chosen on every run and every engine.
+
+    Rows with NULL or non-positive weight are excluded (they cannot carry
+    probability mass).
+
+    Scale: Spark plans orderBy+limit as TakeOrderedAndProject — a per-
+    partition top-k then a driver-side merge of partition heads, NEVER a
+    single-partition global-sort window (pinned in tests). k rows cross
+    the wire per partition; nothing else moves.
+
+    Returns the selected rows as (key, weight, samp_score desc)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    wname = weight_col if isinstance(weight_col, str) else "weight"
+    u = (F.pmod(F.col(key_col).cast("long") * F.lit(WS_MULT), F.lit(WS_MOD))
+         .cast("double") + F.lit(0.5)) / F.lit(float(WS_MOD))
+    score = F.log(u) / w.cast("double")
+    from .text import round6
+    out = (df.where(w.isNotNull() & (w > 0))
+             .select(F.col(key_col), w.cast("double").alias(wname),
+                     score.alias("_raw_score"))
+             .orderBy(F.desc("_raw_score"), F.asc(key_col))
+             .limit(k)
+             # round6 is the same floor formula on both engines; for the
+             # negative scores here that's half-toward-+inf on BOTH sides,
+             # which is all parity needs
+             .select(F.col(key_col), wname,
+                     round6(F.col("_raw_score")).alias("samp_score")))
+    return out
+
+
+def sql_weighted_sample_topk(table: str, key_col: str, weight_expr: str,
+                             k: int, weight_name: str = "weight") -> str:
+    """DuckDB twin: identical u construction, identical score, identical
+    (score DESC, key ASC) order + LIMIT."""
+    from .text import sql_round6
+    e = f"({key_col}::BIGINT * {WS_MULT})"
+    u = (f"((((({e} % {WS_MOD}) + {WS_MOD}) % {WS_MOD})::DOUBLE + 0.5)"
+         f" / {float(WS_MOD)})")
+    score = f"(ln({u}) / ({weight_expr})::DOUBLE)"
+    rounded = sql_round6(score)
+    return f"""
+      SELECT {key_col}, ({weight_expr})::DOUBLE AS {weight_name},
+             {rounded} AS samp_score
+      FROM {table}
+      WHERE ({weight_expr}) IS NOT NULL AND ({weight_expr}) > 0
+      ORDER BY {score} DESC, {key_col} ASC
+      LIMIT {k}"""

@@ -1,0 +1,97 @@
+"""Statistical profiling operators: exact per-group quantiles and numeric
+column profiles — the data-quality / drift-monitoring pass a training-data
+pipeline runs per source and per snapshot.
+
+Parity notes (both operators are oracle-gated):
+- Spark's exact `percentile` and DuckDB's `quantile_cont` implement the
+  same linear interpolation (p = q*(n-1)); measured bit-identical on the
+  gate data, with round6 guarding the last ulp.
+- Floating sums are partition-order-dependent (never cross-engine-stable),
+  so the profiler sums through DECIMAL(28,6) — exact and associative in
+  both engines — and divides back in double for the mean.
+
+Scale notes (100 TB):
+- group_quantiles: one hash aggregation keyed by the group columns; exact
+  percentile buffers each group's values on the reducer — right for
+  bounded group sizes (a profile per source/day). For unbounded groups
+  switch to approx_percentile (sketch-mergeable, map-side combining);
+  that variant is non-deterministic across engines so it stays out of
+  the oracle gate.
+- profile_numeric: algebraic aggregates only (sum/count/min/max +
+  count-distinct), all map-side combining; one shuffle keyed by group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import round6, sql_round6
+
+PROFILE_DEC = "decimal(28,6)"
+
+
+def group_quantiles(df: DataFrame, keys: list[str], value_col: str,
+                    qs: list[float]) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation), long format: one
+    row per (group, q) — (keys..., q, quantile)."""
+    if not qs or not all(0.0 <= q <= 1.0 for q in qs):
+        raise ValueError("qs must be fractions in [0, 1]")
+    arr = ",".join(repr(float(q)) for q in qs)
+    agg = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value_col}, array({arr}))").alias("_p"))
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    ex = agg.select(*keys, F.posexplode(qlit).alias("_i", "q"), F.col("_p"))
+    return ex.select(*keys, "q",
+                     round6(F.col("_p")[F.col("_i")]).alias("quantile"))
+
+
+def sql_group_quantiles(table: str, keys: list[str], value_col: str,
+                        qs: list[float]) -> str:
+    arr = ", ".join(repr(float(q)) for q in qs)
+    ks = ", ".join(keys)
+    quant = sql_round6("unnest(p)")
+    return f"""
+      WITH agg AS (
+        SELECT {ks}, quantile_cont({value_col}, [{arr}]) AS p
+        FROM {table} GROUP BY {ks})
+      SELECT {ks}, unnest([{arr}]) AS q, {quant} AS quantile
+      FROM agg"""
+
+
+def profile_numeric(df: DataFrame, keys: list[str],
+                    value_col: str) -> DataFrame:
+    """Per-group numeric profile: row/null/distinct counts, min, max, and
+    a DETERMINISTIC mean (summed in DECIMAL so partition order cannot
+    change the result, divided back in double).
+
+    Returns (keys..., n_rows, n_null, n_distinct, v_min, v_max, v_mean)."""
+    v = F.col(value_col)
+    dec_sum = F.sum(v.cast(PROFILE_DEC)).alias("_s")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(v.isNull(), 1)).alias("n_null"),
+        F.countDistinct(v).alias("n_distinct"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        dec_sum,
+        F.count(v).alias("_n"))
+    mean = F.when(F.col("_n") > 0,
+                  round6(F.col("_s").cast("double")
+                         / F.col("_n").cast("double")))
+    return agg.select(*keys, "n_rows", "n_null", "n_distinct",
+                      "v_min", "v_max", mean.alias("v_mean"))
+
+
+def sql_profile_numeric(table: str, keys: list[str], value_col: str) -> str:
+    ks = ", ".join(keys)
+    v = value_col
+    mean = sql_round6(
+        f"(sum({v}::DECIMAL(28,6))::DOUBLE / count({v})::DOUBLE)")
+    return f"""
+      SELECT {ks},
+             count(*)::BIGINT AS n_rows,
+             count(CASE WHEN {v} IS NULL THEN 1 END)::BIGINT AS n_null,
+             count(DISTINCT {v})::BIGINT AS n_distinct,
+             min({v}) AS v_min, max({v}) AS v_max,
+             (CASE WHEN count({v}) > 0 THEN {mean} END) AS v_mean
+      FROM {table} GROUP BY {ks}"""

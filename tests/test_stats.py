@@ -1,0 +1,99 @@
+"""Statistical profiling operators (operators/stats.py) and weighted
+sampling (operators/sampling.py): Python brute-force oracles on seeded
+random data. The driver gate value-checks the same ops vs DuckDB
+(o34-o36)."""
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from relationaldecomposition_spark.operators import sampling, stats
+
+
+@pytest.fixture(scope="module")
+def num_df(spark):
+    rng = random.Random(99)
+    rows = [Row(g="ab"[i % 2], v=(None if i % 11 == 7
+                                  else round(rng.uniform(0, 100), 3)))
+            for i in range(200)]
+    return spark.createDataFrame(rows), rows
+
+
+class TestGroupQuantiles:
+    def test_matches_python_interpolation(self, spark, num_df):
+        df, rows = num_df
+        qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+        out = {(r["g"], r["q"]): r["quantile"] for r in
+               stats.group_quantiles(df, ["g"], "v", qs).collect()}
+        for g in "ab":
+            vals = sorted(r.v for r in rows if r.g == g and r.v is not None)
+            for q in qs:
+                p = q * (len(vals) - 1)
+                lo, frac = int(math.floor(p)), p - math.floor(p)
+                exp = (vals[lo] if frac == 0
+                       else vals[lo] + frac * (vals[lo + 1] - vals[lo]))
+                assert out[(g, q)] == pytest.approx(exp, abs=1e-6), (g, q)
+
+    def test_rejects_bad_fraction(self, spark, num_df):
+        with pytest.raises(ValueError):
+            stats.group_quantiles(num_df[0], ["g"], "v", [1.5])
+
+
+class TestProfileNumeric:
+    def test_matches_python_oracle(self, spark, num_df):
+        df, rows = num_df
+        out = {r["g"]: r for r in
+               stats.profile_numeric(df, ["g"], "v").collect()}
+        for g in "ab":
+            sub = [r.v for r in rows if r.g == g]
+            vals = [v for v in sub if v is not None]
+            r = out[g]
+            assert r["n_rows"] == len(sub)
+            assert r["n_null"] == len(sub) - len(vals)
+            assert r["n_distinct"] == len(set(vals))
+            assert r["v_min"] == min(vals) and r["v_max"] == max(vals)
+            assert r["v_mean"] == pytest.approx(sum(vals) / len(vals),
+                                                abs=1e-6)
+
+    def test_all_null_group_mean_is_null(self, spark):
+        df = spark.createDataFrame([Row(g="x", v=None), Row(g="x", v=None)],
+                                   "g string, v double")
+        r = stats.profile_numeric(df, ["g"], "v").collect()[0]
+        assert r["v_mean"] is None and r["n_null"] == 2
+        assert r["v_min"] is None and r["n_distinct"] == 0
+
+
+class TestWeightedSample:
+    def test_matches_python_oracle(self, spark):
+        rows = [Row(k=i, w=float(1 + (i * 13) % 50)) for i in range(150)]
+        df = spark.createDataFrame(rows)
+        out = sampling.weighted_sample_topk(df, "k", "w", 20).collect()
+        exp = []
+        for r in rows:
+            u = (((r.k * sampling.WS_MULT) % sampling.WS_MOD) + 0.5) \
+                / sampling.WS_MOD
+            exp.append((math.log(u) / r.w, r.k))
+        exp_ids = [k for _, k in sorted(exp, key=lambda t: (-t[0], t[1]))][:20]
+        assert [r["k"] for r in out] == exp_ids
+
+    def test_weight_bias(self, spark):
+        """A row with overwhelming weight is (near-)always selected; zero
+        and null weights never are."""
+        rows = [Row(k=i, w=1e-6) for i in range(100)]
+        rows += [Row(k=1000, w=1e9), Row(k=1001, w=0.0), Row(k=1002, w=None)]
+        df = spark.createDataFrame(rows, "k long, w double")
+        got = {r["k"] for r in
+               sampling.weighted_sample_topk(df, "k", "w", 5).collect()}
+        assert 1000 in got
+        assert 1001 not in got and 1002 not in got
+
+    def test_take_ordered_plan(self, spark):
+        """Scale invariant: orderBy+limit plans as TakeOrderedAndProject
+        (per-partition top-k + merge), not a global sort exchange."""
+        df = spark.createDataFrame([Row(k=i, w=1.0) for i in range(10)])
+        plan = sampling.weighted_sample_topk(df, "k", "w", 3) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
