@@ -170,3 +170,38 @@ def interval_join(points: DataFrame, intervals: DataFrame,
           for c in payload_cols],
         F.col("_start").alias(f"{payload_prefix}start"),
         F.col("_end").alias(f"{payload_prefix}end"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str]) -> DataFrame:
+    """Snapshot diff (the CDC / incremental-refresh staple): compare two
+    versions of a keyed table and emit one row per difference —
+    change='added' (key only in new), 'removed' (key only in old),
+    'changed' (key in both, any compare column differing under
+    null-safe comparison). Unchanged keys emit nothing.
+
+    One full-outer shuffle join on the keys; column comparison is a
+    map-side expression. At 100 TB both snapshots shuffle once — the same
+    cost as the merge that would consume this diff. Assumes keys are
+    unique per snapshot (dedupe upstream — diffing multisets is a
+    different operator).
+
+    Returns (key..., change, old_<c>..., new_<c>...)."""
+    o = old.select(*[F.col(k) for k in key_cols],
+                   F.lit(1).alias("_in_old"),
+                   *[F.col(c).alias(f"old_{c}") for c in compare_cols])
+    n = new.select(*[F.col(k) for k in key_cols],
+                   F.lit(1).alias("_in_new"),
+                   *[F.col(c).alias(f"new_{c}") for c in compare_cols])
+    j = o.join(n, key_cols, "full_outer")
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change = (F.when(F.col("_in_old").isNull(), "added")
+               .when(F.col("_in_new").isNull(), "removed")
+               .when(differs, "changed"))
+    return (j.withColumn("change", change)
+             .where(F.col("change").isNotNull())
+             .select(*key_cols, "change",
+                     *[f"old_{c}" for c in compare_cols],
+                     *[f"new_{c}" for c in compare_cols]))

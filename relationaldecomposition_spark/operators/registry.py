@@ -475,6 +475,63 @@ def q_o36_numeric_profile(spark, sf_dir):
     return stats.profile_numeric(li, PROFILE_KEYS, "l_extendedprice")
 
 
+SKEW_TOP_N = 15
+
+
+def q_o37_skew_report(spark, sf_dir):
+    """Key-skew diagnosis over events' user_id (operators/stats.py): the
+    top-15 heaviest keys with row counts and corpus share — the pre-join
+    report that sizes salting factors."""
+    ev = load_table(spark, sf_dir, "events")
+    return stats.skew_report(ev, ["user_id"], SKEW_TOP_N)
+
+
+def q_o38_snapshot_diff(spark, sf_dir):
+    """Snapshot diff / CDC (operators/joins.py:snapshot_diff): OLD is a
+    deterministic mutation of documents (doc_id%13==0 dropped -> 'added'
+    in new, doc_id%7==0 text-suffixed -> 'changed', plus 25 synthetic
+    ids -> 'removed'); NEW is documents as-is. The oracle rebuilds the
+    same old snapshot and full-outer-diffs with IS DISTINCT FROM."""
+    docs = load_table(spark, sf_dir, "documents")
+    mutated = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" [v1]")))
+         .otherwise(F.col("text")).alias("text"),
+        "lang")
+    extra = docs.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "lang")
+    old = mutated.unionByName(extra)
+    new = docs.select("doc_id", "text", "lang")
+    return joins.snapshot_diff(old, new, ["doc_id"], ["text", "lang"])
+
+
+def _oracle_snapshot_diff() -> str:
+    return """
+      WITH old AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' [v1]' ELSE text END
+                 AS text,
+               lang
+        FROM documents WHERE doc_id % 13 != 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, lang
+        FROM documents WHERE doc_id < 25),
+      j AS (
+        SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.doc_id IS NULL THEN 'added'
+                    WHEN n.doc_id IS NULL THEN 'removed'
+                    WHEN (o.text IS DISTINCT FROM n.text)
+                      OR (o.lang IS DISTINCT FROM n.lang) THEN 'changed'
+               END AS change,
+               o.text AS old_text, o.lang AS old_lang,
+               n.text AS new_text, n.lang AS new_lang
+        FROM old o FULL OUTER JOIN documents n ON o.doc_id = n.doc_id)
+      SELECT doc_id::BIGINT AS doc_id, change, old_text, old_lang,
+             new_text, new_lang
+      FROM j WHERE change IS NOT NULL"""
+
+
 WEIGHTED_K = 50
 
 
@@ -905,6 +962,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o34_weighted_sample": q_o34_weighted_sample,
     "o35_group_quantiles": q_o35_group_quantiles,
     "o36_numeric_profile": q_o36_numeric_profile,
+    "o37_skew_report": q_o37_skew_report,
+    "o38_snapshot_diff": q_o38_snapshot_diff,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o27_decontaminate": q_o27_decontaminate,
     "o28_pii_redact": q_o28_pii_redact,
@@ -950,6 +1009,9 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS),
     "o36_numeric_profile": stats.sql_profile_numeric(
         "lineitem", PROFILE_KEYS, "l_extendedprice"),
+    "o37_skew_report": stats.sql_skew_report("events", ["user_id"],
+                                             SKEW_TOP_N),
+    "o38_snapshot_diff": _oracle_snapshot_diff(),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o27_decontaminate": corpus.sql_decontaminate(
         "documents", "text", "doc_id",

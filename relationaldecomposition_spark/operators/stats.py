@@ -95,3 +95,37 @@ def sql_profile_numeric(table: str, keys: list[str], value_col: str) -> str:
              min({v}) AS v_min, max({v}) AS v_max,
              (CASE WHEN count({v}) > 0 THEN {mean} END) AS v_mean
       FROM {table} GROUP BY {ks}"""
+
+
+def skew_report(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
+    """Key-skew diagnosis: the top_n heaviest key groups with row counts
+    and corpus share — the report that decides salting factors and
+    AQE skew thresholds before a big join/agg ships. One map-side-combining
+    aggregation + TakeOrdered merge of partition heads; the total row
+    count rides along via a single-row broadcast join (count-aggregate,
+    not a collect).
+
+    Returns (keys..., n_rows, share) ordered share-desc, keys-asc."""
+    if top_n <= 0:
+        raise ValueError("top_n must be positive")
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    order = [F.desc("n_rows")] + [F.asc(k) for k in keys]
+    return (counts.crossJoin(F.broadcast(total))
+                  .select(*keys, "n_rows",
+                          round6(F.col("n_rows")
+                                 / F.col("_total").cast("double"))
+                          .alias("share"))
+                  .orderBy(*order).limit(top_n))
+
+
+def sql_skew_report(table: str, keys: list[str], top_n: int = 20) -> str:
+    ks = ", ".join(keys)
+    share = sql_round6(
+        f"(count(*)::DOUBLE / (SELECT count(*) FROM {table})::DOUBLE)")
+    order_keys = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+      SELECT {ks}, count(*)::BIGINT AS n_rows, {share} AS share
+      FROM {table} GROUP BY {ks}
+      ORDER BY n_rows DESC, {order_keys}
+      LIMIT {top_n}"""

@@ -97,3 +97,48 @@ class TestWeightedSample:
         plan = sampling.weighted_sample_topk(df, "k", "w", 3) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+class TestSkewReport:
+    def test_counts_and_shares(self, spark):
+        rows = [Row(k="hot")] * 60 + [Row(k="warm")] * 30 + \
+               [Row(k="a")] * 5 + [Row(k="b")] * 5
+        df = spark.createDataFrame(rows)
+        out = stats.skew_report(df, ["k"], top_n=3).collect()
+        assert [(r["k"], r["n_rows"]) for r in out] == \
+            [("hot", 60), ("warm", 30), ("a", 5)]   # tie a/b -> key asc
+        assert out[0]["share"] == pytest.approx(0.6, abs=1e-6)
+
+    def test_take_ordered_plan(self, spark):
+        df = spark.createDataFrame([Row(k="x")])
+        plan = stats.skew_report(df, ["k"], 5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestSnapshotDiff:
+    def test_all_change_kinds(self, spark):
+        from relationaldecomposition_spark.operators.joins import snapshot_diff
+        old = spark.createDataFrame(
+            [(1, "same", "en"), (2, "will change", "en"),
+             (3, "gone", "de"), (5, "null change", None)],
+            "id long, t string, g string")
+        new = spark.createDataFrame(
+            [(1, "same", "en"), (2, "did change", "en"),
+             (4, "fresh", "fr"), (5, "null change", "xx")],
+            "id long, t string, g string")
+        out = {r["id"]: r for r in
+               snapshot_diff(old, new, ["id"], ["t", "g"]).collect()}
+        assert set(out) == {2, 3, 4, 5}            # id 1 unchanged: absent
+        assert out[2]["change"] == "changed"
+        assert (out[2]["old_t"], out[2]["new_t"]) == ("will change",
+                                                      "did change")
+        assert out[3]["change"] == "removed" and out[3]["new_t"] is None
+        assert out[4]["change"] == "added" and out[4]["old_t"] is None
+        # null -> value counts as changed (null-safe comparison)
+        assert out[5]["change"] == "changed"
+
+    def test_identical_snapshots_empty(self, spark):
+        from relationaldecomposition_spark.operators.joins import snapshot_diff
+        df = spark.createDataFrame([(1, "a"), (2, None)], "id long, t string")
+        assert snapshot_diff(df, df, ["id"], ["t"]).count() == 0
