@@ -180,6 +180,20 @@ def build_queries(spark, sf_dir: str):
         windowed_counts(ev).count()
         sessionize(ev).count()
 
+    def interval_join_q():
+        # bucketized range join (o33): clicks inside +/-30min purchase
+        # windows — equi-join on (user, bucket), no nested loop
+        from relationaldecomposition_spark.operators.joins import interval_join
+        ev = load_table(spark, sf_dir, "events")
+        pur = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"),
+            F.expr("ts - INTERVAL 30 MINUTES").alias("w_start"),
+            F.expr("ts + INTERVAL 30 MINUTES").alias("w_end"))
+        clicks = ev.where(F.col("event_type") == "click") \
+                   .select("event_id", "user_id", "ts")
+        interval_join(clicks, pur, "user_id", "ts", "w_start", "w_end",
+                      ["purchase_id"], bucket_s=1800).count()
+
     def asof_join_q():
         # union+window as-of join (o24): purchases enriched with the latest
         # prior click per user — one shuffle on user_id, no range join
@@ -207,6 +221,7 @@ def build_queries(spark, sf_dir: str):
         "tfidf_topk": tfidf_topk_q,
         "stream_window": stream_window,
         "asof_join": asof_join_q,
+        "interval_join": interval_join_q,
     }
 
 

@@ -41,7 +41,8 @@ DECON_TAU = 0.2         # overlap fraction above which a doc is contaminated
 
 def decontaminate(df: DataFrame, text_col: str, id_col: str,
                   benchmark: DataFrame, k: int = DECON_SHINGLE_K,
-                  tau: float = DECON_TAU) -> DataFrame:
+                  tau: float = DECON_TAU,
+                  broadcast_bench: bool = True) -> DataFrame:
     """Benchmark decontamination: per document, the fraction of its distinct
     k-word shingles that appear anywhere in the benchmark corpus (the
     standard n-gram-overlap decontamination rule used for public LLM
@@ -52,7 +53,10 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
 
     The benchmark's distinct shingle hashes are broadcast (an eval set is
     small by construction); the corpus side is exploded once and never
-    re-shuffled except for the final doc-keyed count."""
+    re-shuffled except for the final doc-keyed count. Pass
+    broadcast_bench=False for a pathologically large benchmark — the
+    probe degrades to a shuffle join on the shingle hash, still never
+    quadratic."""
     sh = F.array_distinct(word_shingles(F.col(text_col), k))
     ex = df.select(F.col(id_col),
                    F.explode_outer(sh).alias("shingle")) \
@@ -65,7 +69,8 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
              .select(portable_hash32(F.col("shingle")).alias("h"))
              .distinct()
              .withColumn("_hit", F.lit(1)))
-    joined = ex.join(F.broadcast(bench), "h", "left")
+    joined = ex.join(F.broadcast(bench) if broadcast_bench else bench,
+                     "h", "left")
     agg = joined.groupBy(id_col).agg(
         F.count("h").alias("n_shingles"),
         F.count("_hit").alias("n_hits"))
