@@ -263,6 +263,58 @@ def _oracle_sampled_entropy() -> str:
             + " UNION ALL ".join(parts))
 
 
+def q_a23_mm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Miller-Madow bias-corrected entropy over the deterministic sample:
+    H_mm = H_plugin + (m-1)/(2N ln 2), the first-order correction for the
+    plug-in estimator's downward bias (m = observed support size). This is
+    the estimator the 100 TB profiling path should report — at small
+    sample rates the plug-in underestimates H by ~(m-1)/2N bits, which is
+    exactly the gap that flips threshold decisions near epsilon. Each
+    subset is one groupBy + scalar aggregate (bounded collect, the entropy
+    engine's pattern); the oracle recomputes both estimators from the
+    bit-identical SQL sample."""
+    from .operators.sampling import hash_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    smp = hash_sample(ev, "event_id", SAMPLED_RATE)
+    rows = []
+    for s in SAMPLED_SUBSETS:
+        g = smp.groupBy(*s).agg(F.count(F.lit(1)).alias("c"))
+        r = g.agg(F.count(F.lit(1)).alias("m"),
+                  F.sum(F.col("c") * F.log2("c")).alias("clogc"),
+                  F.sum("c").alias("n")).first()
+        m, n = int(r["m"]), int(r["n"])
+        h = math.log2(n) - (float(r["clogc"] or 0.0)) / n
+        h_mm = h + (m - 1) / (2.0 * n * math.log(2.0))
+        rows.append((_subset_id(s), m, n, h, h_mm))
+    return (spark.createDataFrame(
+                rows, "subset string, m long, n_sample long, "
+                      "h double, h_mm double")
+            .select("subset", "m", "n_sample",
+                    F.round("h", ROUND).alias("h"),
+                    F.round("h_mm", ROUND).alias("h_mm")))
+
+
+def _oracle_mm_entropy() -> str:
+    from .operators.sampling import sql_hash_sample_where
+
+    pred = sql_hash_sample_where("event_id", SAMPLED_RATE)
+    parts = []
+    for s in SAMPLED_SUBSETS:
+        cols = ", ".join(sorted(s))
+        h = "(log2(n) - coalesce(clogc, 0) / n)"
+        mm = f"({h} + (m - 1) / (2.0 * n * ln(2.0)))"
+        parts.append(
+            f"SELECT '{_subset_id(s)}' AS subset, m::BIGINT AS m, "
+            f"n::BIGINT AS n_sample, round({h}, {ROUND}) AS h, "
+            f"round({mm}, {ROUND}) AS h_mm "
+            f"FROM (SELECT count(*) AS m, sum(c * log2(c)) AS clogc, "
+            f"sum(c) AS n FROM (SELECT count(*) AS c FROM smp "
+            f"GROUP BY {cols}) g) a")
+    return (f"WITH smp AS (SELECT * FROM events WHERE {pred}) "
+            + " UNION ALL ".join(parts))
+
+
 CUBE_COLS = ["l_returnflag", "l_linestatus", "l_quantity"]
 
 
@@ -486,6 +538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a08_entropy_batch": q_a08_entropy_batch,
     "a11_all_entropies": q_a11_all_entropies,
     "a22_sampled_entropy": q_a22_sampled_entropy,
+    "a23_mm_entropy": q_a23_mm_entropy,
     "a12_projection_distinct": q_a12_projection_distinct,
     "a16_distinct_count": q_a16_distinct_count,
     "a18_fd_measures": q_a18_fd_measures,
@@ -692,6 +745,7 @@ B15_SCHEMAS = [
 ]
 
 ORACLES["a22_sampled_entropy"] = _oracle_sampled_entropy()
+ORACLES["a23_mm_entropy"] = _oracle_mm_entropy()
 ORACLES["b03_mine_mvds"] = oracle_b03(DENORM_SQL, B03_COLS)
 ORACLES["b11_min_seps"] = oracle_b11(DENORM_SQL, DENORM6_COLS)
 ORACLES["b15_enumerate_schemas"] = oracle_b15(DENORM_SQL, DENORM6_COLS,

@@ -117,3 +117,21 @@ def test_stratified_validates_rates(spark):
         stratified_hash_sample(docs, "doc_id", "lang", {"en": 2.0})
     with pytest.raises(ValueError):
         stratified_hash_sample(docs, "doc_id", "lang", {}, default_rate=-0.1)
+
+
+def test_mm_entropy_corrects_upward(spark, sf_dir):
+    """Miller-Madow = plug-in + (m-1)/(2N ln2): strictly above the plug-in
+    for m > 1, and the correction recomputes exactly from the returned
+    (m, n_sample)."""
+    import math
+
+    from relationaldecomposition_spark.queries import q_a23_mm_entropy
+
+    out = q_a23_mm_entropy(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        if r["m"] > 1:
+            assert r["h_mm"] > r["h"]
+        exp = r["h"] + round((r["m"] - 1) / (2.0 * r["n_sample"]
+                                             * math.log(2.0)), 6)
+        assert r["h_mm"] == pytest.approx(exp, abs=2e-6)
