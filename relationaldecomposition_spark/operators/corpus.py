@@ -29,8 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import (
-    portable_hash32, sql_hash32, sql_tokens, sql_word_shingles, tokens,
-    word_shingles)
+    exploded_shingles, portable_hash32, sql_hash32, sql_tokens,
+    sql_word_shingles, tokens, word_shingles)
 from .text import round6, sql_round6
 
 # -- decontamination ---------------------------------------------------------
@@ -57,10 +57,16 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
     broadcast_bench=False for a pathologically large benchmark — the
     probe degrades to a shuffle join on the shingle hash, still never
     quadratic."""
-    sh = F.array_distinct(word_shingles(F.col(text_col), k))
-    ex = df.select(F.col(id_col),
-                   F.explode_outer(sh).alias("shingle")) \
-           .select(F.col(id_col),
+    # exploded_shingles (posexplode + lead) instead of exploding a lambda-
+    # built array: 8x cheaper generator (see functions/hashing.py); the
+    # per-doc distinct moves from map-side array_distinct to a
+    # dropDuplicates whose partial aggregation still combines map-side.
+    # Distinct is on the shingle STRING (then hashed) so a 2^-32 hash
+    # collision between two distinct shingles still counts twice, exactly
+    # like the oracle's list_distinct-then-hash.
+    sh = exploded_shingles(df, text_col, id_col, k) \
+        .dropDuplicates([id_col, "shingle"])
+    ex = sh.select(F.col(id_col),
                    F.when(F.col("shingle").isNotNull(),
                           portable_hash32(F.col("shingle"))).alias("h"))
     bench = (benchmark

@@ -25,8 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import (
-    MERSENNE_P, affine_hash, minhash_params, portable_hash32, portable_hash64,
-    tokens, word_shingles)
+    MERSENNE_P, affine_hash, exploded_shingles, minhash_params,
+    portable_hash32, portable_hash64, tokens, word_shingles)
 
 DEFAULT_N_HASHES = 8
 DEFAULT_BANDS = 4
@@ -97,21 +97,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        seed: int = 42) -> DataFrame:
     """(id, mh_0..mh_{n-1}): min over shingles of (a_i*h32(shingle)+b_i)%P.
     Documents with no shingles get sentinel P (impossible hash value).
-    One explode + one groupBy — two narrow shuffles regardless of n.
 
-    Why not map-only (array_min over transform of the shingle array, the
-    oracle's list_min shape, zero shuffles)? Measured at sf0.1: 4x SLOWER
-    (6.0s vs 1.5s for the signatures; 22s vs 3.7s for lsh_candidate_pairs)
-    because higher-order-function lambdas are CodegenFallback — n_hashes
-    interpreted traversals per document vs codegen'd min-aggregates here.
-    The groupBy shuffle is doc-sized after map-side combine (partial mins),
-    not shingle-sized, so the exchange this formulation keeps is cheap and
-    it doubles as the materialization point both sides of the band
-    self-join reuse."""
+    Shingles come from exploded_shingles (posexplode + window-lead): the
+    alternative shapes both lose badly to codegen — map-only array_min
+    over transform lambdas is 4x slower (CodegenFallback traversals per
+    hash), and exploding the word_shingles array pays ~15us/row in the
+    generator (measured 39s vs 5s at sf1 for the same 2.6M shingles).
+    ONE exchange total: the shingle window shuffles token rows on the id,
+    and the signature groupBy reuses that partitioning (no second
+    exchange; partial-min combine still applies)."""
     params = minhash_params(n_hashes, seed)
-    sh = df.select(F.col(id_col),
-                   F.explode_outer(word_shingles(F.col(text_col), shingle_k))
-                    .alias("shingle"))
+    sh = exploded_shingles(df, text_col, id_col, shingle_k)
     h = sh.withColumn("h32", portable_hash32(F.col("shingle")))
     aggs = [F.min(F.when(F.col("shingle").isNotNull(),
                          affine_hash(F.col("h32"), a, b)))
