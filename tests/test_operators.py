@@ -218,3 +218,26 @@ def test_chunk_documents_validates_params(docs):
         text.chunk_documents(docs, "text", "doc_id", size=0)
     with pytest.raises(ValueError):
         text.chunk_documents(docs, "text", "doc_id", stride=-1)
+
+
+def test_exploded_shingles_match_array_shingles(spark):
+    """The codegen shingle path (posexplode+lead) must produce exactly the
+    word_shingles multiset per document, with >= 1 row per document and
+    NULL shingles only where no complete k-shingle exists."""
+    from relationaldecomposition_spark.functions.hashing import (
+        exploded_shingles, tokens, word_shingles)
+
+    rows = [(0, "a b c d e"), (1, "a b"), (2, ""), (3, "x y z"),
+            (4, "dup dup dup dup"), (5, "   spaced   out   words  here ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for k in (1, 2, 3):
+        arr = {r["doc_id"]: sorted(r["sh"]) for r in df.select(
+            "doc_id", word_shingles(F.col("text"), k).alias("sh")).collect()}
+        ex = {}
+        for r in exploded_shingles(df, "text", "doc_id", k).collect():
+            ex.setdefault(r["doc_id"], []).append(r["shingle"])
+        for i, _ in rows:
+            got = sorted(s for s in ex[i] if s is not None)
+            assert got == arr[i], (i, k)
+            # every doc is represented even when it has no shingles
+            assert len(ex[i]) >= 1
