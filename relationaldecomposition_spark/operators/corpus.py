@@ -371,3 +371,45 @@ def sql_tfidf_topk(table: str, text_col: str, id_col: str,
                     ORDER BY tfidf DESC, token ASC)::BIGINT AS rank
         FROM scored)
       WHERE rank <= {k}"""
+
+
+# -- vocabulary building -----------------------------------------------------
+
+VOCAB_TOP_N = 100
+
+
+def vocabulary(df: DataFrame, text_col: str, id_col: str,
+               top_n: int = VOCAB_TOP_N) -> DataFrame:
+    """Corpus vocabulary: the top_n most frequent tokens with term and
+    document frequencies — the tokenizer-training / stopword-discovery
+    pass. One explode + one token-keyed aggregation (map-side combining;
+    a token's count collapses to one row per map partition, so hot tokens
+    — 'the' at 100 TB — cost no more than rare ones), then a TakeOrdered
+    merge of partition heads. Ties at the boundary break token-asc in
+    both engines.
+
+    Returns (token, tf, df) ordered tf desc, token asc."""
+    if top_n <= 0:
+        raise ValueError("top_n must be positive")
+    ex = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("token"))
+    per_doc = ex.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    agg = per_doc.groupBy("token").agg(
+        F.sum("c").alias("tf"),
+        F.count(F.lit(1)).alias("df"))
+    return (agg.select("token", F.col("tf").cast("bigint").alias("tf"),
+                       F.col("df").cast("bigint").alias("df"))
+               .orderBy(F.desc("tf"), F.asc("token")).limit(top_n))
+
+
+def sql_vocabulary(table: str, text_col: str, id_col: str,
+                   top_n: int = VOCAB_TOP_N) -> str:
+    toks = sql_tokens(text_col)
+    return f"""
+      WITH ex AS (SELECT {id_col}, unnest({toks}) AS token FROM {table}),
+      per_doc AS (SELECT {id_col}, token, count(*) AS c
+                  FROM ex GROUP BY {id_col}, token)
+      SELECT token, sum(c)::BIGINT AS tf, count(*)::BIGINT AS df
+      FROM per_doc GROUP BY token
+      ORDER BY tf DESC, token ASC
+      LIMIT {top_n}"""

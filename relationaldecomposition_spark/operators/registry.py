@@ -475,6 +475,14 @@ def q_o36_numeric_profile(spark, sf_dir):
     return stats.profile_numeric(li, PROFILE_KEYS, "l_extendedprice")
 
 
+def q_o39_vocabulary(spark, sf_dir):
+    """Corpus vocabulary: top-100 tokens by term frequency with document
+    frequencies (operators/corpus.py:vocabulary) — the tokenizer-training
+    prepass; token-keyed map-side-combining aggs + TakeOrdered."""
+    return corpus.vocabulary(load_table(spark, sf_dir, "documents"),
+                             "text", "doc_id")
+
+
 SKEW_TOP_N = 15
 
 
@@ -963,6 +971,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o35_group_quantiles": q_o35_group_quantiles,
     "o36_numeric_profile": q_o36_numeric_profile,
     "o37_skew_report": q_o37_skew_report,
+    "o39_vocabulary": q_o39_vocabulary,
     "o38_snapshot_diff": q_o38_snapshot_diff,
     "o22_dedup_apply": q_o22_dedup_apply,
     "o27_decontaminate": q_o27_decontaminate,
@@ -1012,6 +1021,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o37_skew_report": stats.sql_skew_report("events", ["user_id"],
                                              SKEW_TOP_N),
     "o38_snapshot_diff": _oracle_snapshot_diff(),
+    "o39_vocabulary": corpus.sql_vocabulary("documents", "text", "doc_id"),
     "o22_dedup_apply": _oracle_dedup_apply(),
     "o27_decontaminate": corpus.sql_decontaminate(
         "documents", "text", "doc_id",

@@ -281,3 +281,18 @@ class TestRandomizedOracle:
             assert sorted(got[i]) == [
                 (j + 1, t, pytest.approx(s, abs=1e-9))
                 for j, (s, t) in enumerate(exp)], i
+
+
+class TestVocabulary:
+    def test_tf_df_and_order(self, spark):
+        rows = ["b a a", "a c", "c c c c"]
+        out = corpus.vocabulary(_docs(spark, rows), "text", "doc_id",
+                                top_n=2).collect()
+        # c: tf 5 df 2; a: tf 3 df 2; b cut by top_n
+        assert [(r["token"], r["tf"], r["df"]) for r in out] == \
+            [("c", 5, 2), ("a", 3, 2)]
+
+    def test_take_ordered_plan(self, spark):
+        plan = corpus.vocabulary(_docs(spark, ["x"]), "text", "doc_id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
