@@ -242,9 +242,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         tau: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle-set self-join:
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tau, id_a < id_b."""
-    sh = (df.select(F.col(id_col),
-                    F.explode(F.array_distinct(
-                        word_shingles(F.col(text_col), shingle_k))).alias("sh")))
+    sh = (exploded_shingles(df, text_col, id_col, shingle_k)
+          .where(F.col("shingle").isNotNull())
+          .dropDuplicates([id_col, "shingle"])
+          .select(F.col(id_col), F.col("shingle").alias("sh")))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
