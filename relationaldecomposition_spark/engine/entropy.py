@@ -224,10 +224,18 @@ class SparkEntropyEngine:
                     if strategy == "concurrent":
                         self._batch_concurrent(todo)
                     else:
-                        for chunk in self._plan_chunks(todo):
+                        # smallest subsets first: the singles chunk runs
+                        # before wider sets, so its entropies seed the
+                        # perplexity estimates that unlock pre-aggregation
+                        # and cost-budgeting for every later chunk (chunks
+                        # are planned LAZILY against the live cache)
+                        remaining = sorted(todo, key=len)
+                        while remaining:
                             if self.stop_check is not None and self.stop_check():
                                 raise MiningCancelled(
                                     "entropy batch cancelled by stop flag")
+                            chunk = self._next_chunk(remaining)
+                            remaining = remaining[len(chunk):]
                             self._batch_grouping_sets(chunk)
                 finally:
                     # always release waiters, even on failure/cancel — they
@@ -262,31 +270,54 @@ class SparkEntropyEngine:
         n = self.num_rows
         return min(total, math.log2(n)) if n > 0 else total
 
-    def _plan_chunks(self, todo: list[frozenset[str]]) -> list[list[frozenset[str]]]:
-        """Width-capped, cost-aware chunking (VERDICT r2 'what's wrong' #3):
-        each grouping set replicates every input row into the shuffle, so a
-        chunk's shuffle OUTPUT is ~ sum of its subsets' group counts. Cap
-        chunks at max_grouping_sets AND at a group budget of
-        ``group_budget_rows x num_rows`` using cache-derived estimates, so
-        16 near-key subsets no longer ride in one job shuffling 16x the
-        distinct rows. Estimates are optimistic when unknown — cold-cache
-        behavior is exactly the old fixed-width chunking."""
-        budget = self.group_budget_rows * self.num_rows
-        chunks: list[list[frozenset[str]]] = []
+    def _next_chunk(self, todo: list[frozenset[str]]) -> list[frozenset[str]]:
+        """Width-capped, cost-aware chunking (VERDICT r2 'what's wrong' #3),
+        planned ONE chunk at a time so each chunk's estimates see every
+        entropy the previous chunks just cached: each grouping set
+        replicates every input row into the shuffle, so a chunk's shuffle
+        OUTPUT is ~ sum of its subsets' group counts. Cap chunks at
+        max_grouping_sets AND at a group budget of ``group_budget_rows x
+        num_rows`` using cache-derived estimates, so 16 near-key subsets
+        don't ride in one job shuffling 16x the distinct rows. Estimates
+        are optimistic when unknown — cold-cache behavior is exactly the
+        old fixed-width chunking. Returns a non-empty prefix of todo."""
+        n = self.num_rows
+        budget = self.group_budget_rows * n
+        # pre-agg qualification threshold in bits (see _batch_grouping_sets:
+        # chunks whose UNION-column perplexity is <= N/8 aggregate once on
+        # the union before the grouping sets)
+        thresh_bits = math.log2(n / 8.0) if n >= 8 else None
         cur: list[frozenset[str]] = []
         cur_mass = 0.0
+        cur_union: set[str] = set()
         for x in todo:
             est = self._est_log2_groups(x)
+            # singletons never share a chunk with wider unknown-estimate
+            # sets: running them alone first costs |cols| x N replication
+            # instead of width x N, and their entropies are exactly what
+            # unlocks pre-aggregation for every later chunk
+            if cur and len(cur[0]) == 1 and len(x) > 1 and est is None:
+                break
+            # union-compactness: if the chunk as built qualifies for
+            # pre-aggregation, refuse a set that would push the union's
+            # estimate over the threshold — two compact pre-agged chunks
+            # beat one wide chunk that replicates N rows per set. Only
+            # worth it for chunks of >= 4 sets: below that the saved
+            # replication is smaller than the extra per-chunk scan+job
+            if len(cur) >= 4 and thresh_bits is not None:
+                cur_est = self._est_log2_groups(frozenset(cur_union))
+                if cur_est is not None and cur_est <= thresh_bits:
+                    new_est = self._est_log2_groups(frozenset(cur_union | x))
+                    if new_est is not None and new_est > thresh_bits:
+                        break
             mass = (2.0 ** est) if est is not None else 0.0
             if cur and (len(cur) >= self.max_grouping_sets
                         or (budget > 0 and cur_mass + mass > budget)):
-                chunks.append(cur)
-                cur, cur_mass = [], 0.0
+                break
             cur.append(x)
             cur_mass += mass
-        if cur:
-            chunks.append(cur)
-        return chunks
+            cur_union |= x
+        return cur
 
     def _batch_grouping_sets(self, subsets: list[frozenset[str]]) -> None:
         if len(subsets) == 1:
@@ -338,8 +369,29 @@ class SparkEntropyEngine:
         # objects, silently aiming the SQL at another engine's relation
         view = f"__rd_entropy_{uuid.uuid4().hex[:12]}"
         self.df.createOrReplaceTempView(view)
+        # Pre-aggregation gate: GROUPING SETS replicates every INPUT row
+        # once per set (a 16-set chunk pushes 16N rows into partial
+        # aggregation). When the cached perplexity estimate says the union
+        # columns' effective group count G is far below N, aggregate ONCE
+        # on the union (N -> ~G rows) and run the grouping sets over the
+        # compressed counts — sum(cnt) per set is identical to count(1) on
+        # the raw rows (null column values group the same way; the
+        # grouping() flags that build gid are unaffected). Conservative by
+        # construction: cold caches or wide unions (est ~ log2 N) keep the
+        # direct path, and a wrong estimate costs one extra aggregation,
+        # never correctness. Gate factor 8 = require est G <= N/8.
+        est_union = self._est_log2_groups(frozenset(union_cols))
+        pre_agg = (est_union is not None and n > 0
+                   and (2.0 ** est_union) * 8.0 <= n)
+        if pre_agg:
+            cols_sql = ", ".join(f"`{c}`" for c in union_cols)
+            src = (f"(SELECT {cols_sql}, count(1) AS __base_cnt "
+                   f"FROM {view} GROUP BY {cols_sql})")
+            cnt_expr = "sum(__base_cnt)"
+        else:
+            src, cnt_expr = view, "count(1)"
         inner = (
-            f"SELECT ({gid_expr}) AS gid, count(1) AS cnt FROM {view} "
+            f"SELECT ({gid_expr}) AS gid, {cnt_expr} AS cnt FROM {src} "
             f"GROUP BY GROUPING SETS ({sets_sql})"
         )
         outer = (

@@ -172,13 +172,15 @@ def test_cost_aware_chunking(tiny):
     try:
         subs = [frozenset(c) for r in (1, 2, 3)
                 for c in itertools.combinations(df.columns, r)]
-        # cold cache: optimistic estimates -> old fixed-width chunking
-        assert [len(c) for c in eng._plan_chunks(subs[:6])] == [4, 2]
+        # cold cache, uniform width: fixed-width chunking (lazy planner
+        # returns one chunk at a time)
+        pairs = subs[3:9]   # six size-2 subsets, no estimates yet
+        first = eng._next_chunk(pairs)
+        assert len(first) == 4 and eng._next_chunk(pairs[4:]) == pairs[4:6]
         # warm the singletons; (u,v,w) is near-key (7 groups of 8 rows)
         eng.entropies([frozenset((c,)) for c in df.columns])
         wide = [frozenset(df.columns)] * 3  # each ~n groups
-        chunks = eng._plan_chunks(wide)
-        assert len(chunks) == 3, chunks  # budget 1.0x rows: one near-key each
+        assert eng._next_chunk(wide) == wide[:1]  # budget 1.0x rows: one each
         # values are unaffected by chunking (full sweep matches the oracle)
         got = eng.entropies(subs)
         for s in subs:
