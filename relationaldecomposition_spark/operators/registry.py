@@ -304,6 +304,34 @@ def q_o21_dedup_clusters(spark, sf_dir):
         F.col("rep").cast("bigint").alias("rep"))
 
 
+def q_o40_cluster_sizes(spark, sf_dir):
+    """Dedup-cluster size histogram: how many near-dup clusters exist at
+    each size (the dedup-rate report a corpus owner reads before applying
+    the survivors). Two keyed map-side-combining aggs over the o21
+    components — (cluster_size, n_clusters)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(docs, "text", "doc_id", N_HASHES,
+                                      BANDS, SHINGLE_K, LSH_MIN_EST,
+                                      MINHASH_SEED)
+    comp = dedup.connected_components(pairs)
+    per = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (per.groupBy("cluster_size")
+               .agg(F.count(F.lit(1)).alias("n_clusters"))
+               .select(F.col("cluster_size").cast("bigint")
+                        .alias("cluster_size"),
+                       F.col("n_clusters").cast("bigint")
+                        .alias("n_clusters")))
+
+
+def _oracle_cluster_sizes() -> str:
+    return f"""
+      WITH RECURSIVE comp AS ({_oracle_dedup_clusters()}),
+      per AS (SELECT rep, count(*) AS cluster_size FROM comp GROUP BY rep)
+      SELECT cluster_size::BIGINT AS cluster_size,
+             count(*)::BIGINT AS n_clusters
+      FROM per GROUP BY cluster_size"""
+
+
 def _oracle_dedup_clusters() -> str:
     return f"""
       WITH RECURSIVE cand AS ({_oracle_lsh_pairs()}),
@@ -962,6 +990,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o17_lsh_pairs_guard": q_o17_lsh_pairs_guard,
     "o18_ann_topk_guard": q_o18_ann_topk_guard,
     "o21_dedup_clusters": q_o21_dedup_clusters,
+    "o40_cluster_sizes": q_o40_cluster_sizes,
     "o23_cosine_lsh_pairs": q_o23_cosine_lsh_pairs,
     "o24_asof_join": q_o24_asof_join,
     "o33_interval_join": q_o33_interval_join,
@@ -1007,6 +1036,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o17_lsh_pairs_guard": _oracle_lsh_pairs(max_bucket=GUARD_LSH_MAX_BUCKET),
     "o18_ann_topk_guard": _oracle_ann_topk(max_bucket=GUARD_ANN_MAX_BUCKET),
     "o21_dedup_clusters": _oracle_dedup_clusters(),
+    "o40_cluster_sizes": _oracle_cluster_sizes(),
     "o23_cosine_lsh_pairs": _oracle_cosine_lsh_pairs(),
     "o24_asof_join": _oracle_asof_join(),
     "o33_interval_join": _oracle_interval_join(),

@@ -222,3 +222,21 @@ def test_connected_components_random_vs_union_find(spark):
         got = {r["id"]: r["rep"] for r in
                dedup.connected_components(df).collect()}
         assert got == union_find(edges), seed
+
+
+def test_cluster_size_histogram(spark):
+    """o40's histogram equals a Python union-find re-derivation."""
+    from pyspark.sql import Row
+    from relationaldecomposition_spark.operators.dedup import (
+        connected_components)
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)]
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in edges])
+    comp = connected_components(pairs)
+    per = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    hist = {r["cluster_size"]: r["n_clusters"] for r in
+            per.groupBy("cluster_size")
+               .agg(F.count(F.lit(1)).alias("n_clusters")).collect()}
+    # components: {1,2,3} size 3, {10,11} size 2, {20,21,22,23} size 4
+    assert hist == {3: 1, 2: 1, 4: 1}
