@@ -245,3 +245,31 @@ def test_entropy_random_frames_property():
                 assert abs(got[s] - expect) < 1e-9, (seed, sorted(s))
         finally:
             eng.unpersist()
+
+
+def test_preaggregated_grouping_sets_values(spark):
+    """When singleton entropies say the union compresses (est G <= N/8),
+    _batch_grouping_sets pre-aggregates on the union before the grouping
+    sets. Values must be identical to the brute-force oracle either way —
+    this fixture makes the gate provably engage (4 columns x 3 values,
+    N=810 -> est G ~ 2^6.3 << N/8)."""
+    import itertools as it
+    import random
+    rng = random.Random(4242)
+    data = [tuple(rng.choice("abc") for _ in range(4)) for _ in range(810)]
+    df = spark.createDataFrame(data, "u string, v string, w string, x string")
+    eng = SparkEntropyEngine(df)
+    try:
+        cols = df.columns
+        eng.entropies([frozenset((c,)) for c in cols])   # warm singles
+        pairs = [frozenset(p) for p in it.combinations(cols, 2)]
+        union_est = eng._est_log2_groups(frozenset(cols))
+        assert union_est is not None
+        assert (2.0 ** union_est) * 8.0 <= eng.num_rows   # gate engages
+        got = eng.entropies(pairs)
+        for s in pairs:
+            idxs = [cols.index(c) for c in sorted(s)]
+            assert got[s] == pytest.approx(oracle_entropy(data, idxs),
+                                           abs=1e-9), s
+    finally:
+        eng.unpersist()
