@@ -190,6 +190,28 @@ class TestStreamingParity:
             assert got[i] == exp[i]
 
 
+
+    def test_doc_profile_batch_equals_stream(self, spark, tmp_path):
+        """The fused one-scan profile is map-only, so the SAME call runs
+        unmodified on a streaming source — profile-on-ingest with zero
+        extra code (the 'streams are the same plan' invariant for the
+        flagship fused operator)."""
+        batch = _docs(spark, FIX)
+        src = str(tmp_path / "profile_src")
+        batch.write.parquet(src)
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        out = corpus.document_profile(stream, "text", "doc_id")
+        assert out.isStreaming
+        q = (out.writeStream.format("memory").queryName("profile_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {r["doc_id"]: r for r in
+               spark.sql("SELECT * FROM profile_stream").collect()}
+        exp = {r["doc_id"]: r for r in
+               corpus.document_profile(batch, "text", "doc_id").collect()}
+        assert got == exp
+
+
 class TestDocumentProfile:
     def test_equals_individual_operators(self, spark):
         from relationaldecomposition_spark.operators import text as t
@@ -296,3 +318,4 @@ class TestVocabulary:
         plan = corpus.vocabulary(_docs(spark, ["x"]), "text", "doc_id") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
