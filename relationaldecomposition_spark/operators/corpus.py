@@ -413,3 +413,48 @@ def sql_vocabulary(table: str, text_col: str, id_col: str,
       FROM per_doc GROUP BY token
       ORDER BY tf DESC, token ASC
       LIMIT {top_n}"""
+
+
+def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-language corpus report: the fused document_profile rolled up by
+    predicted language — document counts, token/char volume, mean quality,
+    and PII exposure. The end-of-ingest summary a corpus owner reads.
+    One scan (the fused profile) + one language-keyed aggregation; the
+    mean sums through DECIMAL for cross-engine determinism (FP sums are
+    partition-order-dependent).
+
+    Returns (pred_lang, n_docs, total_tokens, total_chars, mean_quality,
+    docs_with_pii)."""
+    prof = document_profile(df, text_col, id_col)
+    has_pii = ((F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0) \
+        .cast("int")
+    mean_q = round6(F.sum(F.col("quality").cast("decimal(28,6)"))
+                    .cast("double") / F.count(F.lit(1)).cast("double"))
+    return (prof.groupBy("pred_lang").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("ws_tokens").alias("total_tokens"),
+                F.sum("n_chars").alias("total_chars"),
+                mean_q.alias("mean_quality"),
+                F.sum(has_pii).alias("docs_with_pii"))
+            .select("pred_lang",
+                    F.col("n_docs").cast("bigint").alias("n_docs"),
+                    F.col("total_tokens").cast("bigint").alias("total_tokens"),
+                    F.col("total_chars").cast("bigint").alias("total_chars"),
+                    "mean_quality",
+                    F.col("docs_with_pii").cast("bigint")
+                     .alias("docs_with_pii")))
+
+
+def sql_corpus_report(table: str, text_col: str, id_col: str) -> str:
+    prof = sql_document_profile(table, text_col, id_col)
+    mean_q = sql_round6("(sum(quality::DECIMAL(28,6))::DOUBLE"
+                        " / count(*)::DOUBLE)")
+    return f"""
+      WITH prof AS ({prof})
+      SELECT pred_lang, count(*)::BIGINT AS n_docs,
+             sum(ws_tokens)::BIGINT AS total_tokens,
+             sum(n_chars)::BIGINT AS total_chars,
+             {mean_q} AS mean_quality,
+             sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
+                      THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii
+      FROM prof GROUP BY pred_lang"""

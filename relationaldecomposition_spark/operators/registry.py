@@ -470,6 +470,24 @@ def q_o32_doc_profile(spark, sf_dir):
     return corpus.document_profile(aug, "text", "doc_id")
 
 
+def q_o41_corpus_report(spark, sf_dir):
+    """Per-language rollup of the fused profile (corpus.corpus_report):
+    the end-of-ingest summary — doc counts, token volume, decimal-exact
+    mean quality, PII exposure — over PII-augmented documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = corpus.with_synthetic_pii(docs, "text", "doc_id")
+    return corpus.corpus_report(aug, "text", "doc_id")
+
+
+def _oracle_corpus_report() -> str:
+    aug = corpus.sql_with_synthetic_pii("documents", "text", "doc_id")
+    rep = corpus.sql_corpus_report("aug", "text", "doc_id")
+    # prepend the augmentation CTE to the report's WITH chain (same
+    # surgery as _oracle_doc_profile)
+    return rep.replace("WITH prof AS",
+                       f"WITH aug AS ({aug}),\n      prof AS", 1)
+
+
 def _oracle_doc_profile() -> str:
     aug = corpus.sql_with_synthetic_pii("documents", "text", "doc_id")
     prof = corpus.sql_document_profile("aug", "text", "doc_id")
@@ -1008,6 +1026,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o29_repetition": q_o29_repetition,
     "o30_tfidf_topk": q_o30_tfidf_topk,
     "o32_doc_profile": q_o32_doc_profile,
+    "o41_corpus_report": q_o41_corpus_report,
     "o09_token_counts": q_o09_token_counts,
     "o20_bpe_tokens": q_o20_bpe_tokens,
     "o10_lang_id": q_o10_lang_id,
@@ -1061,6 +1080,7 @@ OPERATOR_ORACLES: dict[str, str] = {
         "documents", "text", "doc_id"),
     "o30_tfidf_topk": corpus.sql_tfidf_topk("documents", "text", "doc_id"),
     "o32_doc_profile": _oracle_doc_profile(),
+    "o41_corpus_report": _oracle_corpus_report(),
     "o09_token_counts": text.sql_token_counts("documents", "text", "doc_id"),
     "o10_lang_id": text.sql_lang_id("documents", "text", "doc_id"),
     "o11_quality": text.sql_quality_score("documents", "text", "doc_id"),

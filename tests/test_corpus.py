@@ -319,3 +319,25 @@ class TestVocabulary:
             ._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
 
+
+
+class TestCorpusReport:
+    def test_rollup_matches_profile(self, spark):
+        prof = corpus.document_profile(_docs(spark, FIX), "text",
+                                       "doc_id").collect()
+        rep = {r["pred_lang"]: r for r in
+               corpus.corpus_report(_docs(spark, FIX), "text",
+                                    "doc_id").collect()}
+        langs = {}
+        for p in prof:
+            langs.setdefault(p["pred_lang"], []).append(p)
+        assert set(rep) == set(langs)
+        for lang, ps in langs.items():
+            r = rep[lang]
+            assert r["n_docs"] == len(ps)
+            assert r["total_tokens"] == sum(p["ws_tokens"] for p in ps)
+            assert r["total_chars"] == sum(p["n_chars"] for p in ps)
+            exp_q = sum(p["quality"] for p in ps) / len(ps)
+            assert r["mean_quality"] == pytest.approx(exp_q, abs=1e-6)
+            assert r["docs_with_pii"] == sum(
+                1 for p in ps if p["n_email"] + p["n_phone"] + p["n_ipv4"] > 0)
