@@ -14,7 +14,8 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import corpus, dedup, ivf, joins, multimodal, similarity, stats, text
+from . import (corpus, dedup, ivf, joins, multimodal, similarity, sketches,
+               stats, text)
 
 ROUND = 6
 
@@ -994,6 +995,27 @@ def _oracle_ivf_topk() -> str:
       WHERE rank <= {TOPK_K}"""
 
 
+# o42/o43 cardinality sketches: estimate distinct l_orderkey per
+# l_returnflag. k/p sized so the ESTIMATE branch executes on the gate data
+# (each flag holds ~11k distinct orders at sf0.01 — far above k=256
+# retained hashes / within HLL p=8's estimation regime), proving the
+# non-trivial path cross-engine, not the small-group exact fallback.
+SKETCH_GROUP = ["l_returnflag"]
+SKETCH_VALUE = "l_orderkey"
+KMV_K = 256
+HLL_P = 8
+
+
+def q_o42_kmv_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.kmv_distinct(li, SKETCH_GROUP, SKETCH_VALUE, KMV_K)
+
+
+def q_o43_hll_distinct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.hll_distinct(li, SKETCH_GROUP, SKETCH_VALUE, HLL_P)
+
+
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o01_exact_dedup": q_o01_exact_dedup,
     "o02_minhash_sigs": q_o02_minhash_sigs,
@@ -1036,6 +1058,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o14_frame_sample": q_o14_frame_sample,
     "o19_ppm_decode": q_o19_ppm_decode,
     "o31_ppm_pixels": q_o31_ppm_pixels,
+    "o42_kmv_distinct": q_o42_kmv_distinct,
+    "o43_hll_distinct": q_o43_hll_distinct,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1100,4 +1124,8 @@ OPERATOR_ORACLES: dict[str, str] = {
         "unnest(range(0, greatest(octet_length(encode(text)) - 1, 0) + 1, 64))::BIGINT "
         "AS frame_offset, substr(hex(encode(text)), 1, 16) AS frame_preview "
         "FROM documents"),
+    "o42_kmv_distinct": sketches.sql_kmv_distinct(
+        "lineitem", SKETCH_GROUP, SKETCH_VALUE, KMV_K),
+    "o43_hll_distinct": sketches.sql_hll_distinct(
+        "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),
 }

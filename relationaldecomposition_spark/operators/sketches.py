@@ -1,0 +1,210 @@
+"""Distributed cardinality sketches: per-group approximate distinct counts
+via KMV (k-minimum-values) and HyperLogLog, engine-portable.
+
+Reference parity: the reference engine answers COUNT(DISTINCT ...) exactly
+(InvertedIndex group counts — `SURVEY.md` §2 A16); these sketches are the
+beyond-reference scale path for the same question, sized for 100 TB where an
+exact distinct over a high-cardinality key is itself a full shuffle. Both
+are classic public constructions:
+
+- KMV: Bar-Yossef et al., "Counting distinct elements in a data stream"
+  (RANDOM 2002); estimate (k-1)/U_(k) with U_(k) the k-th smallest
+  normalized hash.
+- HLL: Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+  cardinality estimation algorithm" (AofA 2007), with the standard
+  linear-counting small-range correction.
+
+Engine-portable and DETERMINISTIC by construction — both estimators are
+reproduced bit-for-bit by the DuckDB oracle twins (`sql_kmv_distinct` /
+`sql_hll_distinct`), unlike `approx_count_distinct`, whose register layout
+is engine-private:
+
+- the hash is the md5-derived `portable_hash64` (uniform on [0, 2^60));
+- KMV needs only an ORDER BY on integer hashes;
+- HLL register aggregation sums the EXACT integers 2^(61 - rho) as
+  DECIMAL(38,0) — powers of two, so the sum is order-independent (no
+  float-summation nondeterminism); the only float ops are one final
+  division (and one log in the small-range branch), identical in both
+  engines at 6-decimal rounding (the same contract the entropy engine
+  relies on).
+
+100 TB shape:
+
+- `kmv_distinct`: groupBy(group, hash) dedups with map-side partial
+  aggregation, then a rank-k window. Spark's WindowGroupLimit rewrite
+  (rank-limit pushdown) keeps only k rows per group per partition BEFORE
+  the window shuffle, so the state is O(groups · k), not O(distinct).
+- `hll_distinct`: two hash aggregations — (group, register) max(rho), then
+  a group rollup over at most m register rows per group. State is
+  O(groups · m) regardless of cardinality; both aggs partial-aggregate
+  map-side. No windows, no collects, no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.hashing import sql_hash64
+
+HASH_BITS = 60
+HASH_SPACE = 1 << HASH_BITS  # portable_hash64 is uniform on [0, 2^60)
+# HLL register terms are scaled by 2^(REG_SCALE - rho) so they stay exact
+# integers; REG_SCALE = HASH_BITS + 1 keeps the largest term (rho = 1) at
+# 2^60, inside BIGINT, while DECIMAL(38,0) absorbs the sum.
+REG_SCALE = HASH_BITS + 1
+
+
+def _hash64(col) -> F.Column:
+    """portable_hash64 over the value's canonical string form."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10) \
+            .cast("long")
+
+
+def hll_alpha(m: int) -> float:
+    """Standard HLL bias constant for m = 2^p registers (Flajolet §4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 k: int = 256) -> DataFrame:
+    """Per-group KMV distinct estimate: (group_cols..., n_kept, est_distinct).
+
+    When a group holds fewer than k distinct values the estimate IS the
+    exact count (all hashes are retained); otherwise (k-1) * 2^60 / h_(k).
+    NULL values are ignored (COUNT DISTINCT semantics).
+
+    Plan: groupBy-dedup on (group, hash) -> row_number window ordered by
+    hash -> per-group aggregate. The rn <= k filter triggers Spark's
+    WindowGroupLimit pushdown (per-partition top-k before the exchange).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    gcols = [F.col(c) for c in group_cols]
+    hashed = (df.where(F.col(value_col).isNotNull())
+              .select(*gcols, _hash64(F.col(value_col)).alias("_h"))
+              .groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one")))
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+    kept = (hashed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k))
+    kth = F.max("_h")  # only the k smallest survive, so max is h_(k)
+    n = F.count(F.lit(1))
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / kth.cast("double"))
+    return (kept.groupBy(*group_cols)
+            .agg(n.cast("bigint").alias("n_kept"),
+                 F.round(est, 6).alias("est_distinct")))
+
+
+def sql_kmv_distinct(table: str, group_cols: list[str], value_expr: str,
+                     k: int = 256) -> str:
+    """DuckDB twin of kmv_distinct — identical hash, rank, and estimate."""
+    gc = ", ".join(group_cols)
+    h = sql_hash64(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+      WITH hashed AS (
+        SELECT DISTINCT {gc}, {h} AS h
+        FROM {table} WHERE {value_expr} IS NOT NULL),
+      ranked AS (
+        SELECT {gc}, h, row_number() OVER
+            (PARTITION BY {gc} ORDER BY h ASC) AS rn
+        FROM hashed)
+      SELECT {gc}, count(*)::BIGINT AS n_kept,
+             round(CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+                   ELSE {float(k - 1)!r} * {float(HASH_SPACE)!r}
+                        / max(h)::DOUBLE END, 6) AS est_distinct
+      FROM ranked WHERE rn <= {k} GROUP BY {gc}"""
+
+
+def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
+                 p: int = 8) -> DataFrame:
+    """Per-group HyperLogLog estimate: (group_cols..., n_registers,
+    est_distinct). m = 2^p registers; register index is the hash's low p
+    bits, rho the position of the first 1-bit in the remaining 60-p bits
+    (rho = 61-p when they are all zero, per the HLL convention).
+
+    Register state never materializes driver-side: max(rho) per (group,
+    register), then one exact DECIMAL sum of 2^(61 - rho) per group plus
+    the (m - n_registers) * 2^61 contribution of never-hit registers.
+    Small-range correction: linear counting when E <= 2.5m and empty
+    registers exist. The 60-bit hash space makes the large-range
+    correction irrelevant below ~2^57 distinct values, so it is omitted.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    m = 1 << p
+    alpha = hll_alpha(m)
+    rest_bits = HASH_BITS - p
+    h = _hash64(F.col(value_col))
+    idx = (h % F.lit(m)).alias("_idx")
+    w = F.shiftrightunsigned(h, p)
+    # bit length via base-2 string: exact for any BIGINT, unlike
+    # floor(log2(w)) whose float rounding can misfire at powers of two
+    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.conv(w, 10, 2)))
+    rho = (F.lit(rest_bits) - bitlen + F.lit(1)).alias("_rho")
+    regs = (df.where(F.col(value_col).isNotNull())
+            .select(*[F.col(c) for c in group_cols], idx, rho)
+            .groupBy(*group_cols, "_idx")
+            .agg(F.max("_rho").alias("_rho_max")))
+    term = F.expr(f"cast(shiftleft(cast(1 as bigint), "
+                  f"{REG_SCALE} - _rho_max) as decimal(38,0))")
+    empty_term = F.lit(1 << REG_SCALE).cast("decimal(38,0)")
+    n_regs = F.count(F.lit(1))
+    s = (F.sum(term) + (F.lit(m) - n_regs).cast("decimal(38,0)") * empty_term) \
+        .cast("double")
+    e_raw = F.lit(alpha * m * m * float(1 << REG_SCALE)) / s
+    zeros = (F.lit(m) - n_regs).cast("double")
+    est = F.when((e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)) \
+           .otherwise(e_raw)
+    return (regs.groupBy(*group_cols)
+            .agg(n_regs.cast("bigint").alias("n_registers"),
+                 F.round(est, 6).alias("est_distinct")))
+
+
+def sql_hll_distinct(table: str, group_cols: list[str], value_expr: str,
+                     p: int = 8) -> str:
+    """DuckDB twin of hll_distinct — same registers, same exact DECIMAL
+    register sum, same correction branch."""
+    m = 1 << p
+    alpha = hll_alpha(m)
+    rest_bits = HASH_BITS - p
+    gc = ", ".join(group_cols)
+    h = sql_hash64(f"CAST({value_expr} AS VARCHAR)")
+    scale = 1 << REG_SCALE
+    # ONE Python-computed double, identical to the Spark side's F.lit —
+    # and repr() keeps DuckDB from parsing a plain decimal literal as
+    # DECIMAL (whose multiplication would overflow at width 18)
+    num = alpha * m * m * float(scale)
+    return f"""
+      WITH hashed AS (
+        SELECT {gc}, {h} % {m} AS idx,
+               ({h} // {m}) AS w
+        FROM {table} WHERE {value_expr} IS NOT NULL),
+      regs AS (
+        SELECT {gc}, idx,
+               max({rest_bits} - (CASE WHEN w = 0 THEN 0
+                   ELSE length(format('{{:b}}', w)) END) + 1) AS rho_max
+        FROM hashed GROUP BY {gc}, idx),
+      agg AS (
+        SELECT {gc}, count(*)::BIGINT AS n_registers,
+               (sum(CAST(1::BIGINT << ({REG_SCALE} - rho_max)
+                         AS DECIMAL(38,0)))
+                + CAST({m} - count(*) AS DECIMAL(38,0))
+                  * CAST({scale} AS DECIMAL(38,0)))::DOUBLE AS s,
+               ({m} - count(*))::DOUBLE AS zeros
+        FROM regs GROUP BY {gc})
+      SELECT {gc}, n_registers,
+             round(CASE WHEN ({num!r} / s) <= CAST({2.5 * m!r} AS DOUBLE)
+                          AND zeros > 0
+                   THEN CAST({float(m)!r} AS DOUBLE)
+                        * ln(CAST({float(m)!r} AS DOUBLE) / zeros)
+                   ELSE {num!r} / s END, 6) AS est_distinct
+      FROM agg"""

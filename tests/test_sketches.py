@@ -1,0 +1,118 @@
+"""Cardinality sketches (operators/sketches.py): accuracy vs exact
+distinct, exact small-group fallbacks, determinism under repartitioning,
+NULL semantics, DuckDB-twin parity, and the KMV rank-limit pushdown."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import sketches as sk
+
+from conftest import SF_DIR, load
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return load(spark, "lineitem")
+
+
+def test_kmv_estimate_within_theory_bound(spark, lineitem):
+    k = 64
+    out = {r["l_returnflag"]: r for r in
+           sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", k)
+           .collect()}
+    exact = {r["l_returnflag"]: r["d"] for r in
+             lineitem.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("d")).collect()}
+    assert set(out) == set(exact)
+    for flag, row in out.items():
+        if exact[flag] < k:
+            assert row["est_distinct"] == exact[flag]
+        else:
+            # KMV rel-err sigma = 1/sqrt(k-2); allow 5 sigma
+            tol = 5.0 / math.sqrt(k - 2)
+            assert abs(row["est_distinct"] - exact[flag]) <= tol * exact[flag]
+
+
+def test_kmv_small_group_is_exact(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", None)],
+        "g string, v int")
+    out = {r["g"]: r for r in
+           sk.kmv_distinct(df, ["g"], "v", k=64).collect()}
+    # 7 distinct < k: estimate is the exact count; all-NULL group vanishes
+    assert set(out) == {"a"}
+    assert out["a"]["n_kept"] == 7 and out["a"]["est_distinct"] == 7.0
+
+
+def test_hll_estimate_within_theory_bound(spark, lineitem):
+    p = 8
+    m = 1 << p
+    out = {r["l_returnflag"]: r["est_distinct"] for r in
+           sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", p)
+           .collect()}
+    exact = {r["l_returnflag"]: r["d"] for r in
+             lineitem.groupBy("l_returnflag")
+             .agg(F.countDistinct("l_orderkey").alias("d")).collect()}
+    tol = 5 * 1.04 / math.sqrt(m)  # 5 sigma of the HLL standard error
+    for flag, d in exact.items():
+        assert abs(out[flag] - d) <= tol * d, (flag, out[flag], d)
+
+
+def test_hll_small_range_linear_counting(spark):
+    # 20 distinct values across m=256 registers: E <= 2.5m with empty
+    # registers -> the linear-counting branch must produce a near-exact
+    # estimate (it is exact in expectation; collisions are the only error)
+    df = spark.createDataFrame([("a", i % 20) for i in range(400)],
+                               "g string, v int")
+    row = sk.hll_distinct(df, ["g"], "v", p=8).collect()[0]
+    assert row["n_registers"] <= 20
+    assert abs(row["est_distinct"] - 20) <= 2
+
+
+def test_sketches_deterministic_under_repartition(spark, lineitem):
+    shuffled = lineitem.repartition(13, "l_partkey")
+    assert _rows(sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64)) \
+        == _rows(sk.kmv_distinct(shuffled, ["l_returnflag"], "l_orderkey", 64))
+    assert _rows(sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", 8)) \
+        == _rows(sk.hll_distinct(shuffled, ["l_returnflag"], "l_orderkey", 8))
+
+
+def test_duckdb_twins_bit_identical(spark, lineitem):
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/lineitem.parquet')")
+    kq = sk.sql_kmv_distinct("lineitem", ["l_returnflag"], "l_orderkey", 64)
+    hq = sk.sql_hll_distinct("lineitem", ["l_returnflag"], "l_orderkey", 8)
+    assert _rows(sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64)) \
+        == sorted(tuple(r) for r in con.sql(kq).fetchall())
+    assert _rows(sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", 8)) \
+        == sorted(tuple(r) for r in con.sql(hq).fetchall())
+
+
+def test_kmv_plan_has_rank_limit_pushdown(spark, lineitem):
+    plan = sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the rn <= k filter must rewrite to WindowGroupLimit so each input
+    # partition keeps only k rows per group BEFORE the window exchange —
+    # the property that makes KMV state O(groups * k) at 100 TB
+    assert "WindowGroupLimit" in plan
+
+
+def test_hll_register_count_bounded(spark, lineitem):
+    p = 6
+    out = sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", p)
+    assert all(r["n_registers"] <= (1 << p) for r in out.collect())
+
+
+def test_param_validation(spark, lineitem):
+    with pytest.raises(ValueError):
+        sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", k=1)
+    with pytest.raises(ValueError):
+        sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", p=3)
