@@ -167,3 +167,63 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                   centroids: list[tuple[int, list[float]]],
+                   tau: float) -> DataFrame:
+    """SemDeDup cluster-scoped near-duplicate pairs (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", arXiv:2303.09540, §2): assign every embedding to its
+    nearest coarse centroid, then compare cosines only WITHIN a cluster.
+
+    This is the scale answer to `dedup.embedding_cosine_pairs`' O(n²)
+    crossJoin: the self-join is an equi-join on cell, so the quadratic term
+    is bounded by the largest cluster, not the corpus — the same
+    bucket-join shape as LSH, but with semantically coherent buckets (the
+    paper's point: near-dups land in the same k-means cell). Pairs whose
+    members straddle cells are sacrificed by design; recall vs the exact
+    verifier is measured in tests/test_ivf.py.
+
+    Plan: map-only assignment (codebook literals), ONE shuffle on cell for
+    the self-join, no window. Returns (cell, id_a, id_b, cosine) with
+    id_a < id_b.
+    """
+    base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+            .withColumn("n", _norm(F.col("v")))
+            .withColumn("cell",
+                        F.element_at(_dist_structs("v", centroids), 1)["cell"]))
+    left = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                       F.col("n").alias("na"), "cell")
+    right = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                        F.col("n").alias("nb"), "cell")
+    return (left.join(right, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        _dot(F.col("va"), F.col("vb"))
+                        / (F.col("na") * F.col("nb")))
+            .where(F.col("cosine") >= tau)
+            .select("cell", "id_a", "id_b", "cosine"))
+
+
+def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,
+                   centroids: list[tuple[int, list[float]]],
+                   tau: float) -> DataFrame:
+    """Greedy SemDeDup survivor set: drop a row iff some SMALLER id in its
+    cluster is within tau (the paper's keep-one-per-group policy with the
+    deterministic lowest-id representative, matching `dedup.exact_dedup`'s
+    min-id survivor convention). Returns (id, cell, kept).
+
+    One extra distinct + left-anti-shaped join over the pair list; the
+    whole pipeline is still two shuffles (cell, then id)."""
+    assigned = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+                .withColumn(
+                    "cell",
+                    F.element_at(_dist_structs("v", centroids), 1)["cell"])
+                .select(id_col, "cell"))
+    dropped = (semdedup_pairs(df, vec_col, id_col, centroids, tau)
+               .select(F.col("id_b").alias(id_col)).distinct())
+    return (assigned.join(dropped.withColumn("_drop", F.lit(True)),
+                          id_col, "left")
+            .select(F.col(id_col), F.col("cell"),
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")))

@@ -1005,6 +1005,63 @@ SKETCH_VALUE = "l_orderkey"
 KMV_K = 256
 HLL_P = 8
 
+# o44/o45 SemDeDup: same seed codebook as o16; tau below o06's 0.4 so the
+# within-cell pair set is non-trivial on the near-orthogonal gate vectors
+# (57 pairs at sf0.01; tau=0.4 would leave 11)
+SEMDEDUP_TAU = 0.35
+
+
+def q_o44_semdedup_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
+    out = ivf.semdedup_pairs(emb, "embedding", "vec_id", cents, SEMDEDUP_TAU)
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      "id_a", "id_b",
+                      F.round("cosine", ROUND).alias("cosine"))
+
+
+def q_o45_semdedup_apply(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
+    out = ivf.semdedup_apply(emb, "embedding", "vec_id", cents, SEMDEDUP_TAU)
+    return out.select("vec_id", F.col("cell").cast("bigint").alias("cell"),
+                      "kept")
+
+
+def _oracle_semdedup(which: str) -> str:
+    """Shared SemDeDup twin: the o16 assignment CTE + a within-cell pair
+    join. `which` selects the pairs face (o44) or the survivor face (o45)."""
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqd = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+           f"i -> {diff} * {diff}))")
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    base = f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      d AS (SELECT e.vec_id, c.cid, {sqd} AS sd FROM embeddings e, cent c),
+      assign AS (SELECT vec_id, cid::BIGINT AS cell
+                 FROM (SELECT vec_id, cid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                       FROM d) WHERE rn = 1),
+      pairs AS (
+        SELECT la.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               {dot} / ({na} * {nb}) AS cos
+        FROM embeddings a JOIN assign la ON la.vec_id = a.vec_id
+             JOIN assign lb ON lb.cell = la.cell
+             JOIN embeddings b ON b.vec_id = lb.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU})"""
+    if which == "pairs":
+        return base + f"""
+      SELECT cell, id_a, id_b, round(cos, {ROUND}) AS cosine FROM pairs"""
+    return base + """
+      SELECT v.vec_id, v.cell,
+             (v.vec_id NOT IN (SELECT id_b FROM pairs)) AS kept
+      FROM assign v"""
+
 
 def q_o42_kmv_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -1060,6 +1117,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o31_ppm_pixels": q_o31_ppm_pixels,
     "o42_kmv_distinct": q_o42_kmv_distinct,
     "o43_hll_distinct": q_o43_hll_distinct,
+    "o44_semdedup_pairs": q_o44_semdedup_pairs,
+    "o45_semdedup_apply": q_o45_semdedup_apply,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1128,4 +1187,6 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, KMV_K),
     "o43_hll_distinct": sketches.sql_hll_distinct(
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),
+    "o44_semdedup_pairs": _oracle_semdedup("pairs"),
+    "o45_semdedup_apply": _oracle_semdedup("apply"),
 }

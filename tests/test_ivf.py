@@ -98,3 +98,63 @@ def test_bad_probe_count(emb):
     with pytest.raises(ValueError, match="n_probes"):
         ivf.ivf_topk(emb, "embedding", "vec_id", QIDS, K,
                      centroid_ids=CIDS, n_probes=0)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-scoped near-dup pairs + greedy survivor set)
+# ---------------------------------------------------------------------------
+
+SD_TAU = 0.3
+
+
+@pytest.fixture(scope="module")
+def sd_cents(emb):
+    return ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+
+
+def test_semdedup_pairs_subset_of_exact(emb, sd_cents):
+    """Within-cell pairs are exactly the exact-verifier pairs whose members
+    share a cell — same cosines, never a pair the exact op would reject."""
+    from relationaldecomposition_spark.operators import dedup
+
+    sd = ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents,
+                            SD_TAU).toPandas()
+    exact = dedup.embedding_cosine_pairs(emb, "embedding", "vec_id",
+                                         SD_TAU).toPandas()
+    cells = dict(ivf.assign_cells(emb, "embedding", "vec_id", sd_cents)
+                 .collect())
+    got = set(zip(sd.id_a, sd.id_b))
+    want = {(a, b) for a, b in zip(exact.id_a, exact.id_b)
+            if cells[a] == cells[b]}
+    assert got == want and len(got) > 0
+    ecos = {(a, b): c for a, b, c in
+            zip(exact.id_a, exact.id_b, exact.cosine)}
+    for a, b, c in zip(sd.id_a, sd.id_b, sd.cosine):
+        assert abs(ecos[(a, b)] - c) < 1e-9
+
+
+def test_semdedup_apply_matches_pair_policy(emb, sd_cents):
+    pairs = ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents,
+                               SD_TAU).toPandas()
+    out = ivf.semdedup_apply(emb, "embedding", "vec_id", sd_cents,
+                             SD_TAU).toPandas()
+    dropped = set(pairs.id_b)
+    assert len(out) == emb.count()  # every row classified exactly once
+    for r in out.itertuples():
+        assert r.kept == (r.vec_id not in dropped)
+
+
+def test_semdedup_deterministic_under_repartition(emb, sd_cents):
+    a = sorted(map(tuple, ivf.semdedup_pairs(
+        emb, "embedding", "vec_id", sd_cents, SD_TAU).collect()))
+    b = sorted(map(tuple, ivf.semdedup_pairs(
+        emb.repartition(7, "vec_id"), "embedding", "vec_id", sd_cents,
+        SD_TAU).collect()))
+    assert a == b
+
+
+def test_semdedup_plan_no_cartesian(emb, sd_cents):
+    plan = ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
