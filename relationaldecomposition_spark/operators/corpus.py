@@ -458,3 +458,92 @@ def sql_corpus_report(table: str, text_col: str, id_col: str) -> str:
              sum(CASE WHEN n_email + n_phone + n_ipv4 > 0
                       THEN 1 ELSE 0 END)::BIGINT AS docs_with_pii
       FROM prof GROUP BY pred_lang"""
+
+
+# -- line-level exact dedup --------------------------------------------------
+
+LINE_MIN_DOC_FREQ = 2   # a line present in this many distinct docs is
+                        # boilerplate (RefinedWeb §G.2 removes exact
+                        # duplicated lines by corpus frequency)
+
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               min_doc_freq: int = LINE_MIN_DOC_FREQ,
+               delim: str = "\n") -> DataFrame:
+    """Corpus-frequency line deduplication (Penedo et al., "The RefinedWeb
+    dataset for Falcon LLM", arXiv:2306.01116, §G.2): a line that appears
+    in >= min_doc_freq DISTINCT documents is boilerplate (headers, nav
+    bars, cookie banners) and is removed from every document; the cleaned
+    text preserves the original order of the surviving lines.
+
+    Lines are compared exactly as split (no normalization); lines that are
+    empty after trim are never counted or removed — they are document
+    structure, not repeatable content. Every input document yields exactly
+    one output row: (id, clean_text, n_lines, n_removed).
+
+    100 TB shape: posexplode is map-side; line frequency is one hash
+    aggregation keyed by line text (map-side combining collapses each
+    partition's copies first); the boilerplate probe is a line-keyed join
+    (AQE broadcasts it when the frequent set is small — the common case,
+    since |{lines with freq >= N}| <= total_lines / N); reassembly is one
+    groupBy on the uniform doc id. No collects, no windows, no UDFs.
+    """
+    import re as _re
+
+    esc = _re.escape(delim)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), esc)).alias("pos", "line"))
+    counted = F.trim(F.col("line")) != ""
+    frequent = (lines.where(counted)
+                .groupBy("line")
+                .agg(F.countDistinct(id_col).alias("docfreq"))
+                .where(F.col("docfreq") >= min_doc_freq)
+                .select("line", F.lit(True).alias("_boil")))
+    marked = (lines.join(frequent, "line", "left")
+              .withColumn("_rm", F.coalesce(F.col("_boil"), F.lit(False))
+                          & counted))
+    packed = F.array_sort(
+        F.collect_list(F.struct("pos", "line", "_rm")))
+    return (marked.groupBy(id_col)
+            .agg(packed.alias("_ls"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+                 F.sum(F.col("_rm").cast("int")).cast("bigint")
+                  .alias("n_removed"))
+            .select(F.col(id_col),
+                    F.concat_ws(delim, F.transform(
+                        F.filter("_ls", lambda s: ~s["_rm"]),
+                        lambda s: s["line"])).alias("clean_text"),
+                    "n_lines", "n_removed"))
+
+
+def sql_line_dedup(table: str, text_col: str, id_col: str,
+                   min_doc_freq: int = LINE_MIN_DOC_FREQ,
+                   sql_delim: str = "chr(10)") -> str:
+    """DuckDB twin of line_dedup. `table` may be a named view or a
+    parenthesized subquery; `sql_delim` is a SQL expression for the
+    delimiter."""
+    return f"""
+      WITH lines AS (
+        SELECT {id_col}, u.pos, u.line FROM (
+          SELECT {id_col}, unnest(list_transform(range(1, len(ls) + 1),
+              i -> struct_pack(pos := i, line := ls[i]))) AS u
+          FROM (SELECT {id_col}, string_split({text_col}, {sql_delim}) AS ls
+                FROM {table}))),
+      freq AS (
+        SELECT line FROM lines WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT {id_col}) >= {min_doc_freq}),
+      marked AS (
+        SELECT l.{id_col}, l.pos, l.line,
+               (f.line IS NOT NULL AND trim(l.line) <> '') AS rm
+        FROM lines l LEFT JOIN freq f ON l.line = f.line)
+      SELECT {id_col},
+             coalesce(array_to_string(list_transform(
+               list_filter(list_sort(list(struct_pack(pos := pos,
+                                                      line := line,
+                                                      rm := rm))),
+                           s -> NOT s.rm),
+               s -> s.line), {sql_delim}), '') AS clean_text,
+             count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed
+      FROM marked GROUP BY {id_col}"""

@@ -1005,6 +1005,27 @@ SKETCH_VALUE = "l_orderkey"
 KMV_K = 256
 HLL_P = 8
 
+# o46 line dedup: the synthetic documents are single-line, so the query
+# deterministically wraps them at 4 tokens per line before deduplicating —
+# the shared vocabulary then makes 341 lines corpus-frequent at sf0.01,
+# engaging the removal path (not a no-op pass-through)
+LINE_WRAP_RE = r"((?:\S+\s+){3}\S+)\s+"
+
+
+def q_o46_line_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), LINE_WRAP_RE, "$1\n").alias("text"))
+    return corpus.line_dedup(wrapped, "text", "doc_id")
+
+
+def _oracle_line_dedup() -> str:
+    wrapped = (f"(SELECT doc_id, regexp_replace(text, '{LINE_WRAP_RE}', "
+               r"'\1' || chr(10), 'g') AS text FROM documents)")
+    return corpus.sql_line_dedup(wrapped, "text", "doc_id")
+
+
 # o44/o45 SemDeDup: same seed codebook as o16; tau below o06's 0.4 so the
 # within-cell pair set is non-trivial on the near-orthogonal gate vectors
 # (57 pairs at sf0.01; tau=0.4 would leave 11)
@@ -1119,6 +1140,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o43_hll_distinct": q_o43_hll_distinct,
     "o44_semdedup_pairs": q_o44_semdedup_pairs,
     "o45_semdedup_apply": q_o45_semdedup_apply,
+    "o46_line_dedup": q_o46_line_dedup,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1189,4 +1211,5 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),
     "o44_semdedup_pairs": _oracle_semdedup("pairs"),
     "o45_semdedup_apply": _oracle_semdedup("apply"),
+    "o46_line_dedup": _oracle_line_dedup(),
 }

@@ -341,3 +341,66 @@ class TestCorpusReport:
             assert r["mean_quality"] == pytest.approx(exp_q, abs=1e-6)
             assert r["docs_with_pii"] == sum(
                 1 for p in ps if p["n_email"] + p["n_phone"] + p["n_ipv4"] > 0)
+
+
+# -- line-level exact dedup --------------------------------------------------
+
+LD_FIX = [
+    "COOKIE BANNER\nreal content alpha\nCOOKIE BANNER\nmore alpha text",
+    "COOKIE BANNER\nreal content beta",
+    "unique document\n\nwith a blank line",
+    "",
+    "   \nonly whitespace lines\n   ",
+]
+
+
+def test_line_dedup_removes_corpus_frequent_lines(spark):
+    out = {r["doc_id"]: r for r in
+           corpus.line_dedup(_docs(spark, LD_FIX), "text", "doc_id",
+                             min_doc_freq=2).collect()}
+    # COOKIE BANNER appears in docs 0 and 1 -> removed everywhere,
+    # including BOTH copies inside doc 0; order of survivors preserved
+    assert out[0]["clean_text"] == "real content alpha\nmore alpha text"
+    assert out[0]["n_lines"] == 4 and out[0]["n_removed"] == 2
+    assert out[1]["clean_text"] == "real content beta"
+    assert out[1]["n_removed"] == 1
+
+
+def test_line_dedup_blank_lines_are_structure(spark):
+    out = {r["doc_id"]: r for r in
+           corpus.line_dedup(_docs(spark, LD_FIX), "text", "doc_id",
+                             min_doc_freq=2).collect()}
+    # blank/whitespace lines repeat across docs but are never counted or
+    # removed; empty documents survive as one empty line
+    assert out[2]["clean_text"] == LD_FIX[2]
+    assert out[2]["n_removed"] == 0
+    assert out[3]["clean_text"] == "" and out[3]["n_lines"] == 1
+    assert out[4]["clean_text"] == LD_FIX[4]
+
+
+def test_line_dedup_high_threshold_is_identity(spark):
+    out = corpus.line_dedup(_docs(spark, LD_FIX), "text", "doc_id",
+                            min_doc_freq=99)
+    got = {r["doc_id"]: r["clean_text"] for r in out.collect()}
+    assert got == {i: t for i, t in enumerate(LD_FIX)}
+    assert out.where(F.col("n_removed") > 0).count() == 0
+
+
+def test_line_dedup_duckdb_twin(spark):
+    import duckdb
+
+    df = _docs(spark, LD_FIX)
+    got = sorted(tuple(r) for r in
+                 corpus.line_dedup(df, "text", "doc_id", 2).collect())
+    con = duckdb.connect()
+    con.register("docs_py", df.toPandas())
+    exp = sorted(tuple(r) for r in con.sql(
+        corpus.sql_line_dedup("docs_py", "text", "doc_id", 2)).fetchall())
+    assert got == exp
+
+
+def test_line_dedup_plan_shape(spark):
+    plan = corpus.line_dedup(_docs(spark, LD_FIX), "text", "doc_id", 2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
