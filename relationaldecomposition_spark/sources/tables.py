@@ -97,3 +97,38 @@ def write_jsonl(df: DataFrame, path: str, compression: str = "gzip",
     """JSONL sink (one object per line, splittable-friendly gzip parts)."""
     out = df.repartition(partitions) if partitions else df
     out.write.mode("overwrite").option("compression", compression).json(path)
+
+
+def compact_write(df: DataFrame, path: str,
+                  target_file_bytes: int = 128 << 20,
+                  cluster_cols: list[str] | None = None,
+                  n_files: int | None = None) -> dict:
+    """Small-files compaction sink: rewrite a DataFrame as ~target-sized
+    parquet files, optionally range-clustered on `cluster_cols`.
+
+    The file count comes from Catalyst's own size estimate for the plan
+    (`optimizedPlan().stats().sizeInBytes` — exact for file-source scans,
+    where it is the sum of the input file sizes), so no extra pass over
+    the data is needed. With `cluster_cols`, files are produced by
+    repartitionByRange + sortWithinPartitions: every output file covers a
+    disjoint range of the cluster key, so parquet min/max statistics prune
+    whole files on key-range predicates — the poor-man's Z-order, and the
+    right shape for the 100 TB "millions of tiny files from streaming
+    ingest" problem. Without them, round-robin repartition balances bytes.
+
+    Returns {"n_files": int, "est_bytes": int}. The write itself is the
+    only job; the range partitioner's sampling pass is Spark-internal.
+    """
+    if n_files is None:
+        est = int(df._jdf.queryExecution().optimizedPlan()
+                  .stats().sizeInBytes())
+        n_files = max(1, -(-est // target_file_bytes))
+    else:
+        est = -1
+    if cluster_cols:
+        out = (df.repartitionByRange(n_files, *cluster_cols)
+               .sortWithinPartitions(*cluster_cols))
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(path)
+    return {"n_files": n_files, "est_bytes": est}
