@@ -175,6 +175,32 @@ def build_queries(spark, sf_dir: str):
         docs = load_table(spark, sf_dir, "documents")
         tfidf_topk(docs, "text", "doc_id").count()
 
+    def sketch_distinct():
+        # KMV + HLL cardinality sketches (o42/o43): two aggregation-only
+        # passes whose state is O(groups*k) / O(groups*m) at any scale
+        from relationaldecomposition_spark.operators.sketches import (
+            hll_distinct, kmv_distinct)
+        kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256).count()
+        hll_distinct(li, ["l_returnflag"], "l_orderkey", 8).count()
+
+    def semdedup_q():
+        # cluster-scoped embedding dedup (o44/o45): map-only assignment +
+        # ONE cell-keyed self-join — the non-quadratic cosine-pair path
+        from relationaldecomposition_spark.operators.ivf import (
+            seed_centroids, semdedup_apply)
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
+        semdedup_apply(emb, "embedding", "vec_id", cents, 0.35).count()
+
+    def line_dedup_q():
+        # corpus-frequency boilerplate line removal (o46) over documents
+        # wrapped at 4 tokens/line (the driver-query configuration)
+        from relationaldecomposition_spark.operators.corpus import line_dedup
+        docs = load_table(spark, sf_dir, "documents")
+        wrapped = docs.select("doc_id", F.regexp_replace(
+            F.col("text"), r"((?:\S+\s+){3}\S+)\s+", "$1\n").alias("text"))
+        line_dedup(wrapped, "text", "doc_id").count()
+
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
         windowed_counts(ev).count()
@@ -219,6 +245,9 @@ def build_queries(spark, sf_dir: str):
         "decontaminate": decontaminate_q,
         "doc_profile": doc_profile,
         "tfidf_topk": tfidf_topk_q,
+        "sketch_distinct": sketch_distinct,
+        "semdedup": semdedup_q,
+        "line_dedup": line_dedup_q,
         "stream_window": stream_window,
         "asof_join": asof_join_q,
         "interval_join": interval_join_q,
