@@ -1,0 +1,139 @@
+"""Portable Bloom-filter semi-join: pre-filter the big side of a join
+BEFORE its shuffle.
+
+The classic 100 TB join problem: `big ⋈ small_subset` shuffles every big
+row, even though most of them can never match. Spark's own runtime filters
+(`spark.sql.optimizer.runtime.bloomFilter.enabled`) inject exactly this
+structure, but their `bloom_filter_agg` bitmap is engine-private and
+row-order-dependent — useless for a cross-engine value oracle. This module
+builds the standard Bloom filter (Bloom, CACM 1970; k independent hashes
+over an m-bit array) from the md5-derived portable hash family that MinHash
+already uses (`functions/hashing.py`), so the bitmap — and therefore the
+exact surviving row set, false positives included — is DETERMINISTIC and
+bit-identical in Spark and DuckDB.
+
+Design for scale:
+
+- **Build is one aggregation.** k positions per build key, exploded to
+  (word, mask) and bit_or-reduced per word — map-side combining collapses
+  to at most m/32 rows per partition. The collect is bitmap-sized
+  (m_bits/32 ints), the same "codebook-sized literal" contract as the IVF
+  centroids, NOT data-sized.
+- **Probe is map-only.** The bitmap rides into the plan as one parsed
+  array literal; the membership test is k shift/AND expressions inside
+  whole-stage codegen. No join, no shuffle, no broadcast variable — a
+  100 TB scan drops non-candidates at the scan site.
+- **Words are 32-bit** (masks in [1, 2^31]): DuckDB raises on
+  `1::BIGINT << 63`, and staying under the sign bit keeps the twin
+  overflow-free in both engines.
+
+Semantics: `bloom_semi_join` has NO false negatives (every true match
+survives) and a tunable false-positive rate ~(1 - e^{-kn/m})^k; it is a
+*pre*-filter, so a correct pipeline still joins afterwards. The FP rate is
+measured against the exact semi-join in tests/test_bloom.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import (
+    H32_MOD, minhash_params, sql_affine_hash, sql_hash32)
+
+WORD_BITS = 32
+BLOOM_SEED = 7
+
+
+def _positions_sql(key_expr: str, m_bits: int, k: int, seed: int,
+                   dialect: str) -> list[str]:
+    """The k bit positions of a key as SQL expressions: affine universal
+    hashes over the portable 32-bit md5 hash, reduced mod m_bits. The hex
+    parse is the one per-dialect spelling (Spark `conv(.., 16, 10)` vs
+    DuckDB's '0x' cast); the affine family and modulus are shared
+    constants, so the VALUES are bit-identical."""
+    if dialect == "spark":
+        h32 = (f"(CAST(conv(substring(md5(CAST({key_expr} AS STRING)), "
+               f"1, 15), 16, 10) AS BIGINT) % {H32_MOD})")
+    else:
+        h32 = sql_hash32(f"CAST({key_expr} AS STRING)")
+    return [f"({sql_affine_hash(h32, a, b)} % {m_bits})"
+            for a, b in minhash_params(k, seed)]
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 16384,
+                k: int = 5, seed: int = BLOOM_SEED) -> list[int]:
+    """Build the bitmap as a list of m_bits/32 ints (the driver-side
+    literal for probing). One explode + one bit_or aggregation; the
+    collect is at most m_bits/32 rows regardless of build-side size."""
+    if m_bits % WORD_BITS != 0:
+        raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
+    pos = ", ".join(_positions_sql(key_col, m_bits, k, seed, "spark"))
+    rows = (df.where(F.col(key_col).isNotNull())
+            .select(F.explode(F.expr(f"array({pos})")).alias("p"))
+            .select(F.expr(f"CAST(p DIV {WORD_BITS} AS INT)").alias("w"),
+                    F.expr(f"shiftleft(1, CAST(p % {WORD_BITS} AS INT))")
+                     .alias("m"))
+            .groupBy("w").agg(F.expr("bit_or(m)").alias("mask"))
+            .collect())
+    words = [0] * (m_bits // WORD_BITS)
+    for r in rows:
+        words[r["w"]] = int(r["mask"])
+    return words
+
+
+def bloom_probe_expr(key_col: str, words: list[int], k: int = 5,
+                     seed: int = BLOOM_SEED) -> Column:
+    """Map-only membership predicate: TRUE iff all k bits are set. The
+    bitmap is ONE parsed array literal (the IVF-centroid idiom), and the
+    base md5 hash appears once per distinct affine function — Catalyst's
+    common-subexpression elimination shares the digest across the k
+    tests inside codegen."""
+    m_bits = len(words) * WORD_BITS
+    wl = "array(" + ",".join(str(int(x)) for x in words) + ")"
+    conds = " AND ".join(
+        f"(element_at({wl}, CAST({p} DIV {WORD_BITS} AS INT) + 1)"
+        f" & shiftleft(1, CAST({p} % {WORD_BITS} AS INT))) <> 0"
+        for p in _positions_sql(key_col, m_bits, k, seed, "spark"))
+    return F.expr(f"({conds})")
+
+
+def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
+                    small_key: str, m_bits: int = 16384, k: int = 5,
+                    seed: int = BLOOM_SEED) -> DataFrame:
+    """Rows of `big` whose key *may* appear in `small` (no false
+    negatives; deterministic false positives at ~(1-e^{-kn/m})^k). NULL
+    keys never pass, matching semi-join semantics."""
+    words = bloom_build(small, small_key, m_bits, k, seed)
+    return big.where(F.col(big_key).isNotNull()
+                     & bloom_probe_expr(big_key, words, k, seed))
+
+
+def sql_bloom_semi_join(big_table: str, big_key: str, small_table: str,
+                        small_key: str, m_bits: int = 16384, k: int = 5,
+                        seed: int = BLOOM_SEED) -> str:
+    """DuckDB twin: same build aggregation, same probe bits. The bitmap is
+    densified over range(m_bits/32) and carried as one list via a CROSS
+    JOIN of a single-row CTE. `small_table` may be a parenthesized
+    subquery. Yields `SELECT b.* FROM big_table b ... WHERE <k bit
+    tests>`."""
+    n_words = m_bits // WORD_BITS
+    build_pos = ", ".join(_positions_sql(small_key, m_bits, k, seed, "duckdb"))
+    probe = " AND ".join(
+        f"(a.wl[({p} // {WORD_BITS}) + 1]"
+        f" & (1::BIGINT << ({p} % {WORD_BITS}))) <> 0"
+        for p in _positions_sql(f"b.{big_key}", m_bits, k, seed,
+                                "duckdb"))
+    return f"""
+      WITH pos AS (
+        SELECT unnest([{build_pos}]) AS p
+        FROM {small_table} WHERE {small_key} IS NOT NULL),
+      sparse AS (
+        SELECT p // {WORD_BITS} AS w,
+               bit_or(1::BIGINT << (p % {WORD_BITS})) AS mask
+        FROM pos GROUP BY 1),
+      dense AS (
+        SELECT r.w, coalesce(s.mask, 0) AS mask
+        FROM range(0, {n_words}) r(w) LEFT JOIN sparse s ON s.w = r.w),
+      arr AS (SELECT list(mask ORDER BY w) AS wl FROM dense)
+      SELECT b.* FROM {big_table} b CROSS JOIN arr a
+      WHERE b.{big_key} IS NOT NULL AND {probe}"""

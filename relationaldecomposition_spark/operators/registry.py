@@ -14,8 +14,8 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import (corpus, dedup, ivf, joins, multimodal, similarity, sketches,
-               stats, text)
+from . import (bloom, corpus, dedup, ivf, joins, multimodal, similarity,
+               sketches, stats, text)
 
 ROUND = 6
 
@@ -1026,6 +1026,37 @@ def _oracle_line_dedup() -> str:
     return corpus.sql_line_dedup(wrapped, "text", "doc_id")
 
 
+# o47 Bloom semi-join: lineitem pre-filtered by a Bloom bitmap of the
+# urgent orders' keys. m/k sized so false positives EXIST on the gate data
+# (~7.6% of non-matching keys pass at sf0.01) — the oracle must reproduce
+# the exact FP set, not just the true matches, proving bitmap parity.
+BLOOM_M_BITS = 16384
+BLOOM_K = 5
+BLOOM_PRED_SQL = "o_orderpriority = '1-URGENT'"  # valid in both dialects
+
+
+def q_o47_bloom_semi_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    small = od.where(BLOOM_PRED_SQL).select("o_orderkey")
+    out = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                BLOOM_M_BITS, BLOOM_K)
+    return (out.groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.countDistinct("l_orderkey").cast("bigint")
+                  .alias("n_keys")))
+
+
+def _oracle_bloom_semi_join() -> str:
+    inner = bloom.sql_bloom_semi_join(
+        "lineitem", "l_orderkey",
+        f"(SELECT o_orderkey FROM orders WHERE {BLOOM_PRED_SQL})",
+        "o_orderkey", BLOOM_M_BITS, BLOOM_K)
+    return (f"SELECT l_returnflag, count(*)::BIGINT AS n_rows, "
+            f"count(DISTINCT l_orderkey)::BIGINT AS n_keys "
+            f"FROM ({inner}) GROUP BY l_returnflag")
+
+
 # o44/o45 SemDeDup: same seed codebook as o16; tau below o06's 0.4 so the
 # within-cell pair set is non-trivial on the near-orthogonal gate vectors
 # (57 pairs at sf0.01; tau=0.4 would leave 11)
@@ -1141,6 +1172,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o44_semdedup_pairs": q_o44_semdedup_pairs,
     "o45_semdedup_apply": q_o45_semdedup_apply,
     "o46_line_dedup": q_o46_line_dedup,
+    "o47_bloom_semi_join": q_o47_bloom_semi_join,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1212,4 +1244,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o44_semdedup_pairs": _oracle_semdedup("pairs"),
     "o45_semdedup_apply": _oracle_semdedup("apply"),
     "o46_line_dedup": _oracle_line_dedup(),
+    "o47_bloom_semi_join": _oracle_bloom_semi_join(),
 }

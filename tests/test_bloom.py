@@ -1,0 +1,101 @@
+"""Portable Bloom semi-join (operators/bloom.py): no false negatives,
+measured FP rate vs theory, bitmap parity with the DuckDB twin, map-only
+probe plan, and edge cases."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import bloom
+
+from conftest import SF_DIR, load
+
+M_BITS = 4096
+K = 5
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return load(spark, "lineitem")
+
+
+@pytest.fixture(scope="module")
+def small(spark):
+    return (load(spark, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey"))
+
+
+def test_no_false_negatives(spark, li, small):
+    surv = set(r[0] for r in
+               bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                     M_BITS, K)
+               .select("l_orderkey").distinct().collect())
+    true_keys = set(r[0] for r in small.collect()) & \
+        set(r[0] for r in li.select("l_orderkey").distinct().collect())
+    assert true_keys <= surv
+
+
+def test_fp_rate_near_theory(spark, li, small):
+    n = small.distinct().count()
+    surv = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                 M_BITS, K) \
+        .select("l_orderkey").distinct().count()
+    truep = li.join(small.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey", "left_semi") \
+        .select("l_orderkey").distinct().count()
+    total = li.select("l_orderkey").distinct().count()
+    fp_rate = (surv - truep) / max(total - truep, 1)
+    theory = (1.0 - math.exp(-K * n / M_BITS)) ** K
+    # Poisson-binomial concentration: observed rate within 2x + slack
+    assert fp_rate <= 2.0 * theory + 0.02, (fp_rate, theory)
+
+
+def test_bitmap_and_survivors_match_duckdb(spark, li, small):
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')")
+    q = bloom.sql_bloom_semi_join(
+        "lineitem", "l_orderkey",
+        "(SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT')",
+        "o_orderkey", M_BITS, K)
+    dk = sorted(r[0] for r in
+                con.sql(f"SELECT DISTINCT l_orderkey FROM ({q})").fetchall())
+    sk = sorted(r[0] for r in
+                bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                      M_BITS, K)
+                .select("l_orderkey").distinct().collect())
+    assert sk == dk
+
+
+def test_probe_is_map_only(spark, li, small):
+    plan = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                 M_BITS, K) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the probe must not join or shuffle: the bitmap is a plan literal
+    assert plan.count("Exchange") == 0
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert j not in plan
+
+
+def test_empty_build_side_passes_nothing(spark, li, small):
+    empty = small.where(F.lit(False))
+    out = bloom.bloom_semi_join(li, "l_orderkey", empty, "o_orderkey",
+                                M_BITS, K)
+    assert out.count() == 0
+
+
+def test_null_keys_never_pass(spark, small):
+    df = small.select(F.lit(None).cast("bigint").alias("key"))
+    out = bloom.bloom_semi_join(df, "key", small, "o_orderkey", M_BITS, K)
+    assert out.count() == 0
+
+
+def test_bad_m_bits(spark, li, small):
+    with pytest.raises(ValueError):
+        bloom.bloom_build(small, "o_orderkey", m_bits=100)
