@@ -1034,6 +1034,18 @@ BLOOM_M_BITS = 16384
 BLOOM_K = 5
 BLOOM_PRED_SQL = "o_orderpriority = '1-URGENT'"  # valid in both dialects
 
+# o48: the sampled twin of o35 — exact quantiles over the deterministic
+# 25% hash sample keyed on l_orderkey
+APPROXQ_RATE = 0.25
+APPROXQ_KEY = "l_orderkey"
+
+
+def q_o48_approx_quantiles(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.approx_group_quantiles(li, PROFILE_KEYS, "l_extendedprice",
+                                        QUANTILE_QS, APPROXQ_KEY,
+                                        APPROXQ_RATE)
+
 
 def q_o47_bloom_semi_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
@@ -1173,6 +1185,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o45_semdedup_apply": q_o45_semdedup_apply,
     "o46_line_dedup": q_o46_line_dedup,
     "o47_bloom_semi_join": q_o47_bloom_semi_join,
+    "o48_approx_quantiles": q_o48_approx_quantiles,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1245,4 +1258,7 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o45_semdedup_apply": _oracle_semdedup("apply"),
     "o46_line_dedup": _oracle_line_dedup(),
     "o47_bloom_semi_join": _oracle_bloom_semi_join(),
+    "o48_approx_quantiles": stats.sql_approx_group_quantiles(
+        "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS,
+        APPROXQ_KEY, APPROXQ_RATE),
 }

@@ -129,3 +129,32 @@ def sql_skew_report(table: str, keys: list[str], top_n: int = 20) -> str:
       FROM {table} GROUP BY {ks}
       ORDER BY n_rows DESC, {order_keys}
       LIMIT {top_n}"""
+
+
+def approx_group_quantiles(df: DataFrame, keys: list[str], value_col: str,
+                           qs: list[float], sample_key: str,
+                           rate: float) -> DataFrame:
+    """Sampled per-group quantiles: exact quantiles over the deterministic
+    multiplicative-hash sample — the 100 TB path for `group_quantiles`.
+
+    `percentile()` buffers each group's values on the reducer, so the exact
+    operator's memory is O(group size); at a 25% (or 1%) sample the buffer
+    shrinks proportionally while rank error concentrates at
+    O(1/sqrt(group_rows * rate)) (DKW). The sample predicate is map-side
+    and deterministic (`sampling.hash_sample`), so the result is a pure
+    function of the data — same rows, same quantiles, any cluster, and the
+    DuckDB twin reproduces it bit-for-bit."""
+    from .sampling import hash_sample
+
+    return group_quantiles(hash_sample(df, sample_key, rate), keys,
+                           value_col, qs)
+
+
+def sql_approx_group_quantiles(table: str, keys: list[str], value_col: str,
+                               qs: list[float], sample_key: str,
+                               rate: float) -> str:
+    from .sampling import sql_hash_sample_where
+
+    where = sql_hash_sample_where(sample_key, rate)
+    return sql_group_quantiles(
+        f"(SELECT * FROM {table} WHERE {where})", keys, value_col, qs)

@@ -142,3 +142,52 @@ class TestSnapshotDiff:
         from relationaldecomposition_spark.operators.joins import snapshot_diff
         df = spark.createDataFrame([(1, "a"), (2, None)], "id long, t string")
         assert snapshot_diff(df, df, ["id"], ["t"]).count() == 0
+
+
+def test_approx_group_quantiles_rank_error_bound(spark):
+    import math
+
+    from relationaldecomposition_spark.operators.stats import (
+        approx_group_quantiles, group_quantiles)
+    from tests.conftest import load
+
+    li = load(spark, "lineitem")
+    keys = ["l_returnflag"]
+    qs = [0.25, 0.5, 0.9]
+    rate = 0.25
+    exact_all = {}  # (flag) -> sorted values, for rank-space comparison
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        exact_all.setdefault(r[0], []).append(float(r[1]))
+    for v in exact_all.values():
+        v.sort()
+    approx = approx_group_quantiles(li, keys, "l_extendedprice", qs,
+                                    "l_orderkey", rate).collect()
+    for row in approx:
+        vals = exact_all[row["l_returnflag"]]
+        n, m = len(vals), int(len(vals) * rate)
+        # DKW: rank error of a sampled quantile concentrated at
+        # O(1/sqrt(m)); allow 4/sqrt(m) in rank space
+        import bisect
+        rank = bisect.bisect_left(vals, row["quantile"]) / n
+        assert abs(rank - row["q"]) <= 4.0 / math.sqrt(m), row
+
+
+def test_approx_group_quantiles_matches_duckdb(spark):
+    import duckdb
+
+    from relationaldecomposition_spark.operators.stats import (
+        approx_group_quantiles, sql_approx_group_quantiles)
+    from tests.conftest import SF_DIR, load
+
+    li = load(spark, "lineitem")
+    got = sorted(tuple(r) for r in approx_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.9],
+        "l_orderkey", 0.25).collect())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/lineitem.parquet')")
+    exp = sorted((r[0], float(r[1]), float(r[2]))
+                 for r in con.sql(sql_approx_group_quantiles(
+                     "lineitem", ["l_returnflag"], "l_extendedprice",
+                     [0.5, 0.9], "l_orderkey", 0.25)).fetchall())
+    assert got == exp
