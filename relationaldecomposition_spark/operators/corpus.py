@@ -547,3 +547,58 @@ def sql_line_dedup(table: str, text_col: str, id_col: str,
              count(*)::BIGINT AS n_lines,
              sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed
       FROM marked GROUP BY {id_col}"""
+
+
+# -- fuzzy (near-duplicate) decontamination ----------------------------------
+
+FUZZY_DECON_MIN_EST = 0.5
+
+
+def fuzzy_decontaminate(df: DataFrame, text_col: str, id_col: str,
+                        benchmark: DataFrame, bench_id_col: str | None = None,
+                        min_est: float = FUZZY_DECON_MIN_EST,
+                        **lsh_kwargs) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: flag corpus documents
+    whose MinHash-LSH estimated Jaccard against ANY benchmark document
+    reaches min_est. Complements `decontaminate` (exact n-gram overlap):
+    a lightly paraphrased or whitespace-perturbed eval item defeats exact
+    shingle matching but still collides in MinHash bands — the standard
+    fuzzy-dedup leakage check run on public LLM training sets.
+
+    Implementation composes the tested LSH self-join rather than a second
+    cross-LSH codepath: corpus ids map to 2*id and benchmark ids to
+    2*id+1, both sides union into ONE lsh_candidate_pairs call (hot-bucket
+    guard and slim-payload behavior inherited via **lsh_kwargs), and only
+    parity-straddling pairs count as contamination evidence. Scale shape
+    is therefore identical to o03's, plus one doc-keyed join to restore
+    zero-match documents.
+
+    Returns (id, n_bench_matches, max_est_jaccard, contaminated) — one row
+    per corpus document.
+    """
+    from .dedup import lsh_candidate_pairs
+
+    bench_id_col = bench_id_col or id_col
+    a = df.select((F.col(id_col).cast("long") * 2).alias("_uid"),
+                  F.col(text_col).alias("_t"))
+    b = benchmark.select((F.col(bench_id_col).cast("long") * 2 + 1)
+                         .alias("_uid"), F.col(text_col).alias("_t"))
+    pairs = lsh_candidate_pairs(a.unionByName(b), "_t", "_uid",
+                                min_est=min_est, **lsh_kwargs)
+    cross = pairs.where((F.col("id_a") % 2) != (F.col("id_b") % 2))
+    doc_uid = F.when(F.col("id_a") % 2 == 0,
+                     F.col("id_a")).otherwise(F.col("id_b"))
+    hits = (cross.select(doc_uid.alias("_uid"), "est_jaccard")
+            .groupBy("_uid")
+            .agg(F.count(F.lit(1)).alias("n_bench_matches"),
+                 F.max("est_jaccard").alias("max_est_jaccard")))
+    base = df.select(F.col(id_col),
+                     (F.col(id_col).cast("long") * 2).alias("_uid"))
+    return (base.join(hits, "_uid", "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bench_matches", F.lit(0)).cast("bigint")
+                     .alias("n_bench_matches"),
+                    round6(F.coalesce("max_est_jaccard", F.lit(0.0)))
+                     .alias("max_est_jaccard"),
+                    (F.coalesce("max_est_jaccard", F.lit(0.0))
+                     >= F.lit(min_est)).cast("int").alias("contaminated")))

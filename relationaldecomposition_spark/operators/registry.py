@@ -723,8 +723,9 @@ def _oracle_ppm_decode() -> str:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
-def _sql_minhash_sig_cte() -> str:
-    """CTE `sig`: doc_id + mh_0..mh_{n-1} (sentinel P+i when no shingles)."""
+def _sql_minhash_sig_cte(src: str = "documents") -> str:
+    """CTE `sig`: doc_id + mh_0..mh_{n-1} (sentinel P+i when no shingles).
+    `src` is the (doc_id, text) source — a table or an earlier CTE."""
     params = minhash_params(N_HASHES, MINHASH_SEED)
     sh = sql_word_shingles("text", SHINGLE_K)
     mh_cols = []
@@ -734,7 +735,7 @@ def _sql_minhash_sig_cte() -> str:
             f"coalesce(list_min(list_transform(shl, s -> {ah})), "
             f"{MERSENNE_P + i}) AS mh_{i}")
     return (f"sig AS (SELECT doc_id, {', '.join(mh_cols)} FROM "
-            f"(SELECT doc_id, {sh} AS shl FROM documents))")
+            f"(SELECT doc_id, {sh} AS shl FROM {src}))")
 
 
 def _oracle_minhash() -> str:
@@ -1040,6 +1041,63 @@ APPROXQ_RATE = 0.25
 APPROXQ_KEY = "l_orderkey"
 
 
+# o49 fuzzy decontamination: same benchmark subset as o27 (doc_id % 20 ==
+# 7), matched by MinHash-LSH near-duplicate collision instead of exact
+# shingle overlap. Benchmark docs ARE corpus members here, so every bench
+# doc's corpus copy must flag at est 1.0 — plus the genuine near-dup pairs
+# that straddle the boundary.
+def q_o49_fuzzy_decon(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(
+        F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
+    return corpus.fuzzy_decontaminate(docs, "text", "doc_id", bench,
+                                      min_est=LSH_MIN_EST)
+
+
+def _oracle_fuzzy_decon() -> str:
+    rows_per_band = N_HASHES // BANDS
+    band_selects = []
+    for b in range(BANDS):
+        cols = ", ".join(f"mh_{b * rows_per_band + r}"
+                         for r in range(rows_per_band))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig "
+            f"FROM sig WHERE mh_0 != {MERSENNE_P}")
+    eq_sum = " + ".join(
+        f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES))
+    return f"""
+      WITH u AS (
+        SELECT doc_id * 2 AS doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id * 2 + 1, text FROM documents
+        WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}),
+      {_sql_minhash_sig_cte(src="u")},
+      band AS ({' UNION ALL '.join(band_selects)}),
+      pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band a JOIN band b
+         ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      scored AS (
+        SELECT id_a, id_b, ({eq_sum}) / {float(N_HASHES)} AS est
+        FROM pairs JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b
+        WHERE ({eq_sum}) / {float(N_HASHES)} >= {LSH_MIN_EST}
+          AND (id_a % 2) != (id_b % 2)),
+      hits AS (
+        SELECT (CASE WHEN id_a % 2 = 0 THEN id_a ELSE id_b END) // 2
+                 AS doc_id,
+               count(*) AS n, max(est) AS m
+        FROM scored GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(h.n, 0)::BIGINT AS n_bench_matches,
+             round(coalesce(h.m, 0.0), 6) AS max_est_jaccard,
+             (CASE WHEN coalesce(h.m, 0.0) >= {LSH_MIN_EST}
+                   THEN 1 ELSE 0 END)::INT AS contaminated
+      FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id"""
+
+
 def q_o48_approx_quantiles(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return stats.approx_group_quantiles(li, PROFILE_KEYS, "l_extendedprice",
@@ -1186,6 +1244,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o46_line_dedup": q_o46_line_dedup,
     "o47_bloom_semi_join": q_o47_bloom_semi_join,
     "o48_approx_quantiles": q_o48_approx_quantiles,
+    "o49_fuzzy_decon": q_o49_fuzzy_decon,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1261,4 +1320,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o48_approx_quantiles": stats.sql_approx_group_quantiles(
         "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS,
         APPROXQ_KEY, APPROXQ_RATE),
+    "o49_fuzzy_decon": _oracle_fuzzy_decon(),
 }

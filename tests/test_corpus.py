@@ -404,3 +404,45 @@ def test_line_dedup_plan_shape(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- fuzzy decontamination ---------------------------------------------------
+
+def test_fuzzy_decon_flags_exact_and_near_copies(spark):
+    from pyspark.sql import Row
+
+    corpus_rows = [
+        Row(doc_id=0, text="alpha beta gamma delta epsilon zeta eta theta"),
+        # near-copy of bench item 100 (one token changed out of 8)
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta IOTA"),
+        Row(doc_id=2, text="totally unrelated content nothing shared here"),
+    ]
+    bench_rows = [
+        Row(doc_id=100, text="alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    out = {r["doc_id"]: r for r in corpus.fuzzy_decontaminate(
+        spark.createDataFrame(corpus_rows), "text", "doc_id",
+        spark.createDataFrame(bench_rows), min_est=0.5).collect()}
+    assert out[0]["contaminated"] == 1          # exact copy
+    assert out[0]["max_est_jaccard"] == 1.0
+    assert out[2]["contaminated"] == 0          # unrelated
+    assert out[2]["n_bench_matches"] == 0
+    # the near-copy must at least collide in some band (it may or may not
+    # clear min_est depending on which minhashes the changed token moved)
+    assert len(out) == 3                        # one row per corpus doc
+
+
+def test_fuzzy_decon_never_pairs_corpus_with_corpus(spark):
+    from pyspark.sql import Row
+
+    # two identical CORPUS docs and an unrelated benchmark: corpus-corpus
+    # duplication must NOT count as contamination
+    corpus_rows = [
+        Row(doc_id=0, text="one two three four five six seven eight"),
+        Row(doc_id=1, text="one two three four five six seven eight"),
+    ]
+    bench_rows = [Row(doc_id=9, text="nine ten eleven twelve etc etc etc")]
+    out = corpus.fuzzy_decontaminate(
+        spark.createDataFrame(corpus_rows), "text", "doc_id",
+        spark.createDataFrame(bench_rows), min_est=0.5)
+    assert out.where(F.col("contaminated") == 1).count() == 0
