@@ -1,0 +1,114 @@
+"""Seeded-RNG property tests for the round-4 additions (the repo's
+bounded alternative to hypothesis — one Spark round-trip per property,
+many random cases inside it)."""
+
+import random
+
+from pyspark.sql import Row, functions as F
+
+from relationaldecomposition_spark.operators import bloom, corpus, sketches
+
+SEED = 20260814
+
+
+def test_sketches_depend_only_on_distinct_values(spark):
+    """Duplicating rows must not move either estimator: KMV and HLL are
+    functions of the distinct value set alone."""
+    rng = random.Random(SEED)
+    base = [Row(g=f"g{i % 3}", v=rng.randrange(10_000))
+            for i in range(300)]
+    dup = base + [Row(g=r.g, v=r.v) for r in base for _ in range(2)]
+    a, b = spark.createDataFrame(base), spark.createDataFrame(dup)
+    for fn, arg in ((sketches.kmv_distinct, 32), (sketches.hll_distinct, 6)):
+        ra = sorted(map(tuple, fn(a, ["g"], "v", arg).collect()))
+        rb = sorted(map(tuple, fn(b, ["g"], "v", arg).collect()))
+        assert ra == rb, fn.__name__
+
+
+def test_kmv_exact_below_k_many_cases(spark):
+    """Any group with < k distinct values reports the exact count."""
+    rng = random.Random(SEED + 1)
+    rows, want = [], {}
+    for g in range(20):
+        nd = rng.randrange(1, 40)  # < k = 64
+        want[f"g{g}"] = nd
+        vals = rng.sample(range(100_000), nd)
+        rows += [Row(g=f"g{g}", v=v) for v in vals
+                 for _ in range(rng.randrange(1, 4))]
+    out = {r["g"]: r["est_distinct"] for r in
+           sketches.kmv_distinct(spark.createDataFrame(rows), ["g"], "v",
+                                 k=64).collect()}
+    assert out == {g: float(n) for g, n in want.items()}
+
+
+def test_bloom_no_false_negatives_random_keysets(spark):
+    rng = random.Random(SEED + 2)
+    keys = rng.sample(range(1_000_000), 400)
+    members = keys[:150]
+    small = spark.createDataFrame([Row(k=x) for x in members])
+    big = spark.createDataFrame([Row(k=x) for x in keys])
+    surv = {r[0] for r in
+            bloom.bloom_semi_join(big, "k", small, "k",
+                                  m_bits=2048, k=4).collect()}
+    assert set(members) <= surv
+
+
+def test_line_dedup_structural_invariants(spark):
+    """For random documents: n_lines always equals the split length,
+    n_removed counts exactly the removed lines, and clean_text is the
+    in-order subsequence of surviving lines."""
+    rng = random.Random(SEED + 3)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(40):
+        lines = [" ".join(rng.choices(vocab, k=rng.randrange(1, 3)))
+                 for _ in range(rng.randrange(1, 6))]
+        docs.append(Row(doc_id=i, text="\n".join(lines)))
+    df = spark.createDataFrame(docs)
+    freq = {}
+    for d in docs:
+        for ln in set(d.text.split("\n")):
+            if ln.strip():
+                freq[ln] = freq.get(ln, 0) + 1
+    boil = {ln for ln, c in freq.items() if c >= 2}
+    out = {r["doc_id"]: r for r in
+           corpus.line_dedup(df, "text", "doc_id", min_doc_freq=2).collect()}
+    for d in docs:
+        lines = d.text.split("\n")
+        keep = [ln for ln in lines if not (ln.strip() and ln in boil)]
+        r = out[d.doc_id]
+        assert r["n_lines"] == len(lines)
+        assert r["n_removed"] == len(lines) - len(keep)
+        assert r["clean_text"] == "\n".join(keep)
+
+
+def test_fuzzy_decon_subset_of_union_lsh(spark):
+    """Every flagged doc must have a band-collision witness: fuzzy_decon
+    over (corpus, bench) can never flag a doc that the raw union LSH has
+    no cross-parity pair for."""
+    from relationaldecomposition_spark.operators.dedup import (
+        lsh_candidate_pairs)
+
+    rng = random.Random(SEED + 4)
+    vocab = [f"w{i}" for i in range(30)]
+    mk = lambda: " ".join(rng.choices(vocab, k=12))  # noqa: E731
+    texts = [mk() for _ in range(30)]
+    corpus_rows = [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    bench_rows = [Row(doc_id=i, text=texts[i]) for i in range(0, 30, 5)]
+    cdf, bdf = (spark.createDataFrame(corpus_rows),
+                spark.createDataFrame(bench_rows))
+    out = corpus.fuzzy_decontaminate(cdf, "text", "doc_id", bdf,
+                                     min_est=0.5)
+    flagged = {r["doc_id"] for r in out.collect() if r["contaminated"]}
+    u = cdf.select((F.col("doc_id") * 2).alias("_uid"),
+                   F.col("text").alias("_t")).unionByName(
+        bdf.select((F.col("doc_id") * 2 + 1).alias("_uid"),
+                   F.col("text").alias("_t")))
+    raw = lsh_candidate_pairs(u, "_t", "_uid", min_est=0.5)
+    witness = {int(c // 2)
+               for a, b in ((r["id_a"], r["id_b"]) for r in raw.collect())
+               if a % 2 != b % 2
+               for c in [a if a % 2 == 0 else b]}
+    assert flagged <= witness
+    # the exact benchmark copies must all be flagged
+    assert {0, 5, 10, 15, 20, 25} <= flagged

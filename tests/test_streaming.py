@@ -188,3 +188,22 @@ def test_enrich_events_left_join_keeps_unknown_types(spark):
     assert out[1]["category"] == "engagement"
     assert out[1]["weighted_value"] == 2.0
     assert out[2]["category"] is None and out[2]["weighted_value"] is None
+
+
+def test_bloom_probe_composes_with_streams(spark, events_df, tmp_path):
+    """The Bloom probe is a stateless plan-literal predicate, so the same
+    expression filters a stream without state stores or stream-static
+    joins — batch and streamed survivor sets must be identical."""
+    from relationaldecomposition_spark.operators import bloom
+
+    small = events_df.where(F.col("event_type") == "purchase") \
+        .select("user_id").limit(50)
+    words = bloom.bloom_build(small, "user_id", m_bits=4096, k=5)
+    pred = bloom.bloom_probe_expr("user_id", words, k=5)
+    batch = sorted(r[0] for r in
+                   events_df.where(pred).select("event_id").collect())
+    out = _run_stream(spark,
+                      _stream_source(spark, events_df, tmp_path).where(pred),
+                      "bloom_stream", tmp_path, mode="append")
+    streamed = sorted(r[0] for r in out.select("event_id").collect())
+    assert batch == streamed and len(batch) > 0
