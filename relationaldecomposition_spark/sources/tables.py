@@ -132,3 +132,26 @@ def compact_write(df: DataFrame, path: str,
         out = df.repartition(n_files)
     out.write.mode("overwrite").parquet(path)
     return {"n_files": n_files, "est_bytes": est}
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns into one
+    clustering key: bit i of a lands at position 2i, bit i of b at 2i+1.
+    Feeding this to `compact_write(cluster_cols=[...])` gives files whose
+    min/max boxes are tight in BOTH dimensions — the standard multi-column
+    file-pruning layout (a range predicate on either column prunes files,
+    not just the primary sort column). Inputs are masked to `bits` bits;
+    pure bit arithmetic inside whole-stage codegen."""
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    a = F.col(col_a).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    b = F.col(col_b).cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)),
+                        2 * i)) \
+                 .bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)),
+                        2 * i + 1))
+    return out
