@@ -201,6 +201,15 @@ def build_queries(spark, sf_dir: str):
             F.col("text"), r"((?:\S+\s+){3}\S+)\s+", "$1\n").alias("text"))
         line_dedup(wrapped, "text", "doc_id").count()
 
+    def bloom_semi():
+        # Bloom pre-filter (o47): bitmap build on urgent orders + map-only
+        # probe over lineitem — the shuffle-avoidance join pattern
+        from relationaldecomposition_spark.operators.bloom import (
+            bloom_semi_join)
+        od = load_table(spark, sf_dir, "orders")
+        small = od.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
+        bloom_semi_join(li, "l_orderkey", small, "o_orderkey").count()
+
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
         windowed_counts(ev).count()
@@ -248,6 +257,7 @@ def build_queries(spark, sf_dir: str):
         "sketch_distinct": sketch_distinct,
         "semdedup": semdedup_q,
         "line_dedup": line_dedup_q,
+        "bloom_semi": bloom_semi,
         "stream_window": stream_window,
         "asof_join": asof_join_q,
         "interval_join": interval_join_q,

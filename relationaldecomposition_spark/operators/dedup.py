@@ -118,6 +118,19 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return out.fillna(fills)
 
 
+def _band_structs(mh_cols: list[str], bands: int) -> Column:
+    """array<struct<band,sig>>: the LSH banding of an mh_* signature row —
+    band b's sig is the comma-joined minhashes of its rows. Shared by the
+    pair self-join and the incremental corpus index so both produce
+    identical bucket keys."""
+    rows_per_band = len(mh_cols) // bands
+    return F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws(",", *[F.col(mh_cols[b * rows_per_band + r])
+                                    for r in range(rows_per_band)]).alias("sig"))
+        for b in range(bands)])
+
+
 # Signature widths >= this use the slim band-join (ids only through the
 # explode, signatures re-joined after pair dedup). Below it the signature
 # payload is small enough that carrying it through the band join is cheaper
@@ -155,17 +168,12 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     assert n_hashes % bands == 0
     if slim_payload is None:
         slim_payload = n_hashes >= SLIM_PAYLOAD_MIN_HASHES
-    rows_per_band = n_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
     # shingle-less docs carry the sentinel signature: Jaccard over empty
     # shingle sets is undefined, so they never participate in pairing
     sigs = sigs.where(F.col("mh_0") != MERSENNE_P)
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
-    band_structs = F.array(*[
-        F.struct(F.lit(b).alias("band"),
-                 F.concat_ws(",", *[F.col(mh_cols[b * rows_per_band + r])
-                                    for r in range(rows_per_band)]).alias("sig"))
-        for b in range(bands)])
+    band_structs = _band_structs(mh_cols, bands)
     est_of = lambda pre_a, pre_b: sum(  # noqa: E731
         (F.col(f"{pre_a}{c}") == F.col(f"{pre_b}{c}")).cast("int")
         for c in mh_cols) / F.lit(float(len(mh_cols)))
@@ -210,6 +218,74 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     return (scored.select("id_a", "id_b",
                           est_of("_a", "_b").alias("est_jaccard"))
                   .where(F.col("est_jaccard") >= min_est))
+
+
+def minhash_band_index(df: DataFrame, text_col: str, id_col: str,
+                       n_hashes: int = DEFAULT_N_HASHES,
+                       bands: int = DEFAULT_BANDS,
+                       shingle_k: int = DEFAULT_SHINGLE_K,
+                       seed: int = 42) -> DataFrame:
+    """(band, sig, id): the persisted-state face of LSH dedup — one row per
+    occupied band bucket per document. Write this once for the corpus, then
+    `incremental_dedup` probes it for every new ingest batch instead of
+    re-shingling 100 TB.
+
+    Scale notes: the index is ~bands x corpus rows of (int, short string,
+    id) — write it partitioned/bucketed by (band, sig) so the probe join
+    shuffles only the (small) new batch. Shingle-less docs occupy no
+    buckets and are excluded."""
+    assert n_hashes % bands == 0
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k, seed)
+    sigs = sigs.where(F.col("mh_0") != MERSENNE_P)
+    mh_cols = [f"mh_{i}" for i in range(n_hashes)]
+    return (sigs.select(F.col(id_col),
+                        F.explode(_band_structs(mh_cols, bands)).alias("bk"))
+                .select("bk.band", "bk.sig", id_col))
+
+
+def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
+                      id_col: str, n_hashes: int = DEFAULT_N_HASHES,
+                      bands: int = DEFAULT_BANDS,
+                      shingle_k: int = DEFAULT_SHINGLE_K,
+                      seed: int = 42) -> DataFrame:
+    """Near-dup dedup of a NEW ingest batch against a pre-built corpus band
+    index (`minhash_band_index` output) — the continuous-ingestion pattern:
+    the corpus is never re-read, only its index is probed.
+
+    Per new document: n_index_hits = how many of its band buckets exist in
+    the corpus index; n_batch_hits = how many of its buckets contain a
+    smaller-id document of the same batch. `survives` = both zero — the
+    bucket-min-id rule (deterministic, one aggregation pass, no iterative
+    connected components; a doc survives iff it is the first of every
+    bucket it occupies and none is already indexed). Shingle-less docs
+    occupy no buckets and trivially survive.
+
+    Scale shape: the batch is shingled once (one shuffle); the index probe
+    is an equi-join on (band, sig) against DISTINCT index buckets —
+    bucket/partition the stored index on those keys and the probe shuffles
+    only the batch side; batch-internal hits are a groupBy min + join back,
+    never a self-join — no quadratic term anywhere."""
+    assert n_hashes % bands == 0
+    banded = minhash_band_index(new_df, text_col, id_col, n_hashes, bands,
+                                shingle_k, seed)
+    idx_hits = (banded.join(index.select("band", "sig").distinct(),
+                            ["band", "sig"])
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_index_hits")))
+    bmin = banded.groupBy("band", "sig").agg(F.min(id_col).alias("_bmin"))
+    batch_hits = (banded.join(bmin, ["band", "sig"])
+                  .where(F.col(id_col) > F.col("_bmin"))
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_batch_hits")))
+    zero = F.lit(0).cast("long")
+    return (new_df.select(id_col)
+            .join(idx_hits, id_col, "left")
+            .join(batch_hits, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_index_hits", zero).alias("n_index_hits"),
+                    F.coalesce("n_batch_hits", zero).alias("n_batch_hits"))
+            .withColumn("survives", (F.col("n_index_hits") == 0)
+                                    & (F.col("n_batch_hits") == 0)))
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:

@@ -723,8 +723,8 @@ def _oracle_ppm_decode() -> str:
 # oracle SQL
 # ---------------------------------------------------------------------------
 
-def _sql_minhash_sig_cte(src: str = "documents") -> str:
-    """CTE `sig`: doc_id + mh_0..mh_{n-1} (sentinel P+i when no shingles).
+def _sql_minhash_sig_cte(src: str = "documents", name: str = "sig") -> str:
+    """CTE `name`: doc_id + mh_0..mh_{n-1} (sentinel P+i when no shingles).
     `src` is the (doc_id, text) source — a table or an earlier CTE."""
     params = minhash_params(N_HASHES, MINHASH_SEED)
     sh = sql_word_shingles("text", SHINGLE_K)
@@ -734,7 +734,7 @@ def _sql_minhash_sig_cte(src: str = "documents") -> str:
         mh_cols.append(
             f"coalesce(list_min(list_transform(shl, s -> {ah})), "
             f"{MERSENNE_P + i}) AS mh_{i}")
-    return (f"sig AS (SELECT doc_id, {', '.join(mh_cols)} FROM "
+    return (f"{name} AS (SELECT doc_id, {', '.join(mh_cols)} FROM "
             f"(SELECT doc_id, {sh} AS shl FROM {src}))")
 
 
@@ -1054,6 +1054,61 @@ def q_o49_fuzzy_decon(spark, sf_dir):
                                       min_est=LSH_MIN_EST)
 
 
+# o50 incremental corpus-index dedup: even doc_ids form the "already
+# ingested" corpus whose MinHash band index is pre-built; odd doc_ids are
+# the new ingest batch, deduped against that index and within themselves
+# by the bucket-min-id rule — the continuous-ingestion pattern where the
+# corpus is never re-shingled, only its index probed.
+def q_o50_incremental_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_half = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_band_index(corpus_half, "text", "doc_id", N_HASHES,
+                                   BANDS, SHINGLE_K, MINHASH_SEED)
+    return dedup.incremental_dedup(new_batch, idx, "text", "doc_id",
+                                   N_HASHES, BANDS, SHINGLE_K, MINHASH_SEED)
+
+
+def _sql_band_cte(signame: str, name: str) -> str:
+    """CTE `name`: (doc_id, band, bsig) — the LSH banding of `signame`'s
+    mh_* rows, shingle-less (sentinel) docs excluded. Mirrors
+    dedup._band_structs."""
+    rows_per_band = N_HASHES // BANDS
+    selects = []
+    for b in range(BANDS):
+        cols = ", ".join(f"mh_{b * rows_per_band + r}"
+                         for r in range(rows_per_band))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bsig "
+            f"FROM {signame} WHERE mh_0 != {MERSENNE_P}")
+    return f"{name} AS ({' UNION ALL '.join(selects)})"
+
+
+def _oracle_incremental_dedup() -> str:
+    return f"""
+      WITH corpus_h AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      {_sql_minhash_sig_cte(src="corpus_h", name="sig_c")},
+      {_sql_minhash_sig_cte(src="newb", name="sig_n")},
+      {_sql_band_cte("sig_c", "band_c")},
+      {_sql_band_cte("sig_n", "band_n")},
+      ibk AS (SELECT DISTINCT band, bsig FROM band_c),
+      ih AS (SELECT n.doc_id, count(*) AS n_index_hits
+             FROM band_n n JOIN ibk USING (band, bsig) GROUP BY 1),
+      bmin AS (SELECT band, bsig, min(doc_id) AS m FROM band_n GROUP BY 1, 2),
+      bh AS (SELECT n.doc_id, count(*) AS n_batch_hits
+             FROM band_n n JOIN bmin USING (band, bsig)
+             WHERE n.doc_id > bmin.m GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(ih.n_index_hits, 0)::BIGINT AS n_index_hits,
+             coalesce(bh.n_batch_hits, 0)::BIGINT AS n_batch_hits,
+             (coalesce(ih.n_index_hits, 0) = 0
+              AND coalesce(bh.n_batch_hits, 0) = 0) AS survives
+      FROM newb d
+      LEFT JOIN ih ON d.doc_id = ih.doc_id
+      LEFT JOIN bh ON d.doc_id = bh.doc_id"""
+
+
 def _oracle_fuzzy_decon() -> str:
     rows_per_band = N_HASHES // BANDS
     band_selects = []
@@ -1245,6 +1300,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o47_bloom_semi_join": q_o47_bloom_semi_join,
     "o48_approx_quantiles": q_o48_approx_quantiles,
     "o49_fuzzy_decon": q_o49_fuzzy_decon,
+    "o50_incremental_dedup": q_o50_incremental_dedup,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1321,4 +1377,5 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS,
         APPROXQ_KEY, APPROXQ_RATE),
     "o49_fuzzy_decon": _oracle_fuzzy_decon(),
+    "o50_incremental_dedup": _oracle_incremental_dedup(),
 }

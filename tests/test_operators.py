@@ -241,3 +241,54 @@ def test_exploded_shingles_match_array_shingles(spark):
             assert got == arr[i], (i, k)
             # every doc is represented even when it has no shingles
             assert len(ex[i]) >= 1
+
+
+def test_incremental_dedup_against_index(spark, docs):
+    """Corpus index = docs 1 and 4; new batch = 2 (exact dup of 1), 3 (near
+    dup of 1), 5/6 (shingle-less), 7 (fresh). Survivors must match a
+    Python recomputation of the bucket-min-id rule from the band index."""
+    corpus = docs.where("doc_id IN (1, 4)")
+    fresh = spark.createDataFrame(
+        [(7, "seven brand new words matching nothing else whatsoever")],
+        ["doc_id", "text"])
+    new = docs.where("doc_id IN (2, 3, 5, 6)").unionByName(fresh)
+
+    idx = dedup.minhash_band_index(corpus, "text", "doc_id")
+    out = {r["doc_id"]: r
+           for r in dedup.incremental_dedup(new, idx, "text", "doc_id").collect()}
+    assert set(out) == {2, 3, 5, 6, 7}
+    # exact dup of an indexed doc: every band bucket hits the index
+    assert out[2]["n_index_hits"] == 4 and not out[2]["survives"]
+    # shingle-less docs occupy no buckets -> trivially survive
+    assert out[5]["survives"] and out[6]["survives"]
+    assert out[5]["n_index_hits"] == 0 and out[5]["n_batch_hits"] == 0
+    assert out[7]["survives"]
+
+    # brute-force parity: recompute both hit counts from the band indexes
+    idx_buckets = {(r["band"], r["sig"]) for r in idx.collect()}
+    new_bk = {}
+    for r in dedup.minhash_band_index(new, "text", "doc_id").collect():
+        new_bk.setdefault(r["doc_id"], []).append((r["band"], r["sig"]))
+    for did, row in out.items():
+        bks = new_bk.get(did, [])
+        exp_idx = sum(bk in idx_buckets for bk in bks)
+        exp_batch = sum(
+            any(o < did for o, obks in new_bk.items() if bk in obks)
+            for bk in bks)
+        assert row["n_index_hits"] == exp_idx, did
+        assert row["n_batch_hits"] == exp_batch, did
+        assert row["survives"] == (exp_idx == 0 and exp_batch == 0), did
+
+
+def test_incremental_dedup_empty_index_is_batch_dedup(spark, docs):
+    """With an empty index, incremental dedup reduces to the batch-internal
+    bucket-min-id rule: the smallest id of each duplicate group survives."""
+    empty_idx = dedup.minhash_band_index(
+        docs.where("doc_id < 0"), "text", "doc_id")
+    out = {r["doc_id"]: r
+           for r in dedup.incremental_dedup(docs, empty_idx, "text",
+                                            "doc_id").collect()}
+    assert all(r["n_index_hits"] == 0 for r in out.values())
+    assert out[1]["survives"]          # min id of the 1/2 dup group
+    assert not out[2]["survives"]      # exact dup of 1, larger id
+    assert out[4]["survives"] and out[5]["survives"] and out[6]["survives"]
