@@ -14,8 +14,8 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import (bloom, corpus, dedup, ivf, joins, multimodal, similarity,
-               sketches, stats, text)
+from . import (bloom, corpus, dedup, ivf, joins, multimodal, sampling,
+               similarity, sketches, stats, text)
 
 ROUND = 6
 
@@ -392,6 +392,37 @@ def q_o25_doc_chunks(spark, sf_dir):
     context preparation): 200-char chunks every 160 chars."""
     return text.chunk_documents(load_table(spark, sf_dir, "documents"),
                                 "text", "doc_id", CHUNK_SIZE, CHUNK_STRIDE)
+
+
+# o51 sequence packing: 256-token training bins over 16 parallel shards
+PACK_TARGET = 256
+PACK_SHARDS = 16
+
+
+def q_o51_pack_sequences(spark, sf_dir):
+    """Greedy sequence packing of documents into fixed-token-budget
+    training bins (text.pack_sequences): per-shard windows, never a
+    global sort."""
+    return text.pack_sequences(load_table(spark, sf_dir, "documents"),
+                               "text", "doc_id", PACK_TARGET, PACK_SHARDS)
+
+
+# o52 mixture rebalance: skew three sources of the uniform 20-source corpus
+# to a 50/30/20 mixture — cap is set by the 0.5-share source, so the other
+# two are downsampled to 3/5 and 2/5 of their rows
+MIXTURE_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q_o52_rebalance_mixture(spark, sf_dir):
+    """Rebalance document sources to a target mixture
+    (sampling.rebalance_to_mixture): data-derived per-stratum hash
+    thresholds, all arithmetic mirrored by the oracle."""
+    from .sampling import rebalance_to_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = rebalance_to_mixture(docs, "doc_id", "source", MIXTURE_TARGETS)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "source")
 
 
 # o26: downweight the dominant language, keep the rare ones whole — the
@@ -1270,6 +1301,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o33_interval_join": q_o33_interval_join,
     "o25_doc_chunks": q_o25_doc_chunks,
     "o26_stratified_sample": q_o26_stratified_sample,
+    "o51_pack_sequences": q_o51_pack_sequences,
+    "o52_rebalance_mixture": q_o52_rebalance_mixture,
     "o34_weighted_sample": q_o34_weighted_sample,
     "o35_group_quantiles": q_o35_group_quantiles,
     "o36_numeric_profile": q_o36_numeric_profile,
@@ -1327,6 +1360,11 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o25_doc_chunks": text.sql_chunk_documents("documents", "text", "doc_id",
                                                CHUNK_SIZE, CHUNK_STRIDE),
     "o26_stratified_sample": _oracle_stratified_sample(),
+    "o51_pack_sequences": text.sql_pack_sequences(
+        "documents", "text", "doc_id", PACK_TARGET, PACK_SHARDS),
+    "o52_rebalance_mixture": sampling.sql_rebalance_to_mixture(
+        "documents", "doc_id", "source", MIXTURE_TARGETS,
+        "d.doc_id::BIGINT AS doc_id, d.source AS source"),
     "o34_weighted_sample": _oracle_weighted_sample(),
     "o35_group_quantiles": stats.sql_group_quantiles(
         "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS),

@@ -161,3 +161,75 @@ def sql_weighted_sample_topk(table: str, key_col: str, weight_expr: str,
       WHERE ({weight_expr}) IS NOT NULL AND ({weight_expr}) > 0
       ORDER BY {score} DESC, {key_col} ASC
       LIMIT {k}"""
+
+
+# -- mixture rebalancing ------------------------------------------------------
+
+def rebalance_to_mixture(df: DataFrame, key_col: str, stratum_col: str,
+                         targets: dict[str, float]) -> DataFrame:
+    """Downsample strata so the surviving rows match a target mixture — the
+    "rebalance the pretraining corpus to 50% web / 30% code / 20% books"
+    step. Keeps as many rows as possible: the achievable total is
+    cap = min over targeted strata of (count_s / p_s), and each stratum is
+    hash-sampled at rate cap * p_s / count_s with the same deterministic
+    multiplicative hash as hash_sample (thresholds quantized to
+    1/65536). Strata not in `targets` are dropped.
+
+    Fully declarative — counts are an aggregate joined back by broadcast
+    (one row per stratum), the filter is a map-side predicate; nothing is
+    collected to the driver, so the same plan runs at 100 TB. Sampling is
+    by hash threshold, so per-stratum output counts are exact to the
+    threshold quantization (not exact-n; use weighted_sample_topk when an
+    exact count matters more than a scan-shaped plan)."""
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    for s, w in targets.items():
+        if w <= 0:
+            raise ValueError(f"target share for {s!r} must be > 0")
+    tot = sum(targets.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {tot}")
+    p_expr = None
+    for s, w in sorted(targets.items()):
+        p_expr = (F.when(F.col(stratum_col) == s, F.lit(float(w)))
+                  if p_expr is None else
+                  p_expr.when(F.col(stratum_col) == s, F.lit(float(w))))
+    counts = (df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+              .withColumn("_p", p_expr)
+              .where(F.col("_p").isNotNull()))
+    cap = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_cap"))
+    th = (counts.crossJoin(F.broadcast(cap))
+          .select(F.col(stratum_col),
+                  F.floor(F.col("_cap") * F.col("_p") / F.col("_n")
+                          * F.lit(float(SAMPLE_MOD)))
+                   .cast("long").alias("_thresh")))
+    bucket = F.pmod(F.col(key_col).cast("long") * F.lit(SAMPLE_MULT),
+                    F.lit(SAMPLE_MOD))
+    return (df.join(F.broadcast(th), stratum_col)
+              .where(bucket < F.col("_thresh"))
+              .drop("_thresh"))
+
+
+def sql_rebalance_to_mixture(table: str, key_col: str, stratum_col: str,
+                             targets: dict[str, float],
+                             select_cols: str) -> str:
+    """DuckDB twin of rebalance_to_mixture: identical cap/threshold
+    arithmetic (same operation order, so the IEEE doubles agree), identical
+    hash predicate."""
+    vals = ", ".join(f"('{s}', {float(w)!r})"
+                     for s, w in sorted(targets.items()))
+    e = f"(d.{key_col}::BIGINT * {SAMPLE_MULT})"
+    bucket = f"((({e} % {SAMPLE_MOD}) + {SAMPLE_MOD}) % {SAMPLE_MOD})"
+    return f"""
+      WITH tgt(stratum, p) AS (VALUES {vals}),
+      cnt AS (SELECT {stratum_col} AS stratum, count(*)::BIGINT AS n
+              FROM {table} GROUP BY 1),
+      j AS (SELECT t.stratum, t.p, c.n FROM tgt t JOIN cnt c USING (stratum)),
+      cap AS (SELECT min(n / p) AS c FROM j),
+      th AS (SELECT stratum,
+                    floor((SELECT c FROM cap) * p / n * {SAMPLE_MOD})::BIGINT
+                      AS thresh
+             FROM j)
+      SELECT {select_cols}
+      FROM {table} d JOIN th ON d.{stratum_col} = th.stratum
+      WHERE {bucket} < th.thresh"""

@@ -543,3 +543,66 @@ def sql_chunk_documents(table: str, text_col: str, id_col: str,
              substr(t, (off + 1)::INT, {size}) AS chunk,
              length(substr(t, (off + 1)::INT, {size}))::BIGINT AS n_chars
       FROM c"""
+
+
+def pack_sequences(df: DataFrame, text_col: str, id_col: str,
+                   target_tokens: int = 256, n_shards: int = 16) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (sequence
+    packing — the "concat documents to fill the context window" step of an
+    LLM pretraining pipeline).
+
+    Packing is embarrassingly parallel across deterministic shards
+    (shard = id mod n_shards): within a shard, documents are taken in id
+    order and greedily concatenated by a running whitespace-token cumsum;
+    a document belongs to the bin where it STARTS (bins may overflow
+    target_tokens by at most one document — the standard greedy-fill
+    approximation, which never splits a document).
+
+    Scale shape: one shuffle on the shard key, then a per-shard window.
+    n_shards is the parallelism/memory knob — pick it so a shard's rows
+    fit an executor (at 100 TB that means millions of shards, which is
+    fine: shard ids are dense integers and the window state is one
+    running sum). No Python, no global sort.
+
+    Returns (id, shard, tokens, bin_id, bin_offset): bin_id dense per
+    shard, bin_offset = tokens already in the bin when this doc starts."""
+    from pyspark.sql import Window
+    if target_tokens <= 0 or n_shards <= 0:
+        raise ValueError("target_tokens and n_shards must be positive")
+    toks = F.size(tokens(F.col(text_col))).cast("bigint")
+    base = df.select(F.col(id_col),
+                     F.pmod(F.col(id_col).cast("long"),
+                            F.lit(n_shards)).alias("shard"),
+                     toks.alias("tokens"))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = (F.sum("tokens").over(w) - F.col("tokens")).alias("_start")
+    return (base.select(id_col, "shard", "tokens", start)
+            .select(F.col(id_col), F.col("shard").cast("bigint"),
+                    F.col("tokens"),
+                    F.floor(F.col("_start") / target_tokens)
+                     .cast("bigint").alias("bin_id"),
+                    F.pmod(F.col("_start"), F.lit(target_tokens))
+                     .cast("bigint").alias("bin_offset")))
+
+
+def sql_pack_sequences(table: str, text_col: str, id_col: str,
+                       target_tokens: int = 256, n_shards: int = 16) -> str:
+    """DuckDB twin of pack_sequences (same shard hash, same window)."""
+    return f"""
+      WITH b AS (
+        SELECT {id_col},
+               (({id_col}::BIGINT % {n_shards}) + {n_shards}) % {n_shards}
+                 AS shard,
+               len({sql_tokens(text_col)})::BIGINT AS tokens
+        FROM {table}),
+      s AS (
+        SELECT {id_col}, shard, tokens,
+               sum(tokens) OVER (PARTITION BY shard ORDER BY {id_col}
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) - tokens AS st
+        FROM b)
+      SELECT {id_col}::BIGINT AS {id_col}, shard::BIGINT AS shard, tokens,
+             (st // {target_tokens})::BIGINT AS bin_id,
+             (st % {target_tokens})::BIGINT AS bin_offset
+      FROM s"""

@@ -292,3 +292,38 @@ def test_incremental_dedup_empty_index_is_batch_dedup(spark, docs):
     assert out[1]["survives"]          # min id of the 1/2 dup group
     assert not out[2]["survives"]      # exact dup of 1, larger id
     assert out[4]["survives"] and out[5]["survives"] and out[6]["survives"]
+
+
+def test_pack_sequences_greedy_fill(spark):
+    """Per-shard greedy packing: recompute the expected bins in Python
+    (id order within shard, running token cumsum) and check exact parity,
+    plus the structural invariants (offsets < target, dense bins)."""
+    # doc i has (i*7)%23+1 tokens
+    rows = [(i, " ".join(f"t{j}" for j in range((i * 7) % 23 + 1)))
+            for i in range(40)]
+    rows.append((40, ""))                     # empty doc: 0 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    target, shards = 16, 4
+    out = {r["doc_id"]: r for r in text.pack_sequences(
+        df, "text", "doc_id", target_tokens=target, n_shards=shards).collect()}
+    assert set(out) == set(range(41))
+    # Python recompute
+    per_shard = {}
+    for i, t in sorted(rows):
+        per_shard.setdefault(i % shards, []).append((i, len(t.split())))
+    for sh, docs in per_shard.items():
+        cum = 0
+        for did, ntok in docs:
+            r = out[did]
+            assert r["shard"] == sh and r["tokens"] == ntok
+            assert r["bin_id"] == cum // target, did
+            assert r["bin_offset"] == cum % target, did
+            cum += ntok
+    assert all(0 <= r["bin_offset"] < target for r in out.values())
+
+
+def test_pack_sequences_validates(spark, docs):
+    with pytest.raises(ValueError):
+        text.pack_sequences(docs, "text", "doc_id", target_tokens=0)
+    with pytest.raises(ValueError):
+        text.pack_sequences(docs, "text", "doc_id", n_shards=0)

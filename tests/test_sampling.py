@@ -135,3 +135,51 @@ def test_mm_entropy_corrects_upward(spark, sf_dir):
         exp = r["h"] + round((r["m"] - 1) / (2.0 * r["n_sample"]
                                              * math.log(2.0)), 6)
         assert r["h_mm"] == pytest.approx(exp, abs=2e-6)
+
+
+def test_rebalance_to_mixture(spark):
+    from relationaldecomposition_spark.operators.sampling import (
+        SAMPLE_MOD, SAMPLE_MULT, rebalance_to_mixture)
+
+    # 400 web / 100 code / 50 books; target 50/30/20 -> cap is books-bound:
+    # min(400/.5, 100/.3, 50/.2) = 250 -> expect ~125 / ~75 / ~50
+    rows = [(i, "web") for i in range(400)]
+    rows += [(1000 + i, "code") for i in range(100)]
+    rows += [(2000 + i, "books") for i in range(50)]
+    rows += [(3000 + i, "junk") for i in range(30)]   # untargeted: dropped
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    targets = {"web": 0.5, "code": 0.3, "books": 0.2}
+    out = rebalance_to_mixture(df, "doc_id", "source", targets)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert "junk" not in got
+    # hash-threshold sampling: exact counts are binomial around the target;
+    # allow +-25% per stratum but require the mixture ordering to hold
+    assert 90 <= got["web"] <= 160, got
+    assert 50 <= got["code"] <= 100, got
+    assert got["books"] >= 45, got                     # rate 1.0 keeps ~all
+    # Python recompute of the exact thresholds -> exact row parity
+    import math
+    counts = {"web": 400, "code": 100, "books": 50}
+    cap = min(counts[s] / p for s, p in targets.items())
+    kept = set()
+    for did, src in rows:
+        if src not in targets:
+            continue
+        th = math.floor(cap * targets[src] / counts[src] * SAMPLE_MOD)
+        if (did * SAMPLE_MULT) % SAMPLE_MOD < th:
+            kept.add(did)
+    assert {r["doc_id"] for r in out.collect()} == kept
+
+
+def test_rebalance_to_mixture_validates(spark):
+    from relationaldecomposition_spark.operators.sampling import (
+        rebalance_to_mixture)
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        rebalance_to_mixture(df, "doc_id", "source", {})
+    with pytest.raises(ValueError):
+        rebalance_to_mixture(df, "doc_id", "source", {"a": 0.4, "b": 0.4})
+    with pytest.raises(ValueError):
+        rebalance_to_mixture(df, "doc_id", "source", {"a": 1.5, "b": -0.5})
