@@ -20,9 +20,11 @@ Design for scale:
   (m_bits/32 ints), the same "codebook-sized literal" contract as the IVF
   centroids, NOT data-sized.
 - **Probe is map-only.** The bitmap rides into the plan as one parsed
-  array literal; the membership test is k shift/AND expressions inside
-  whole-stage codegen. No join, no shuffle, no broadcast variable — a
-  100 TB scan drops non-candidates at the scan site.
+  array literal; the membership test computes the md5 digest once per row
+  (bound as a transform-lambda variable so the optimizer cannot duplicate
+  it) and then k affine shift/AND bit tests. No join, no shuffle, no
+  broadcast variable — a 100 TB scan drops non-candidates at the scan
+  site.
 - **Words are 32-bit** (masks in [1, 2^31]): DuckDB raises on
   `1::BIGINT << 63`, and staying under the sign bit keeps the twin
   overflow-free in both engines.
@@ -83,26 +85,53 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 16384,
 
 def bloom_probe_expr(key_col: str, words: list[int], k: int = 5,
                      seed: int = BLOOM_SEED) -> Column:
-    """Map-only membership predicate: TRUE iff all k bits are set. The
-    bitmap is ONE parsed array literal (the IVF-centroid idiom), and the
-    base md5 hash appears once per distinct affine function — Catalyst's
-    common-subexpression elimination shares the digest across the k
-    tests inside codegen."""
+    """Map-only membership predicate: TRUE iff all k bits are set.
+
+    The md5 digest is the dominant per-row cost, so it must be computed
+    ONCE per row, not once per position — but Catalyst's CollapseProject
+    re-inlines a hoisted alias into every consumer (2k digest evals), and
+    filter-level CSE does not catch the chain. Binding it as a
+    one-element `transform` lambda variable (`array(h32) -> h`) forces
+    single evaluation structurally; measured 2.1x faster at k=5 on sf0.1
+    lineitem. The k bit tests inside the lambda are affine-hash + one
+    `element_at` on the bitmap literal (constant-folded to a single
+    ArrayData) + shift/AND — cheap relative to the digest."""
     m_bits = len(words) * WORD_BITS
     wl = "array(" + ",".join(str(int(x)) for x in words) + ")"
-    conds = " AND ".join(
-        f"(element_at({wl}, CAST({p} DIV {WORD_BITS} AS INT) + 1)"
-        f" & shiftleft(1, CAST({p} % {WORD_BITS} AS INT))) <> 0"
-        for p in _positions_sql(key_col, m_bits, k, seed, "spark"))
-    return F.expr(f"({conds})")
+    base = (f"(CAST(conv(substring(md5(CAST({key_col} AS STRING)), "
+            f"1, 15), 16, 10) AS BIGINT) % {H32_MOD})")
+    tests = " AND ".join(
+        f"(element_at({wl}, CAST(({sql_affine_hash('h', a, b)} % {m_bits})"
+        f" DIV {WORD_BITS} AS INT) + 1)"
+        f" & shiftleft(1, CAST(({sql_affine_hash('h', a, b)} % {m_bits})"
+        f" % {WORD_BITS} AS INT))) <> 0"
+        for a, b in minhash_params(k, seed))
+    return F.expr(f"element_at(transform(array({base}), h -> ({tests})), 1)")
+
+
+# Auto-sizing: ~10 bits per build key gives FP ~ 0.9% at k=5; the bitmap
+# literal stays plan-sized (n/3 ints) — 1M build keys is a 312 KB literal,
+# the practical ceiling before a broadcast join beats the Bloom filter
+# anyway.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_MIN_BITS = 1024
 
 
 def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
-                    small_key: str, m_bits: int = 16384, k: int = 5,
+                    small_key: str, m_bits: int | None = None, k: int = 5,
                     seed: int = BLOOM_SEED) -> DataFrame:
     """Rows of `big` whose key *may* appear in `small` (no false
     negatives; deterministic false positives at ~(1-e^{-kn/m})^k). NULL
-    keys never pass, matching semi-join semantics."""
+    keys never pass, matching semi-join semantics.
+
+    m_bits=None (default) sizes the bitmap from the build-side count at
+    BLOOM_BITS_PER_KEY — an undersized bitmap saturates silently and the
+    "filter" passes everything. Pass explicit m_bits only when a
+    cross-engine oracle needs a data-independent constant."""
+    if m_bits is None:
+        n = small.where(F.col(small_key).isNotNull()).count()
+        m_bits = max(BLOOM_MIN_BITS,
+                     -(-(n * BLOOM_BITS_PER_KEY) // WORD_BITS) * WORD_BITS)
     words = bloom_build(small, small_key, m_bits, k, seed)
     return big.where(F.col(big_key).isNotNull()
                      & bloom_probe_expr(big_key, words, k, seed))

@@ -99,3 +99,24 @@ def test_null_keys_never_pass(spark, small):
 def test_bad_m_bits(spark, li, small):
     with pytest.raises(ValueError):
         bloom.bloom_build(small, "o_orderkey", m_bits=100)
+
+
+def test_auto_sized_bitmap_fp_rate(spark, li, small):
+    """m_bits=None sizes the bitmap from the build-side count: the FP rate
+    must stay near the 10-bits-per-key theory (~0.9% at k=5) instead of
+    saturating like a fixed undersized bitmap would."""
+    n = small.count()
+    build_keys = {r["o_orderkey"] for r in small.collect()}
+    all_keys = {r["l_orderkey"]
+                for r in li.select("l_orderkey").distinct().collect()}
+    exact_keys = all_keys & build_keys      # true semi-join key set
+    out = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey")
+    kept_keys = {r["l_orderkey"]
+                 for r in out.select("l_orderkey").distinct().collect()}
+    assert exact_keys <= kept_keys          # no false negatives
+    negatives = all_keys - exact_keys
+    fp = len(kept_keys - exact_keys) / max(len(negatives), 1)
+    m = max(bloom.BLOOM_MIN_BITS,
+            -(-(n * bloom.BLOOM_BITS_PER_KEY) // 32) * 32)
+    theory = (1.0 - math.exp(-K * n / m)) ** K
+    assert fp <= max(3 * theory, 0.05), (fp, theory, m)
