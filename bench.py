@@ -210,6 +210,34 @@ def build_queries(spark, sf_dir: str):
         small = od.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
         bloom_semi_join(li, "l_orderkey", small, "o_orderkey").count()
 
+    def incremental_dedup_q():
+        # probe-only ingest dedup (o50): even doc_ids are the indexed
+        # corpus, odd doc_ids the new batch — index probed, never rebuilt
+        from relationaldecomposition_spark.operators.dedup import (
+            incremental_dedup, minhash_band_index)
+        docs = load_table(spark, sf_dir, "documents")
+        idx = minhash_band_index(docs.where("doc_id % 2 = 0"),
+                                 "text", "doc_id")
+        incremental_dedup(docs.where("doc_id % 2 = 1"), idx,
+                          "text", "doc_id").count()
+
+    def pack_sequences_q():
+        # greedy token-budget packing (o51): per-shard windows, no global
+        # sort — the context-window fill step
+        from relationaldecomposition_spark.operators.text import (
+            pack_sequences)
+        docs = load_table(spark, sf_dir, "documents")
+        pack_sequences(docs, "text", "doc_id", 256, 16).count()
+
+    def rebalance_q():
+        # mixture rebalance (o52): counts aggregated + broadcast back,
+        # map-side hash-threshold filter
+        from relationaldecomposition_spark.operators.sampling import (
+            rebalance_to_mixture)
+        docs = load_table(spark, sf_dir, "documents")
+        rebalance_to_mixture(docs, "doc_id", "source",
+                             {"src0": 0.5, "src1": 0.3, "src2": 0.2}).count()
+
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
         windowed_counts(ev).count()
@@ -258,6 +286,9 @@ def build_queries(spark, sf_dir: str):
         "semdedup": semdedup_q,
         "line_dedup": line_dedup_q,
         "bloom_semi": bloom_semi,
+        "incremental_dedup": incremental_dedup_q,
+        "pack_sequences": pack_sequences_q,
+        "rebalance": rebalance_q,
         "stream_window": stream_window,
         "asof_join": asof_join_q,
         "interval_join": interval_join_q,
