@@ -87,32 +87,37 @@ def bloom_probe_expr(key_col: str, words: list[int], k: int = 5,
                      seed: int = BLOOM_SEED) -> Column:
     """Map-only membership predicate: TRUE iff all k bits are set.
 
-    The md5 digest is the dominant per-row cost, so it must be computed
-    ONCE per row, not once per position — but Catalyst's CollapseProject
-    re-inlines a hoisted alias into every consumer (2k digest evals), and
-    filter-level CSE does not catch the chain. Binding it as a
-    one-element `transform` lambda variable (`array(h32) -> h`) forces
-    single evaluation structurally; measured 2.1x faster at k=5 on sf0.1
-    lineitem. The k bit tests inside the lambda are affine-hash + one
-    `element_at` on the bitmap literal (constant-folded to a single
-    ArrayData) + shift/AND — cheap relative to the digest."""
+    Two things must appear exactly once in the expression tree, both
+    enforced by one-element `transform` lambda bindings (Catalyst's
+    CollapseProject re-inlines withColumn-hoisted aliases into every
+    consumer, so hoisting does NOT deduplicate):
+
+    - the md5 digest (the dominant per-row compute): binding `array(h32)
+      -> h` measured 2.1x faster at k=5 on sf0.1 lineitem than the
+      k-inlined form;
+    - the bitmap literal (the dominant plan WEIGHT once auto-sizing grows
+      it with the build side): k folded copies shipped a 9.4 MiB task
+      binary at sf1 and pushed the scaling slope to 11.6x; the outer
+      `array(bitmap) -> w` binding ships one copy. Carrying the bitmap by
+      a single-row broadcast cross join instead is strictly worse — the
+      nested-loop join copies the array into every output row (measured
+      slope 20x at sf1)."""
     m_bits = len(words) * WORD_BITS
     wl = "array(" + ",".join(str(int(x)) for x in words) + ")"
     base = (f"(CAST(conv(substring(md5(CAST({key_col} AS STRING)), "
             f"1, 15), 16, 10) AS BIGINT) % {H32_MOD})")
     tests = " AND ".join(
-        f"(element_at({wl}, CAST(({sql_affine_hash('h', a, b)} % {m_bits})"
+        f"(element_at(w, CAST(({sql_affine_hash('h', a, b)} % {m_bits})"
         f" DIV {WORD_BITS} AS INT) + 1)"
         f" & shiftleft(1, CAST(({sql_affine_hash('h', a, b)} % {m_bits})"
         f" % {WORD_BITS} AS INT))) <> 0"
         for a, b in minhash_params(k, seed))
-    return F.expr(f"element_at(transform(array({base}), h -> ({tests})), 1)")
+    return F.expr(
+        f"element_at(transform(array({wl}), w -> "
+        f"element_at(transform(array({base}), h -> ({tests})), 1)), 1)")
 
 
-# Auto-sizing: ~10 bits per build key gives FP ~ 0.9% at k=5; the bitmap
-# literal stays plan-sized (n/3 ints) — 1M build keys is a 312 KB literal,
-# the practical ceiling before a broadcast join beats the Bloom filter
-# anyway.
+# Auto-sizing: ~10 bits per build key gives FP ~ 0.9% at k=5.
 BLOOM_BITS_PER_KEY = 10
 BLOOM_MIN_BITS = 1024
 

@@ -288,6 +288,26 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
                                     & (F.col("n_batch_hits") == 0)))
 
 
+def ingest_batch(new_df: DataFrame, index: DataFrame, text_col: str,
+                 id_col: str, n_hashes: int = DEFAULT_N_HASHES,
+                 bands: int = DEFAULT_BANDS,
+                 shingle_k: int = DEFAULT_SHINGLE_K,
+                 seed: int = 42) -> tuple[DataFrame, DataFrame]:
+    """The full ingestion step: (per-doc dedup stats, index rows to
+    append). Append the second frame to the stored corpus index and the
+    next batch sees this batch's survivors. Survivor signatures are
+    recomputed (a second shingle pass over survivors only) — at ingest
+    scale that is far cheaper than carrying the banded frame through the
+    dedup joins."""
+    stats = incremental_dedup(new_df, index, text_col, id_col, n_hashes,
+                              bands, shingle_k, seed)
+    survivors = stats.where(F.col("survives")).select(id_col)
+    new_rows = minhash_band_index(new_df.join(survivors, id_col),
+                                  text_col, id_col, n_hashes, bands,
+                                  shingle_k, seed)
+    return stats, new_rows
+
+
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFrame:
     """SimHash signature: bit k of the signature is 1 iff the majority of
     token hashes have bit k set.

@@ -327,3 +327,32 @@ def test_pack_sequences_validates(spark, docs):
         text.pack_sequences(docs, "text", "doc_id", target_tokens=0)
     with pytest.raises(ValueError):
         text.pack_sequences(docs, "text", "doc_id", n_shards=0)
+
+
+def test_ingest_batch_roundtrip(spark, docs):
+    """ingest_batch returns appendable index rows: after appending, a
+    later batch containing a copy of a survivor is dropped."""
+    corpus = docs.where("doc_id IN (1, 4)")
+    idx = dedup.minhash_band_index(corpus, "text", "doc_id")
+    batch1 = docs.where("doc_id = 3")        # near dup of 1 — may survive
+    stats1, new_rows = dedup.ingest_batch(batch1, idx, "text", "doc_id")
+    surv1 = {r["doc_id"] for r in stats1.collect() if r["survives"]}
+    # index rows cover exactly the surviving, shingle-bearing docs
+    assert {r["doc_id"] for r in new_rows.collect()} == surv1
+    idx2 = idx.unionByName(new_rows)
+    # batch 2 re-submits doc 3's text under a new id: if 3 survived it is
+    # now indexed and the copy must be dropped; if 3 was itself a dup of
+    # an indexed doc, the copy collides with that same index entry
+    copy = docs.where("doc_id = 3").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text")
+    stats2 = {r["doc_id"]: r
+              for r in dedup.incremental_dedup(copy, idx2, "text",
+                                               "doc_id").collect()}
+    assert not stats2[103]["survives"]
+    if 3 in surv1:
+        # exact copy of an indexed survivor: all 4 bands hit
+        assert stats2[103]["n_index_hits"] == 4
+    else:
+        # doc 3 was itself dropped (near-dup of indexed doc 1): the copy
+        # collides on exactly the bands doc 3 shared with doc 1
+        assert 1 <= stats2[103]["n_index_hits"] < 4
