@@ -288,6 +288,71 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
                                     & (F.col("n_batch_hits") == 0)))
 
 
+def maponly_minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                               n_hashes: int = DEFAULT_N_HASHES,
+                               shingle_k: int = DEFAULT_SHINGLE_K,
+                               seed: int = 42,
+                               keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """minhash_signatures with ZERO shuffles: array_min over transform
+    lambdas on the word_shingles array, one expression per hash. Produces
+    bit-identical signatures to the exploded path (pinned in tests) but
+    runs ~4x slower per row (CodegenFallback lambda traversals) — use it
+    where a shuffle/window is impossible: streaming sources (non-time
+    windows are unsupported on streams). Batch pipelines should keep
+    minhash_signatures. `keep_cols` are passed through (e.g. the event
+    time for a downstream watermark)."""
+    params = minhash_params(n_hashes, seed)
+    shl = word_shingles(F.col(text_col), shingle_k)
+
+    def mh(i: int, a: int, b: int):
+        # single-arg lambda: a 2-arg lambda would make PySpark pass the
+        # array INDEX as the second argument
+        return F.coalesce(
+            F.array_min(F.transform(
+                shl, lambda s: affine_hash(portable_hash32(s), a, b))),
+            F.lit(MERSENNE_P + i)).alias(f"mh_{i}")
+
+    cols = [mh(i, a, b) for i, (a, b) in enumerate(params)]
+    return df.select(F.col(id_col), *[F.col(c) for c in keep_cols], *cols)
+
+
+def index_collision_stream(stream: DataFrame, index: DataFrame,
+                           text_col: str, id_col: str, ts_col: str = "ts",
+                           watermark: str = "10 minutes",
+                           n_hashes: int = DEFAULT_N_HASHES,
+                           bands: int = DEFAULT_BANDS,
+                           shingle_k: int = DEFAULT_SHINGLE_K,
+                           seed: int = 42) -> DataFrame:
+    """Streaming face of the corpus band index: (id, ts) of streamed
+    documents that near-dup-collide with the static index — the
+    quarantine/flag stream of continuous ingestion. Signatures are
+    computed map-only (maponly_minhash_signatures), bands exploded, and
+    probed with a stream-static equi-join against DISTINCT index buckets;
+    one flag per document (all of a doc's band rows carry its single ts,
+    so the within-watermark dedup is deterministic).
+
+    Full batch-exact dedup of a stream (survivors + the batch-internal
+    bucket-min-id rule) belongs in foreachBatch + `incremental_dedup` /
+    `ingest_batch` — per micro-batch that IS the batch operator. On a
+    batch frame this function runs the same plan with a groupBy in place
+    of the watermark dedup, which is how the parity test pins it."""
+    sigs = maponly_minhash_signatures(stream, text_col, id_col, n_hashes,
+                                      shingle_k, seed, keep_cols=(ts_col,))
+    sigs = sigs.where(F.col("mh_0") != MERSENNE_P)
+    mh_cols = [f"mh_{i}" for i in range(n_hashes)]
+    banded = (sigs.select(F.col(id_col), F.col(ts_col),
+                          F.explode(_band_structs(mh_cols, bands))
+                           .alias("bk"))
+                  .select(id_col, ts_col, "bk.band", "bk.sig"))
+    hits = (banded.join(index.select("band", "sig").distinct(),
+                        ["band", "sig"])
+                  .select(id_col, ts_col))
+    if hits.isStreaming:
+        return (hits.withWatermark(ts_col, watermark)
+                    .dropDuplicatesWithinWatermark([id_col]))
+    return hits.groupBy(id_col).agg(F.min(ts_col).alias(ts_col))
+
+
 def ingest_batch(new_df: DataFrame, index: DataFrame, text_col: str,
                  id_col: str, n_hashes: int = DEFAULT_N_HASHES,
                  bands: int = DEFAULT_BANDS,

@@ -207,3 +207,55 @@ def test_bloom_probe_composes_with_streams(spark, events_df, tmp_path):
                       "bloom_stream", tmp_path, mode="append")
     streamed = sorted(r[0] for r in out.select("event_id").collect())
     assert batch == streamed and len(batch) > 0
+
+
+def test_maponly_minhash_matches_exploded(spark):
+    """The shuffle-free signature path must be bit-identical to the
+    windowed codegen path (same hashes, same sentinel)."""
+    from relationaldecomposition_spark.operators import dedup
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    a = sorted(tuple(r) for r in
+               dedup.minhash_signatures(docs, "text", "doc_id").collect())
+    b = sorted(tuple(r) for r in
+               dedup.maponly_minhash_signatures(docs, "text",
+                                                "doc_id").collect())
+    assert a == b
+
+
+def test_index_collision_stream_batch_parity(spark, tmp_path):
+    """The stream-static index probe must flag exactly the docs the batch
+    twin flags (same ids, same event times)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from relationaldecomposition_spark.operators import dedup
+
+    t0 = datetime.datetime(2026, 1, 1)
+    corpus_rows = [(i, f"alpha beta gamma delta epsilon zeta {i}")
+                   for i in range(10)]
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    idx = dedup.minhash_band_index(corpus, "text", "doc_id")
+
+    new_rows = (
+        [(100 + i, corpus_rows[i][1], t0 + datetime.timedelta(minutes=i))
+         for i in range(5)] +                      # exact dups of corpus
+        [(200 + i, f"totally different content number {i} with words",
+          t0 + datetime.timedelta(minutes=i)) for i in range(5)] +
+        [(300, "", t0)])                           # shingle-less
+    new = spark.createDataFrame(new_rows, ["doc_id", "text", "ts"])
+
+    batch = {(r["doc_id"], r["ts"]) for r in dedup.index_collision_stream(
+        new, idx, "text", "doc_id").collect()}
+    assert {d for d, _ in batch} == {100, 101, 102, 103, 104}
+
+    src = tmp_path / "docs_src"
+    new.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    out = _run_stream(
+        spark, dedup.index_collision_stream(stream, idx, "text", "doc_id"),
+        "idx_collisions", tmp_path, mode="append")
+    got = {(r["doc_id"], r["ts"]) for r in out.collect()}
+    assert got == batch
