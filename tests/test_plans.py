@@ -169,3 +169,50 @@ def test_cc_round_plan_is_bounded(spark):
     p = plan_of(nbr)
     assert p.count("Exchange") <= 3, p
     assert p.count("Scan ExistingRDD") == 2, p   # both inputs checkpointed
+
+
+def test_pack_sequences_single_exchange_no_global_sort(spark):
+    """Packing must shuffle ONCE (on the shard key) and never globally
+    sort: a global-order cumsum would serialize the whole corpus through
+    one partition at 100 TB."""
+    from relationaldecomposition_spark.operators.text import pack_sequences
+    docs = load(spark, "documents")
+    p = plan_of(pack_sequences(docs, "text", "doc_id"))
+    assert p.count("Exchange") == 1, p
+    assert "rangepartitioning" not in p.lower(), p      # no global sort
+    assert "SinglePartition" not in p, p
+
+
+def test_rebalance_probe_is_map_side(spark):
+    """The mixture filter must reach the scan as a hash-threshold
+    predicate with the per-stratum thresholds broadcast back — no
+    shuffle of the data side, no sort."""
+    from relationaldecomposition_spark.operators.sampling import (
+        rebalance_to_mixture)
+    docs = load(spark, "documents")
+    p = plan_of(rebalance_to_mixture(docs, "doc_id", "source",
+                                     {"src0": 0.5, "src1": 0.3,
+                                      "src2": 0.2}))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
+def test_incremental_dedup_never_self_joins(spark):
+    """o50's collision resolution is groupBy-min + join-back: the plan
+    must contain NO join of the banded batch with itself on bucket keys
+    (the quadratic shape the bucket-min-id rule exists to avoid). Joins
+    present are batch-vs-index and batch-vs-aggregated-minima only —
+    with a 6-row batch every join side is broadcastable, so assert the
+    aggregate feeding the join instead of join strategies."""
+    from relationaldecomposition_spark.operators import dedup
+    docs = load(spark, "documents")
+    idx = dedup.minhash_band_index(docs.where("doc_id % 2 = 0"),
+                                   "text", "doc_id")
+    out = dedup.incremental_dedup(docs.where("doc_id % 2 = 1"), idx,
+                                  "text", "doc_id")
+    p = plan_of(out)
+    # the batch-internal side aggregates to (band, sig, min id) before any
+    # join: a bucket self-join would show two band-explode generators
+    # feeding one join without an intermediate aggregate
+    assert p.count("Generate explode") >= 2, p
+    assert "partial_min" in p or "min(" in p, p
