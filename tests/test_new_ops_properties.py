@@ -112,3 +112,60 @@ def test_fuzzy_decon_subset_of_union_lsh(spark):
     assert flagged <= witness
     # the exact benchmark copies must all be flagged
     assert {0, 5, 10, 15, 20, 25} <= flagged
+
+
+def test_pack_sequences_randomized_parity(spark):
+    """Random token-length corpora, several (target, shards) configs: the
+    operator must equal the Python greedy recompute exactly, and every
+    bin prefix must respect the budget (a bin's docs beyond the first
+    start strictly inside the target)."""
+    from relationaldecomposition_spark.operators.text import pack_sequences
+
+    rng = random.Random(SEED + 10)
+    rows = [(i, " ".join("w" for _ in range(rng.randrange(0, 40))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for target, shards in ((32, 1), (64, 8), (17, 5)):
+        got = {r["doc_id"]: r for r in pack_sequences(
+            df, "text", "doc_id", target, shards).collect()}
+        per_shard = {}
+        for i, t in rows:
+            per_shard.setdefault(i % shards, []).append((i, len(t.split())))
+        for sh, docs in per_shard.items():
+            cum = 0
+            for did, ntok in sorted(docs):
+                r = got[did]
+                assert (r["shard"], r["tokens"]) == (sh, ntok)
+                assert r["bin_id"] == cum // target
+                assert r["bin_offset"] == cum % target
+                cum += ntok
+        assert all(0 <= r["bin_offset"] < target for r in got.values())
+
+
+def test_rebalance_mixture_converges_to_targets(spark):
+    """On a large skewed corpus the surviving mixture must be within a few
+    percent of the requested proportions (hash-threshold quantization is
+    the only slack), and re-running is deterministic."""
+    rng = random.Random(SEED + 11)
+    sizes = {"web": 4000, "code": 900, "books": 400, "junk": 500}
+    rows, nid = [], 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((nid, src)); nid += 1
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    targets = {"web": 0.6, "code": 0.25, "books": 0.15}
+    from relationaldecomposition_spark.operators.sampling import (
+        rebalance_to_mixture)
+    out = rebalance_to_mixture(df, "doc_id", "source", targets)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    # books binds the cap: 400/0.15 = 2667 target total
+    assert "junk" not in got
+    for s, p in targets.items():
+        assert abs(got[s] / total - p) < 0.05, (s, got, total)
+    again = {r["source"]: r["n"] for r in
+             rebalance_to_mixture(df, "doc_id", "source", targets)
+             .groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got == again
