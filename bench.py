@@ -301,7 +301,13 @@ def run_bench(spark, sf_dir: str, repeats: int = 1,
     a subset (tools/bench_scaling.py's skewed section)."""
     from relationaldecomposition_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()  # warm JVM/parquet footers
+    # Warm JVM/parquet footers AND the shuffle + hash-aggregate codegen
+    # machinery, so the first measured query reports operator cost rather
+    # than one-time JIT/stage setup (repeats=1 driver runs have no second
+    # sample to absorb it).
+    li = load_table(spark, sf_dir, "lineitem")
+    li.count()
+    li.groupBy("l_returnflag").count().collect()
     queries = build_queries(spark, sf_dir)
     if only is not None:
         queries = {k: queries[k] for k in only}

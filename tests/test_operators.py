@@ -356,3 +356,19 @@ def test_ingest_batch_roundtrip(spark, docs):
         # doc 3 was itself dropped (near-dup of indexed doc 1): the copy
         # collides on exactly the bands doc 3 shared with doc 1
         assert 1 <= stats2[103]["n_index_hits"] < 4
+
+
+def test_new_ops_empty_inputs(spark):
+    """Empty frames must produce empty results, not analysis errors."""
+    from relationaldecomposition_spark.operators.sampling import (
+        rebalance_to_mixture)
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_src = spark.createDataFrame([], "doc_id long, source string")
+    assert text.pack_sequences(empty_docs, "text", "doc_id").count() == 0
+    assert rebalance_to_mixture(empty_src, "doc_id", "source",
+                                {"a": 0.5, "b": 0.5}).count() == 0
+    idx = dedup.minhash_band_index(empty_docs, "text", "doc_id")
+    assert idx.count() == 0
+    assert dedup.incremental_dedup(empty_docs, idx, "text",
+                                   "doc_id").count() == 0
