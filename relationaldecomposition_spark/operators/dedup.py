@@ -247,7 +247,8 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
                       id_col: str, n_hashes: int = DEFAULT_N_HASHES,
                       bands: int = DEFAULT_BANDS,
                       shingle_k: int = DEFAULT_SHINGLE_K,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      banded: DataFrame | None = None) -> DataFrame:
     """Near-dup dedup of a NEW ingest batch against a pre-built corpus band
     index (`minhash_band_index` output) — the continuous-ingestion pattern:
     the corpus is never re-read, only its index is probed.
@@ -260,14 +261,18 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
     bucket it occupies and none is already indexed). Shingle-less docs
     occupy no buckets and trivially survive.
 
-    Scale shape: the batch is shingled once (one shuffle); the index probe
-    is an equi-join on (band, sig) against DISTINCT index buckets —
-    bucket/partition the stored index on those keys and the probe shuffles
-    only the batch side; batch-internal hits are a groupBy min + join back,
-    never a self-join — no quadratic term anywhere."""
+    Scale shape: the index probe is an equi-join on (band, sig) against
+    DISTINCT index buckets — bucket/partition the stored index on those
+    keys and the probe shuffles only the batch side; batch-internal hits
+    are a groupBy min + join back, never a self-join — no quadratic term
+    anywhere. The banded batch feeds three consumers and is recomputed per
+    consumer by default (the operator stays pure — no hidden persist to
+    leak); a pipeline that owns the lifecycle can pass ``banded`` — a
+    persisted `minhash_band_index(new_df, ...)` — to shingle once."""
     assert n_hashes % bands == 0
-    banded = minhash_band_index(new_df, text_col, id_col, n_hashes, bands,
-                                shingle_k, seed)
+    if banded is None:
+        banded = minhash_band_index(new_df, text_col, id_col, n_hashes,
+                                    bands, shingle_k, seed)
     idx_hits = (banded.join(index.select("band", "sig").distinct(),
                             ["band", "sig"])
                 .groupBy(id_col)
