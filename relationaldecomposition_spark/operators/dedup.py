@@ -1,7 +1,7 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five strategies, all expressed as DataFrame pipelines (no Python in the hot
-path) over the portable hash primitives in functions/hashing.py:
+All strategies are DataFrame pipelines (no Python in the hot path) over
+the portable hash primitives in functions/hashing.py:
 
 - exact:       hash-groupBy on normalized content, keep min-id survivor
 - MinHash+LSH: shingle -> n minhashes -> band -> bucket self-join ->
@@ -10,6 +10,9 @@ path) over the portable hash primitives in functions/hashing.py:
 - n-gram Jaccard: shingle self-join with exact Jaccard
 - embedding cosine: exact pairwise cosine over array<float> (the LSH-
                bucketed scale path lives in operators/similarity.py)
+- incremental: a persisted (band, sig, id) corpus index probed by each
+               new ingest batch (minhash_band_index / incremental_dedup /
+               ingest_batch; index_collision_stream is the streaming face)
 
 Scale notes (100 TB):
 - exact dedup is one shuffle on the content hash; survivors resolved with

@@ -546,7 +546,8 @@ def sql_chunk_documents(table: str, text_col: str, id_col: str,
 
 
 def pack_sequences(df: DataFrame, text_col: str, id_col: str,
-                   target_tokens: int = 256, n_shards: int = 16) -> DataFrame:
+                   target_tokens: int = 256, n_shards: int = 16,
+                   tokens_col: str | None = None) -> DataFrame:
     """Assign documents to fixed-token-budget training bins (sequence
     packing — the "concat documents to fill the context window" step of an
     LLM pretraining pipeline).
@@ -565,11 +566,16 @@ def pack_sequences(df: DataFrame, text_col: str, id_col: str,
     running sum). No Python, no global sort.
 
     Returns (id, shard, tokens, bin_id, bin_offset): bin_id dense per
-    shard, bin_offset = tokens already in the bin when this doc starts."""
+    shard, bin_offset = tokens already in the bin when this doc starts.
+
+    Budgeting defaults to whitespace token counts; pass `tokens_col` (a
+    precomputed count column, e.g. from `bpe_token_counts`) to pack by a
+    real tokenizer's counts — the plan shape is identical."""
     from pyspark.sql import Window
     if target_tokens <= 0 or n_shards <= 0:
         raise ValueError("target_tokens and n_shards must be positive")
-    toks = F.size(tokens(F.col(text_col))).cast("bigint")
+    toks = (F.col(tokens_col).cast("bigint") if tokens_col is not None
+            else F.size(tokens(F.col(text_col))).cast("bigint"))
     base = df.select(F.col(id_col),
                      F.pmod(F.col(id_col).cast("long"),
                             F.lit(n_shards)).alias("shard"),

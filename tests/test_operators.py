@@ -372,3 +372,19 @@ def test_new_ops_empty_inputs(spark):
     assert idx.count() == 0
     assert dedup.incremental_dedup(empty_docs, idx, "text",
                                    "doc_id").count() == 0
+
+
+def test_pack_sequences_custom_token_column(spark):
+    """tokens_col packs by a precomputed (e.g. BPE) count instead of the
+    whitespace default."""
+    rows = [(i, "ignored text", 10 * (i + 1)) for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "bpe"])
+    out = {r["doc_id"]: r for r in text.pack_sequences(
+        df, "text", "doc_id", target_tokens=25, n_shards=1,
+        tokens_col="bpe").collect()}
+    cum = 0
+    for i in range(6):
+        assert out[i]["tokens"] == 10 * (i + 1)
+        assert out[i]["bin_id"] == cum // 25
+        assert out[i]["bin_offset"] == cum % 25
+        cum += 10 * (i + 1)
