@@ -238,6 +238,21 @@ def build_queries(spark, sf_dir: str):
         rebalance_to_mixture(docs, "doc_id", "source",
                              {"src0": 0.5, "src1": 0.3, "src2": 0.2}).count()
 
+    def top_values_q():
+        # grouped heavy hitters (o53): one combined agg + rank window over
+        # value-cardinality rows
+        from relationaldecomposition_spark.operators.stats import (
+            group_top_values)
+        group_top_values(li, ["l_returnflag"], "l_quantity", 5).count()
+
+    def unigram_xent_q():
+        # self-trained unigram LM cross-entropy (o54): vocab agg +
+        # token-keyed join + decimal-sum per doc
+        from relationaldecomposition_spark.operators.corpus import (
+            unigram_xent_score)
+        docs = load_table(spark, sf_dir, "documents")
+        unigram_xent_score(docs, "text", "doc_id").count()
+
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
         windowed_counts(ev).count()
@@ -289,6 +304,8 @@ def build_queries(spark, sf_dir: str):
         "incremental_dedup": incremental_dedup_q,
         "pack_sequences": pack_sequences_q,
         "rebalance": rebalance_q,
+        "top_values": top_values_q,
+        "unigram_xent": unigram_xent_q,
         "stream_window": stream_window,
         "asof_join": asof_join_q,
         "interval_join": interval_join_q,

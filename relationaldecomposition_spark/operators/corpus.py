@@ -602,3 +602,67 @@ def fuzzy_decontaminate(df: DataFrame, text_col: str, id_col: str,
                      .alias("max_est_jaccard"),
                     (F.coalesce("max_est_jaccard", F.lit(0.0))
                      >= F.lit(min_est)).cast("int").alias("contaminated")))
+
+
+def unigram_xent_score(df: DataFrame, text_col: str, id_col: str,
+                       smooth_k: float = 0.5) -> DataFrame:
+    """Self-trained unigram LM cross-entropy per document — the CCNet-style
+    perplexity quality filter reduced to a unigram model learned from the
+    corpus itself (no external LM ships in this environment; the ranking
+    behavior — boilerplate-typical docs score low, rare-token noise scores
+    high — is the same signal).
+
+    p(tok) = (c_tok + k) / (T + k*V) with add-k smoothing over the
+    observed vocab; xent(doc) = mean over the doc's tokens of -log2
+    p(tok); perplexity = 2^xent (monotone, so not emitted). Docs with no
+    tokens get NULL xent.
+
+    Cross-engine determinism: per-token scores round to 6 decimals and sum
+    through DECIMAL (FP sums are partition-order-dependent); corpus totals
+    (T, V) ride single-row broadcast cross joins — count aggregates, not
+    collects. Scale: explode -> one shuffle for vocab counts, one
+    token-keyed join (both sides shuffle on the token), one groupBy doc.
+
+    Returns (id, n_tokens, xent)."""
+    tk = df.select(F.col(id_col),
+                   F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tk.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = tk.agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    vs = vocab.agg(F.count(F.lit(1)).cast("double").alias("_v"))
+    lp = round6(-F.log2((F.col("c") + F.lit(float(smooth_k)))
+                        / (F.col("_t") + F.lit(float(smooth_k))
+                           * F.col("_v"))))
+    per = (tk.join(vocab, "tok")
+             .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(vs))
+             .groupBy(id_col)
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  F.sum(lp.cast("decimal(28,6)")).alias("_s")))
+    return (df.select(id_col).join(per, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_tokens", F.lit(0).cast("long"))
+                       .alias("n_tokens"),
+                      round6(F.col("_s").cast("double")
+                             / F.col("n_tokens").cast("double"))
+                       .alias("xent")))
+
+
+def sql_unigram_xent(table: str, text_col: str, id_col: str,
+                     smooth_k: float = 0.5) -> str:
+    """DuckDB twin: identical smoothing arithmetic (same operation order),
+    identical per-token round6 -> DECIMAL sum."""
+    k = float(smooth_k)
+    lp = sql_round6(f"(-log2((c + {k!r}) / (t + {k!r} * v)))")
+    xent = sql_round6("(s::DOUBLE / n_tokens::DOUBLE)")
+    return f"""
+      WITH tk AS (SELECT {id_col}, unnest({sql_tokens(text_col)}) AS tok
+                  FROM {table}),
+      voc AS (SELECT tok, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+      tot AS (SELECT count(*)::DOUBLE AS t FROM tk),
+      vsz AS (SELECT count(*)::DOUBLE AS v FROM voc),
+      per AS (SELECT {id_col}, count(*)::BIGINT AS n_tokens,
+                     sum(({lp})::DECIMAL(28,6)) AS s
+              FROM tk JOIN voc USING (tok) CROSS JOIN tot CROSS JOIN vsz
+              GROUP BY 1)
+      SELECT d.{id_col}, coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+             {xent} AS xent
+      FROM {table} d LEFT JOIN per ON d.{id_col} = per.{id_col}"""

@@ -1191,6 +1191,25 @@ def q_o48_approx_quantiles(spark, sf_dir):
                                         APPROXQ_RATE)
 
 
+# o53 grouped heavy hitters: top-5 most frequent quantities per return
+# flag — 3 groups x 5 exact ranked values with within-group shares
+TOPVAL_K = 5
+
+# o54 unigram-LM cross-entropy (CCNet-style quality signal, self-trained)
+XENT_SMOOTH_K = 0.5
+
+
+def q_o54_unigram_xent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.unigram_xent_score(docs, "text", "doc_id", XENT_SMOOTH_K)
+
+
+def q_o53_group_top_values(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    return stats.group_top_values(li, ["l_returnflag"], "l_quantity",
+                                  TOPVAL_K)
+
+
 def q_o47_bloom_semi_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
@@ -1332,6 +1351,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o46_line_dedup": q_o46_line_dedup,
     "o47_bloom_semi_join": q_o47_bloom_semi_join,
     "o48_approx_quantiles": q_o48_approx_quantiles,
+    "o53_group_top_values": q_o53_group_top_values,
+    "o54_unigram_xent": q_o54_unigram_xent,
     "o49_fuzzy_decon": q_o49_fuzzy_decon,
     "o50_incremental_dedup": q_o50_incremental_dedup,
 }
@@ -1414,6 +1435,10 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o48_approx_quantiles": stats.sql_approx_group_quantiles(
         "lineitem", PROFILE_KEYS, "l_extendedprice", QUANTILE_QS,
         APPROXQ_KEY, APPROXQ_RATE),
+    "o53_group_top_values": stats.sql_group_top_values(
+        "lineitem", ["l_returnflag"], "l_quantity", TOPVAL_K),
+    "o54_unigram_xent": corpus.sql_unigram_xent(
+        "documents", "text", "doc_id", XENT_SMOOTH_K),
     "o49_fuzzy_decon": _oracle_fuzzy_decon(),
     "o50_incremental_dedup": _oracle_incremental_dedup(),
 }

@@ -158,3 +158,50 @@ def sql_approx_group_quantiles(table: str, keys: list[str], value_col: str,
     where = sql_hash_sample_where(sample_key, rate)
     return sql_group_quantiles(
         f"(SELECT * FROM {table} WHERE {where})", keys, value_col, qs)
+
+
+def group_top_values(df: DataFrame, keys: list[str], value_col: str,
+                     k: int = 5) -> DataFrame:
+    """Exact per-group heavy hitters: the k most frequent values of
+    `value_col` within each key group, with counts and within-group share
+    (deterministic tie-break: count desc, value asc). The frequent-
+    domains / frequent-tokens / frequent-labels report of a corpus audit.
+
+    Scale shape: ONE aggregation over the raw rows (map-side combined to
+    one row per (group, value)); group totals come from re-aggregating
+    those combined rows, never a second scan; the rank window partitions
+    by group over value-cardinality-sized input, and Spark's
+    WindowGroupLimit pushes the rank<=k filter below the shuffle.
+
+    Returns (keys..., value, n, share, rank), rank 1-based."""
+    from pyspark.sql import Window
+    if k <= 0:
+        raise ValueError("k must be positive")
+    counts = (df.groupBy(*keys, value_col)
+                .agg(F.count(F.lit(1)).alias("n")))
+    totals = counts.groupBy(*keys).agg(F.sum("n").alias("_gt"))
+    w = (Window.partitionBy(*[F.col(c) for c in keys])
+         .orderBy(F.desc("n"), F.asc(value_col)))
+    return (counts.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .join(totals, keys)
+                  .select(*keys, F.col(value_col).alias("value"),
+                          F.col("n"),
+                          round6(F.col("n") / F.col("_gt").cast("double"))
+                           .alias("share"),
+                          F.col("rank").cast("bigint").alias("rank")))
+
+
+def sql_group_top_values(table: str, keys: list[str], value_col: str,
+                         k: int = 5) -> str:
+    ks = ", ".join(keys)
+    share = sql_round6("(n::DOUBLE / gt::DOUBLE)")
+    return f"""
+      WITH c AS (SELECT {ks}, {value_col} AS value, count(*)::BIGINT AS n
+                 FROM {table} GROUP BY {ks}, {value_col}),
+      r AS (SELECT *, row_number() OVER (PARTITION BY {ks}
+                                         ORDER BY n DESC, value ASC) AS rank,
+                   sum(n) OVER (PARTITION BY {ks}) AS gt
+            FROM c)
+      SELECT {ks}, value, n, {share} AS share, rank::BIGINT AS rank
+      FROM r WHERE rank <= {k}"""

@@ -446,3 +446,34 @@ def test_fuzzy_decon_never_pairs_corpus_with_corpus(spark):
         spark.createDataFrame(corpus_rows), "text", "doc_id",
         spark.createDataFrame(bench_rows), min_est=0.5)
     assert out.where(F.col("contaminated") == 1).count() == 0
+
+
+def test_unigram_xent_orders_rarity(spark):
+    """Docs made of corpus-common tokens must score lower cross-entropy
+    than docs of corpus-rare tokens; values match a Python recompute of
+    the same smoothed model."""
+    import math
+
+    from relationaldecomposition_spark.operators.corpus import (
+        unigram_xent_score)
+
+    rows = [(1, "common common common common"),
+            (2, "common common rare1"),
+            (3, "rare2 rare3"),
+            (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           unigram_xent_score(df, "text", "doc_id").collect()}
+    assert out[1]["xent"] < out[2]["xent"] < out[3]["xent"]
+    assert out[4]["n_tokens"] == 0 and out[4]["xent"] is None
+    # Python recompute (k = 0.5)
+    toks = [t for _, x in rows for t in x.split()]
+    from collections import Counter
+    c = Counter(toks); T = len(toks); V = len(c)
+    def r6(x): return math.floor(x * 1e6 + 0.5) / 1e6
+    for did, x in rows[:3]:
+        ts = x.split()
+        lps = [r6(-math.log2((c[t] + 0.5) / (T + 0.5 * V))) for t in ts]
+        assert out[did]["xent"] == pytest.approx(r6(sum(lps) / len(ts)),
+                                                 abs=1e-9)
+        assert out[did]["n_tokens"] == len(ts)

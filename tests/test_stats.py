@@ -191,3 +191,22 @@ def test_approx_group_quantiles_matches_duckdb(spark):
                      "lineitem", ["l_returnflag"], "l_extendedprice",
                      [0.5, 0.9], "l_orderkey", 0.25)).fetchall())
     assert got == exp
+
+
+def test_group_top_values_exact(spark):
+    from relationaldecomposition_spark.operators.stats import (
+        group_top_values)
+
+    rows = ([("a", "x")] * 5 + [("a", "y")] * 3 + [("a", "z")] * 3 +
+            [("a", "w")] * 1 + [("b", "q")] * 2)
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = [(r["g"], r["value"], r["n"], r["rank"], r["share"])
+           for r in group_top_values(df, ["g"], "v", k=3)
+           .orderBy("g", "rank").collect()]
+    # tie between y and z broken by value asc; w cut by k=3
+    assert out == [("a", "x", 5, 1, round(5 / 12, 6)),
+                   ("a", "y", 3, 2, round(3 / 12, 6)),
+                   ("a", "z", 3, 3, round(3 / 12, 6)),
+                   ("b", "q", 2, 1, 1.0)]
+    with pytest.raises(ValueError):
+        group_top_values(df, ["g"], "v", k=0)
