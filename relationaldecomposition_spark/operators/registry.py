@@ -1198,6 +1198,23 @@ TOPVAL_K = 5
 # o54 unigram-LM cross-entropy (CCNet-style quality signal, self-trained)
 XENT_SMOOTH_K = 0.5
 
+# o55 JL random projection: 64 -> 16 dims, Achlioptas sign matrix
+RP_OUT_DIM = 16
+RP_SEED = 7
+
+
+def q_o55_random_projection(spark, sf_dir):
+    """Projected embeddings exploded to (vec_id, dim, val) scalar rows so
+    the driver's value hash covers every coordinate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rp = similarity.random_projection(emb, "embedding", "vec_id",
+                                      RP_OUT_DIM, EMB_DIM, RP_SEED)
+    return (rp.select(F.col("vec_id"),
+                      F.posexplode("y").alias("dim", "val"))
+              .select(F.col("vec_id").cast("bigint").alias("vec_id"),
+                      F.col("dim").cast("bigint").alias("dim"),
+                      F.col("val")))
+
 
 def q_o54_unigram_xent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
@@ -1353,6 +1370,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o48_approx_quantiles": q_o48_approx_quantiles,
     "o53_group_top_values": q_o53_group_top_values,
     "o54_unigram_xent": q_o54_unigram_xent,
+    "o55_random_projection": q_o55_random_projection,
     "o49_fuzzy_decon": q_o49_fuzzy_decon,
     "o50_incremental_dedup": q_o50_incremental_dedup,
 }
@@ -1439,6 +1457,13 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", ["l_returnflag"], "l_quantity", TOPVAL_K),
     "o54_unigram_xent": corpus.sql_unigram_xent(
         "documents", "text", "doc_id", XENT_SMOOTH_K),
+    "o55_random_projection": f"""
+      WITH {similarity.sql_random_projection_cte(
+          "embeddings", "embedding", "vec_id", RP_OUT_DIM, EMB_DIM,
+          RP_SEED)}
+      SELECT vec_id::BIGINT AS vec_id, (i - 1)::BIGINT AS dim,
+             y[i] AS val
+      FROM rp, (SELECT unnest(range(1, {RP_OUT_DIM + 1})) AS i)""",
     "o49_fuzzy_decon": _oracle_fuzzy_decon(),
     "o50_incremental_dedup": _oracle_incremental_dedup(),
 }

@@ -279,3 +279,63 @@ def lsh_bucketed_topk(df: DataFrame, vec_col: str, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+# -- Johnson-Lindenstrauss random projection ---------------------------------
+
+def rp_sign_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic +-1 sign matrix (Achlioptas 2003: database-friendly
+    random projections — signs suffice for JL guarantees), generated from
+    a seeded PRNG exactly like the SRP hyperplanes so both engines embed
+    identical constants. Column-major: out_dim lists of in_dim signs."""
+    rng = random.Random(seed)
+    return [[1.0 if rng.random() < 0.5 else -1.0 for _ in range(in_dim)]
+            for _ in range(out_dim)]
+
+
+def random_projection(df: DataFrame, vec_col: str, id_col: str,
+                      out_dim: int = 16, in_dim: int = DEFAULT_DIM,
+                      seed: int = 7) -> DataFrame:
+    """JL dimensionality reduction: y_j = round6(sum_i x_i * s_ij /
+    sqrt(out_dim)) — the 1/sqrt(k) normalization that preserves expected
+    squared norms (E||y||^2 = ||x||^2) — the shrink-before-ANN step (a 64->16 reduction cuts
+    every downstream distance computation and shuffle payload 4x while
+    approximately preserving pairwise distances).
+
+    Map-only: the sign matrix rides as plan literals (the
+    SRP-hyperplane/IVF-codebook idiom), each output dim is one
+    zip_with+aggregate expression pair evaluated left-to-right — the same
+    sequential order DuckDB's list functions use, with round6 guarding the
+    last ulp, so the oracle matches bit-for-bit. Returns (id, y) with y
+    array<double> of out_dim."""
+    from .text import round6
+    signs = rp_sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    ys = []
+    for j in range(out_dim):
+        sj = F.array(*[F.lit(s) for s in signs[j]])
+        acc = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), sj,
+                       lambda x, s: x * s),
+            F.lit(0.0), lambda a, v: a + v)
+        ys.append(round6(acc * F.lit(scale)))
+    return df.select(F.col(id_col), F.array(*ys).alias("y"))
+
+
+def sql_random_projection_cte(table: str, vec_col: str, id_col: str,
+                              out_dim: int = 16, in_dim: int = DEFAULT_DIM,
+                              seed: int = 7, name: str = "rp") -> str:
+    """DuckDB twin CTE `name`(id, y): same literal signs, same sequential
+    fold (list_reduce over the zipped products), same round6."""
+    from .text import sql_round6
+    signs = rp_sign_matrix(in_dim, out_dim, seed)
+    scale = 1.0 / (out_dim ** 0.5)
+    dims = []
+    for j in range(out_dim):
+        sj = "[" + ", ".join(f"{s!r}" for s in signs[j]) + "]"
+        prod = (f"list_transform(list_zip({vec_col}::DOUBLE[], {sj}), "
+                f"p -> p[1] * p[2])")
+        acc = f"list_reduce(list_prepend(0.0, {prod}), (a, v) -> a + v)"
+        dims.append(sql_round6(f"({acc} * {scale!r})"))
+    return (f"{name} AS (SELECT {id_col}, [{', '.join(dims)}] AS y "
+            f"FROM {table})")

@@ -107,3 +107,46 @@ def test_probe_bounds_validated(emb):
     with pytest.raises(ValueError):
         similarity.lsh_bucketed_topk(emb, "embedding", "vec_id", QIDS, K,
                                      n_planes=3, n_probes=5)
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property on real fixture embeddings: projected pairwise squared
+    distances stay within a broad distortion band of the originals
+    (16 dims -> coarse but correlated), and one vector matches a Python
+    recompute of the exact sign-matrix fold."""
+    import math
+
+    from relationaldecomposition_spark.operators.similarity import (
+        random_projection, rp_sign_matrix)
+    from tests.conftest import load
+
+    emb = load(spark, "embeddings").limit(40)
+    orig = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    proj = {r["vec_id"]: list(r["y"]) for r in
+            random_projection(emb, "embedding", "vec_id").collect()}
+    assert all(len(y) == 16 for y in proj.values())
+
+    # exact recompute of one vector
+    vid = min(orig)
+    signs = rp_sign_matrix(64, 16, 7)
+    scale = 1.0 / math.sqrt(16)
+    for j in range(16):
+        acc = 0.0
+        for x, s in zip(orig[vid], signs[j]):
+            acc += float(x) * s
+        expect = math.floor(acc * scale * 1e6 + 0.5) / 1e6
+        assert proj[vid][j] == pytest.approx(expect, abs=1e-9)
+
+    # distortion band over sampled pairs (JL with 16 dims is coarse:
+    # assert the mean ratio is ~1 and no pair collapses/explodes wildly)
+    ids = sorted(orig)[:20]
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        d_o = sum((float(x) - float(y)) ** 2
+                  for x, y in zip(orig[a], orig[b]))
+        d_p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.4, mean
+    assert all(0.1 < r < 3.5 for r in ratios), ratios
