@@ -1,0 +1,98 @@
+"""End-to-end corpus curation: the operators composed the way a training-
+data pipeline actually runs them — exact dedup -> near-dup (MinHash-LSH +
+connected components) -> quality gates (heuristic score, Gopher-style
+repetition, optional unigram-LM cross-entropy band) -> benchmark
+decontamination -> mixture rebalance -> sequence packing.
+
+Everything stays one lazy DataFrame program per stage (no collects, no
+Python in hot paths); the funnel report is itself a DataFrame (a union of
+single-row count aggregates), so evaluating it is one Spark job and the
+curated output can be written without ever materializing intermediates.
+
+This module adds no new semantics — every stage is an already
+oracle-verified operator — it pins the COMPOSITION: ids surviving each
+stage, and that the stages commute with each other's output contracts
+(tested on a planted fixture in tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators.corpus import (decontaminate, repetition_metrics,
+                               unigram_xent_score)
+from .operators.dedup import (apply_dedup, connected_components,
+                              exact_dedup, lsh_candidate_pairs)
+from .operators.sampling import rebalance_to_mixture
+from .operators.text import pack_sequences, quality_score
+
+
+def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
+                  source_col: str | None = None,
+                  mixture: dict[str, float] | None = None,
+                  benchmark: DataFrame | None = None,
+                  quality_min: float = 0.25,
+                  xent_max: float | None = None,
+                  lsh_min_est: float = 0.7,
+                  max_bucket: int | None = None,
+                  pack_target: int = 2048,
+                  pack_shards: int = 64) -> tuple[DataFrame, DataFrame]:
+    """Returns (packed, funnel):
+
+    - packed: `pack_sequences` output over the surviving documents —
+      (id, shard, tokens, bin_id, bin_offset), ready to drive shard
+      writes.
+    - funnel: (stage, n_docs) one row per stage in order — the curation
+      report. Lazy; each row recomputes its stage prefix when evaluated,
+      so evaluate it once (or persist the final survivors first) when the
+      corpus is large.
+
+    Optional stages engage only when their inputs are given: `benchmark`
+    (n-gram-overlap decontamination), `source_col`+`mixture` (rebalance),
+    `xent_max` (drop high-cross-entropy outliers; token-less docs pass).
+    `max_bucket` forwards the LSH hot-bucket guard for boilerplate-heavy
+    corpora."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+    cur = docs
+
+    survivors = (exact_dedup(cur, [text_col], id_col)
+                 .select(F.col("keep_id").alias(id_col)))
+    cur = cur.join(survivors, id_col)
+    stages.append(("exact_dedup", cur))
+
+    pairs = lsh_candidate_pairs(cur, text_col, id_col,
+                                min_est=lsh_min_est,
+                                max_bucket=max_bucket, skew_mode="split")
+    cur = apply_dedup(cur, connected_components(pairs), id_col)
+    stages.append(("near_dedup", cur))
+
+    keep_q = (quality_score(cur, text_col, id_col)
+              .where(F.col("quality") >= quality_min).select(id_col))
+    keep_r = (repetition_metrics(cur, text_col, id_col)
+              .where(F.col("repetitive") == 0).select(id_col))
+    cur = cur.join(keep_q, id_col).join(keep_r, id_col)
+    if xent_max is not None:
+        keep_x = (unigram_xent_score(cur, text_col, id_col)
+                  .where(F.col("xent").isNull()
+                         | (F.col("xent") <= xent_max)).select(id_col))
+        cur = cur.join(keep_x, id_col)
+    stages.append(("quality", cur))
+
+    if benchmark is not None:
+        clean = (decontaminate(cur, text_col, id_col, benchmark)
+                 .where(F.col("contaminated") == 0).select(id_col))
+        cur = cur.join(clean, id_col)
+        stages.append(("decontaminated", cur))
+
+    if source_col is not None and mixture:
+        cur = rebalance_to_mixture(cur, id_col, source_col, mixture)
+        stages.append(("rebalanced", cur))
+
+    packed = pack_sequences(cur, text_col, id_col, pack_target, pack_shards)
+
+    funnel = None
+    for name, frame in stages:
+        row = frame.agg(F.count(F.lit(1)).alias("n_docs")) \
+                   .select(F.lit(name).alias("stage"), "n_docs")
+        funnel = row if funnel is None else funnel.unionByName(row)
+    return packed, funnel

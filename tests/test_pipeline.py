@@ -1,0 +1,64 @@
+"""The curation composition on a planted fixture: every stage must drop
+exactly the documents planted for it and nothing else."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.pipeline import curate_corpus
+
+GOOD = ("the quick brown fox jumps over the lazy dog while many other "
+        "words of ordinary english text follow along in this sentence")
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        (1, GOOD, "web"),
+        (2, GOOD, "web"),                              # exact dup of 1
+        (3, GOOD.replace("lazy", "sleepy"), "web"),    # near dup of 1
+        (4, "completely different normal document with plenty of regular "
+            "english words about various ordinary topics and things",
+         "web"),
+        (5, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))", "web"),   # junk
+        (6, "spam " * 60, "web"),                      # repetitive
+        (7, "held out benchmark question about the meaning of life and "
+            "the answer to everything in the universe today", "web"),
+        (8, "an unrelated clean code document describing simple functions "
+            "and the data they return to their many callers", "code"),
+        (9, "another clean code document describing other functions and "
+            "the values those procedures compute for callers", "code"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+def test_curate_corpus_funnel(spark, planted):
+    bench = planted.where("doc_id = 7").select("doc_id", "text")
+    packed, funnel = curate_corpus(
+        planted, "text", "doc_id", benchmark=bench,
+        quality_min=0.25, lsh_min_est=0.5,
+        pack_target=30, pack_shards=2)
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert f["input"] == 9
+    assert f["exact_dedup"] == 8          # doc 2 collapses into 1
+    assert f["near_dedup"] == 7           # doc 3 clusters with 1
+    assert f["quality"] == 5              # junk 5 + repetitive 6 dropped
+    assert f["decontaminated"] == 4       # benchmark copy 7 dropped
+    ids = {r["doc_id"] for r in packed.select("doc_id").collect()}
+    assert ids == {1, 4, 8, 9}
+    # packing invariants hold on the surviving set
+    for r in packed.collect():
+        assert 0 <= r["bin_offset"] < 30
+        assert r["shard"] in (0, 1)
+
+
+def test_curate_corpus_rebalance_stage(spark, planted):
+    packed, funnel = curate_corpus(
+        planted, "text", "doc_id", source_col="source",
+        mixture={"web": 0.5, "code": 0.5}, quality_min=0.25,
+        lsh_min_est=0.5, pack_target=30, pack_shards=1)
+    f = {r["stage"]: r["n_docs"] for r in funnel.collect()}
+    assert "rebalanced" in f and f["rebalanced"] <= f["quality"]
+    # every packed doc came from a targeted source
+    srcs = {r["source"] for r in planted.join(
+        packed.select("doc_id"), "doc_id").select("source").collect()}
+    assert srcs <= {"web", "code"}
