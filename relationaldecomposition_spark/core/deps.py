@@ -317,3 +317,26 @@ class DependencySet:
 
     def __bool__(self):
         return bool(self._by_key)
+
+
+def print_lattice(schema: Sequence[str], dep_cls=FD, out=None) -> None:
+    """Level-wise dump of the candidate lattice, most-general first — the
+    reference's debug surface (`Main.printLattice` ->
+    `FunctionalDependency.printLattice`,
+    common/dependency/FunctionalDependency.java:183-201): print each
+    level, expand every dependency's specializations, repeat until a
+    level is empty. Dedup per level matches the reference's DependencySet
+    add-once semantics."""
+    import sys
+
+    out = out or sys.stdout
+    level, deps = 1, list(dict.fromkeys(dep_cls.most_general(schema)))
+    while deps:
+        out.write(f"Level : {level}\n")
+        nxt: dict = {}
+        for d in deps:
+            out.write(f"{d}\n")
+            for s in d.specializations(schema):
+                nxt.setdefault(s, None)
+        deps = list(nxt)
+        level += 1

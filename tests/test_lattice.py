@@ -102,3 +102,25 @@ def test_lattice_inference_bound():
     assert inf.implies(child)  # superset lhs, same rhs => implied
     other = FD(frozenset(["b"]), frozenset(["a"]))
     assert not inf.implies(other)
+
+
+def test_print_lattice_levels():
+    """Reference parity (Main.printLattice): level-wise most-general-first
+    dump, FDs specialize by growing the LHS, terminating when the LHS is
+    full; per-level dedup."""
+    import io
+
+    from relationaldecomposition_spark.core.deps import FD, print_lattice
+
+    buf = io.StringIO()
+    print_lattice(["a", "b", "c"], FD, buf)
+    lines = buf.getvalue().splitlines()
+    levels, counts = [], {}
+    for ln in lines:
+        if ln.startswith("Level"):
+            levels.append(ln)
+            counts[len(levels)] = 0
+        else:
+            counts[len(levels)] += 1
+    # 3 attrs: empty-LHS singles, 1-LHS (3*2), 2-LHS (3)
+    assert counts == {1: 3, 2: 6, 3: 3}
