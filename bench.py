@@ -21,8 +21,18 @@ beyond-reference pipeline operators:
   - decontaminate:   benchmark n-gram overlap over documents (o27)
   - doc_profile:     fused one-scan per-document profile (o32)
   - tfidf_topk:      TF-IDF top-k keywords per document (o30)
+  - sketch_distinct: KMV + HLL cardinality sketches over lineitem (o42/o43)
+  - semdedup:        cluster-scoped embedding dedup apply (o44/o45)
+  - line_dedup:      corpus-frequency boilerplate line removal (o46)
+  - bloom_semi:      auto-sized Bloom bitmap build + map-only probe (o47)
+  - incremental_dedup: probe-only ingest vs the MinHash band index (o50)
+  - pack_sequences:  greedy token-budget packing, per-shard windows (o51)
+  - rebalance:       mixture rebalance to target source shares (o52)
+  - top_values:      grouped heavy hitters (o53)
+  - unigram_xent:    self-trained unigram-LM cross-entropy scoring (o54)
   - stream_window:   windowed + session aggregation over events (batch twin
                      of the streaming operators)
+  - asof_join / interval_join: event-time join operators (o24/o33)
 
 $SPARK_GRAFT_BENCH_REPEATS (default 1): run every query N times and report
 the per-query MEDIAN — this host shows rare 10-20x stalls, so single-sample
@@ -45,9 +55,24 @@ import statistics
 import time
 
 
+def _force(df):
+    """Evaluate EVERY output column, not just the row count: `.count()`
+    lets Catalyst prune computed columns that don't change cardinality
+    (caught at sf10 — unigram scoring, packing windows, and profile
+    columns were being optimized out of their own benchmark). A checksum
+    aggregate over xxhash64 of all columns makes each column's value
+    load-bearing, at one cheap hash per row."""
+    from pyspark.sql import functions as F
+
+    return df.agg(F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns]))) \
+             .collect()
+
+
 def build_queries(spark, sf_dir: str):
     """name -> zero-arg callable; each call does the full work (engines are
-    constructed inside, caches built and torn down per run)."""
+    constructed inside, caches built and torn down per run). Query bodies
+    end in `_force(...)` — never `.count()` — so no computed column can be
+    pruned out of its own measurement."""
     from pyspark.sql import functions as F
 
     from relationaldecomposition_spark.core.deps import MVD
@@ -114,15 +139,15 @@ def build_queries(spark, sf_dir: str):
 
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
-        lsh_candidate_pairs(docs, "text", "doc_id").count()
+        _force(lsh_candidate_pairs(docs, "text", "doc_id"))
 
     def lsh_dedup_guarded():
         # production configuration: the hot-bucket split guard engaged —
         # near-no-op on benign data (buckets << cap), linear on templated
         # corpora where the unguarded join goes quadratic
         docs = load_table(spark, sf_dir, "documents")
-        lsh_candidate_pairs(docs, "text", "doc_id",
-                            max_bucket=1000, skew_mode="split").count()
+        _force(lsh_candidate_pairs(docs, "text", "doc_id",
+                            max_bucket=1000, skew_mode="split"))
 
     def dedup_pipeline():
         # the full near-dup tail: pairs -> connected components -> surviving
@@ -133,26 +158,26 @@ def build_queries(spark, sf_dir: str):
         pairs = lsh_candidate_pairs(docs, "text", "doc_id",
                                     max_bucket=1000, skew_mode="split")
         clusters = connected_components(pairs)
-        apply_dedup(docs, clusters, "doc_id").count()
+        _force(apply_dedup(docs, clusters, "doc_id"))
 
     def cosine_topk_q():
         emb = load_table(spark, sf_dir, "embeddings")
-        cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
-        lsh_bucketed_topk(emb, "embedding", "vec_id", list(range(10)), 5).count()
+        _force(cosine_topk(emb, "embedding", "vec_id", list(range(10)), 5))
+        _force(lsh_bucketed_topk(emb, "embedding", "vec_id", list(range(10)), 5))
 
     def ann_topk():
         # the o15/o18 configuration: OR-construction + multi-probe, with the
         # hot-bucket cap engaged so the guard's overhead is measured too
         emb = load_table(spark, sf_dir, "embeddings")
-        lsh_bucketed_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
+        _force(lsh_bucketed_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
                           n_planes=ANN_PLANES, n_probes=ANN_PROBES,
                           n_tables=ANN_TABLES,
-                          max_bucket=ANN_MAX_BUCKET).count()
+                          max_bucket=ANN_MAX_BUCKET))
 
     def ivf_topk_q():
         emb = load_table(spark, sf_dir, "embeddings")
-        ivf_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
-                 centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES).count()
+        _force(ivf_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
+                 centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES))
 
     def decontaminate_q():
         # benchmark n-gram overlap (o27): broadcast benchmark shingle set,
@@ -160,28 +185,28 @@ def build_queries(spark, sf_dir: str):
         from relationaldecomposition_spark.operators.corpus import decontaminate
         docs = load_table(spark, sf_dir, "documents")
         bench = docs.where(F.col("doc_id") % 20 == 7)
-        decontaminate(docs, "text", "doc_id", bench).count()
+        _force(decontaminate(docs, "text", "doc_id", bench))
 
     def doc_profile():
         # fused one-scan profile (o32): tokens+quality+fingerprint+PII+lang
         from relationaldecomposition_spark.operators.corpus import (
             document_profile)
         docs = load_table(spark, sf_dir, "documents")
-        document_profile(docs, "text", "doc_id").count()
+        _force(document_profile(docs, "text", "doc_id"))
 
     def tfidf_topk_q():
         # tf/df aggregation + token join + per-doc top-k window (o30)
         from relationaldecomposition_spark.operators.corpus import tfidf_topk
         docs = load_table(spark, sf_dir, "documents")
-        tfidf_topk(docs, "text", "doc_id").count()
+        _force(tfidf_topk(docs, "text", "doc_id"))
 
     def sketch_distinct():
         # KMV + HLL cardinality sketches (o42/o43): two aggregation-only
         # passes whose state is O(groups*k) / O(groups*m) at any scale
         from relationaldecomposition_spark.operators.sketches import (
             hll_distinct, kmv_distinct)
-        kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256).count()
-        hll_distinct(li, ["l_returnflag"], "l_orderkey", 8).count()
+        _force(kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256))
+        _force(hll_distinct(li, ["l_returnflag"], "l_orderkey", 8))
 
     def semdedup_q():
         # cluster-scoped embedding dedup (o44/o45): map-only assignment +
@@ -190,7 +215,7 @@ def build_queries(spark, sf_dir: str):
             seed_centroids, semdedup_apply)
         emb = load_table(spark, sf_dir, "embeddings")
         cents = seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
-        semdedup_apply(emb, "embedding", "vec_id", cents, 0.35).count()
+        _force(semdedup_apply(emb, "embedding", "vec_id", cents, 0.35))
 
     def line_dedup_q():
         # corpus-frequency boilerplate line removal (o46) over documents
@@ -199,7 +224,7 @@ def build_queries(spark, sf_dir: str):
         docs = load_table(spark, sf_dir, "documents")
         wrapped = docs.select("doc_id", F.regexp_replace(
             F.col("text"), r"((?:\S+\s+){3}\S+)\s+", "$1\n").alias("text"))
-        line_dedup(wrapped, "text", "doc_id").count()
+        _force(line_dedup(wrapped, "text", "doc_id"))
 
     def bloom_semi():
         # Bloom pre-filter (o47): bitmap build on urgent orders + map-only
@@ -208,7 +233,7 @@ def build_queries(spark, sf_dir: str):
             bloom_semi_join)
         od = load_table(spark, sf_dir, "orders")
         small = od.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
-        bloom_semi_join(li, "l_orderkey", small, "o_orderkey").count()
+        _force(bloom_semi_join(li, "l_orderkey", small, "o_orderkey"))
 
     def incremental_dedup_q():
         # probe-only ingest dedup (o50): even doc_ids are the indexed
@@ -218,8 +243,8 @@ def build_queries(spark, sf_dir: str):
         docs = load_table(spark, sf_dir, "documents")
         idx = minhash_band_index(docs.where("doc_id % 2 = 0"),
                                  "text", "doc_id")
-        incremental_dedup(docs.where("doc_id % 2 = 1"), idx,
-                          "text", "doc_id").count()
+        _force(incremental_dedup(docs.where("doc_id % 2 = 1"), idx,
+                          "text", "doc_id"))
 
     def pack_sequences_q():
         # greedy token-budget packing (o51): per-shard windows, no global
@@ -227,7 +252,7 @@ def build_queries(spark, sf_dir: str):
         from relationaldecomposition_spark.operators.text import (
             pack_sequences)
         docs = load_table(spark, sf_dir, "documents")
-        pack_sequences(docs, "text", "doc_id", 256, 16).count()
+        _force(pack_sequences(docs, "text", "doc_id", 256, 16))
 
     def rebalance_q():
         # mixture rebalance (o52): counts aggregated + broadcast back,
@@ -235,15 +260,15 @@ def build_queries(spark, sf_dir: str):
         from relationaldecomposition_spark.operators.sampling import (
             rebalance_to_mixture)
         docs = load_table(spark, sf_dir, "documents")
-        rebalance_to_mixture(docs, "doc_id", "source",
-                             {"src0": 0.5, "src1": 0.3, "src2": 0.2}).count()
+        _force(rebalance_to_mixture(docs, "doc_id", "source",
+                             {"src0": 0.5, "src1": 0.3, "src2": 0.2}))
 
     def top_values_q():
         # grouped heavy hitters (o53): one combined agg + rank window over
         # value-cardinality rows
         from relationaldecomposition_spark.operators.stats import (
             group_top_values)
-        group_top_values(li, ["l_returnflag"], "l_quantity", 5).count()
+        _force(group_top_values(li, ["l_returnflag"], "l_quantity", 5))
 
     def unigram_xent_q():
         # self-trained unigram LM cross-entropy (o54): vocab agg +
@@ -251,12 +276,12 @@ def build_queries(spark, sf_dir: str):
         from relationaldecomposition_spark.operators.corpus import (
             unigram_xent_score)
         docs = load_table(spark, sf_dir, "documents")
-        unigram_xent_score(docs, "text", "doc_id").count()
+        _force(unigram_xent_score(docs, "text", "doc_id"))
 
     def stream_window():
         ev = load_table(spark, sf_dir, "events")
-        windowed_counts(ev).count()
-        sessionize(ev).count()
+        _force(windowed_counts(ev))
+        _force(sessionize(ev))
 
     def interval_join_q():
         # bucketized range join (o33): clicks inside +/-30min purchase
@@ -269,18 +294,18 @@ def build_queries(spark, sf_dir: str):
             F.expr("ts + INTERVAL 30 MINUTES").alias("w_end"))
         clicks = ev.where(F.col("event_type") == "click") \
                    .select("event_id", "user_id", "ts")
-        interval_join(clicks, pur, "user_id", "ts", "w_start", "w_end",
-                      ["purchase_id"], bucket_s=1800).count()
+        _force(interval_join(clicks, pur, "user_id", "ts", "w_start", "w_end",
+                      ["purchase_id"], bucket_s=1800))
 
     def asof_join_q():
         # union+window as-of join (o24): purchases enriched with the latest
         # prior click per user — one shuffle on user_id, no range join
         from relationaldecomposition_spark.operators.joins import asof_join
         ev = load_table(spark, sf_dir, "events")
-        asof_join(ev.where(F.col("event_type") == "purchase"),
+        _force(asof_join(ev.where(F.col("event_type") == "purchase"),
                   ev.where(F.col("event_type") == "click"),
                   "user_id", "ts", "ts", ["event_id", "value"],
-                  tiebreak="event_id", payload_prefix="click_").count()
+                  tiebreak="event_id", payload_prefix="click_"))
 
     return {
         "entropy_batch32": entropy_batch32,

@@ -89,12 +89,19 @@ def scale_embeddings(df: DataFrame, factor: int) -> DataFrame:
     dim = len(df.first()["embedding"])
     out = _replicate(df, factor)
     out = out.withColumn("vec_id", F.col("vec_id") + F.col("_rep") * F.lit(hi + 1))
+    # rotation amount mod dim: factor may exceed the dimensionality
+    # (replicas dim, 2*dim, ... land on rotation 0 again — still
+    # key-disjoint, and sign flips below keep them decorrelated)
     rot = F.when(F.col("_rep") == 0, F.col("embedding"))
     for r in range(1, factor):
-        rot = rot.when(
-            F.col("_rep") == r,
-            F.concat(F.slice("embedding", r + 1, dim - r),
-                     F.slice("embedding", 1, r)))
+        k = r % dim
+        rolled = (F.col("embedding") if k == 0 else
+                  F.concat(F.slice("embedding", k + 1, dim - k),
+                           F.slice("embedding", 1, k)))
+        if k == 0 and r > 0:
+            # same rotation as replica 0: negate to decorrelate
+            rolled = F.transform(rolled, lambda x: -x)
+        rot = rot.when(F.col("_rep") == r, rolled)
     return out.withColumn("embedding", rot).drop("_rep")
 
 
