@@ -181,7 +181,11 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     crossJoin: the self-join is an equi-join on cell, so the quadratic term
     is bounded by the largest cluster, not the corpus — the same
     bucket-join shape as LSH, but with semantically coherent buckets (the
-    paper's point: near-dups land in the same k-means cell). Pairs whose
+    paper's point: near-dups land in the same k-means cell). SIZE THE
+    CODEBOOK WITH THE CORPUS: within-cell work is quadratic in cell size,
+    so the centroid count must grow ~linearly with rows to keep cells
+    bounded (e.g. one cell per ~500 vectors; a fixed codebook measured
+    37x wall at 10x rows). Pairs whose
     members straddle cells are sacrificed by design; recall vs the exact
     verifier is measured in tests/test_ivf.py.
 
