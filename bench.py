@@ -42,10 +42,13 @@ the per-query MEDIAN — this host shows rare 10-20x stalls, so single-sample
 timings produce phantom regressions (BENCH_r02's cosine_topk). The repeats
 run back-to-back per query, so medians are steady-state numbers.
 
+  - curation_e2e:    the full curate_corpus composition (dedup -> quality ->
+                     decontaminate -> rebalance -> pack) + funnel report
+
 If SCALING.json exists at the repo root (written by tools/bench_scaling.py:
-sf0.1 vs sf1 medians + per-query scaling slopes), its content is embedded
-in the output line under "scaling" so the per-round bench record carries
-the scale proof alongside the current-SF timings.
+multi-SF medians + fitted scaling exponents), the output line carries its
+PATH and a one-line summary only — embedding the whole payload overflowed
+the driver's single-line capture in round 4 (BENCH_r04 parsed: null).
 """
 
 from __future__ import annotations
@@ -327,6 +330,24 @@ def build_queries(spark, sf_dir: str):
                   "user_id", "ts", "ts", ["event_id", "value"],
                   tiebreak="event_id", payload_prefix="click_"))
 
+    def curation_e2e():
+        # the product story end-to-end (pipeline.curate_corpus): exact dedup
+        # -> LSH near-dup + CC -> quality/repetition gates -> benchmark
+        # decontamination -> mixture rebalance -> sequence packing, plus the
+        # funnel report. Forces BOTH outputs; each stage is an already
+        # oracle-verified operator, this row times the composition.
+        from relationaldecomposition_spark.pipeline import curate_corpus
+        docs = load_table(spark, sf_dir, "documents")
+        bench_docs = docs.where(F.col("doc_id") % 20 == 7)
+        packed, funnel = curate_corpus(
+            docs, "text", "doc_id",
+            source_col="source",
+            mixture={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            benchmark=bench_docs, max_bucket=1000,
+            pack_target=256, pack_shards=16)
+        _force(packed)
+        _force(funnel)
+
     return {
         "entropy_batch32": entropy_batch32,
         "mvd_sweep": mvd_sweep,
@@ -354,6 +375,7 @@ def build_queries(spark, sf_dir: str):
         "stream_window": stream_window,
         "asof_join": asof_join_q,
         "interval_join": interval_join_q,
+        "curation_e2e": curation_e2e,
     }
 
 
@@ -405,11 +427,22 @@ def main() -> None:
         "sf": sf,
         "repeats": repeats,
     }
+    # Keep the output to ONE compact JSON line (BENCH_r04 overflowed the
+    # driver's capture by embedding all of SCALING.json): reference the scale
+    # proof by path and carry only a one-line summary of its conclusions.
     scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "SCALING.json")
     if os.path.exists(scaling_path):
         with open(scaling_path) as f:
-            record["scaling"] = json.load(f)
+            sc = json.load(f)
+        summary: dict = {"scale_points": [k for k in sc if k.startswith("sf")]}
+        exps = sc.get("fitted_exponent_sf0.1_to_sf3")
+        if isinstance(exps, dict) and exps:
+            vals = [v for v in exps.values() if isinstance(v, (int, float))]
+            if vals:
+                summary["max_fitted_exponent_sf0.1_to_sf3"] = round(max(vals), 3)
+        record["scaling_file"] = "SCALING.json"
+        record["scaling_summary"] = summary
     print(json.dumps(record))
 
 

@@ -375,12 +375,66 @@ def q_o09_token_counts(spark, sf_dir):
 
 def q_o20_bpe_tokens(spark, sf_dir):
     """TRUE BPE subword counts (functions/bpe.py) via Arrow-batched pandas
-    UDF. Deliberately has NO oracle_sql entry: iterative rank-order merges
-    are not SQL-expressible, so the driver records the rows-only check;
-    the value-level oracle is tests/test_bpe.py's independent sequential-
-    merge re-derivation."""
+    UDF. The DuckDB twin (_oracle_bpe_tokens) re-applies the SAME learned
+    merge table — embedded as a 256-row VALUES literal — with a recursive
+    CTE over the DISTINCT words, reproducing the greedy lowest-rank-
+    leftmost merge loop exactly; tests/test_bpe.py additionally pins the
+    encoder against an independent sequential-merge re-derivation."""
     return text.bpe_token_counts(load_table(spark, sf_dir, "documents"),
                                  "text", "doc_id")
+
+
+def _oracle_bpe_tokens() -> str:
+    """Greedy BPE inference as SQL: the iterative rank-order merge loop is a
+    recursive CTE over (word, symbol-list) — each step merges the leftmost
+    lowest-rank adjacent pair (argmin encoded as min(rank*1024 + pos), valid
+    while symbol lists stay under 1024 entries — words here are bounded by
+    document vocabulary, far below that) and recursion stops when no pair is
+    in the rank table. Runs over DISTINCT words only, then joins back to the
+    per-doc word multiset — the same memoize-per-word economics as the Spark
+    side's per-executor lru_cache."""
+    from ..functions.bpe import default_encoder
+
+    enc = default_encoder()
+    ordered = sorted(enc.ranks, key=enc.ranks.get)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    vals = ", ".join(f"({q(l)},{q(r)},{i})"
+                     for i, (l, r) in enumerate(ordered))
+    return f"""
+WITH RECURSIVE
+ranks(lhs, rhs, rank) AS (VALUES {vals}),
+doc_words AS (
+  SELECT doc_id, unnest(regexp_extract_all(trim(lower(text)), '\\S+')) AS w
+  FROM documents
+),
+words AS (SELECT DISTINCT w FROM doc_words),
+enc(w, syms) AS (
+  SELECT w, list_append(string_split(w, ''), '</w>') FROM words
+  UNION ALL
+  SELECT w, syms[1:best_i-1] || [syms[best_i] || syms[best_i+1]]
+            || syms[best_i+2:]
+  FROM (
+    SELECT w, syms,
+           (SELECT (min(r.rank * 1024 + p.i) % 1024)::INT
+            FROM (SELECT unnest(range(1, len(syms))) AS i) p
+            JOIN ranks r ON r.lhs = syms[p.i] AND r.rhs = syms[p.i+1]
+           ) AS best_i
+    FROM enc
+  ) WHERE best_i IS NOT NULL
+),
+wcount AS (SELECT w, min(len(syms))::BIGINT AS n_tok FROM enc GROUP BY w),
+per_doc AS (
+  SELECT doc_id, sum(n_tok)::BIGINT AS bpe_tokens,
+         count(*)::BIGINT AS ws_tokens
+  FROM doc_words JOIN wcount USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(p.bpe_tokens, 0)::BIGINT AS bpe_tokens,
+       coalesce(p.ws_tokens, 0)::BIGINT AS ws_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
 
 
 CHUNK_SIZE = 200
@@ -1436,6 +1490,7 @@ OPERATOR_ORACLES: dict[str, str] = {
         "'fake' AS format "
         "FROM documents"),
     "o19_ppm_decode": _oracle_ppm_decode(),
+    "o20_bpe_tokens": _oracle_bpe_tokens(),
     "o31_ppm_pixels": _oracle_ppm_pixels(),
     "o14_frame_sample": (
         "SELECT doc_id::BIGINT AS media_id, "

@@ -761,3 +761,54 @@ from .streaming.events import sql_enriched_category_totals  # noqa: E402
 ORACLES["s04_stream_enrich"] = sql_enriched_category_totals("events")
 
 ORACLES.update(OPERATOR_ORACLES)
+
+# ---------------------------------------------------------------------------
+# driver-window ordering
+# ---------------------------------------------------------------------------
+# The driver's correctness gate records the first ~50 entries of queries()
+# in dict order (CORRECTNESS_r01..r04 each cut off at 50 rows). Rounds 1-4
+# verified the first 50 of the historical order; the 30 queries that landed
+# past the window (the text-analysis / multimodal / sketch / corpus family
+# added in rounds 3-4) had pytest + local-replica oracle coverage but never
+# a driver row. This round those 30 go FIRST, followed by 20 core anchors
+# for cross-round regression coverage; the 31 remaining queries (all green
+# in CORRECTNESS_r04.json) rotate to the back and rotate into the window in
+# a later round. tests/test_registry_window.py pins the invariant: every
+# query is either in the current first-50 window or has a green row in a
+# prior CORRECTNESS file.
+_WINDOW_ROUND5: list[str] = [
+    # never driver-checked before round 5
+    "o09_token_counts", "o10_lang_id", "o11_quality", "o12_fingerprint",
+    "o13_media_features", "o14_frame_sample", "o19_ppm_decode",
+    "o20_bpe_tokens", "o22_dedup_apply", "o27_decontaminate",
+    "o28_pii_redact", "o29_repetition", "o30_tfidf_topk", "o31_ppm_pixels",
+    "o32_doc_profile", "o38_snapshot_diff", "o39_vocabulary",
+    "o41_corpus_report", "o42_kmv_distinct", "o43_hll_distinct",
+    "o44_semdedup_pairs", "o45_semdedup_apply", "o46_line_dedup",
+    "o47_bloom_semi_join", "o48_approx_quantiles", "o49_fuzzy_decon",
+    "o50_incremental_dedup", "o53_group_top_values", "o54_unigram_xent",
+    "o55_random_projection",
+    # core anchors (one per area; keep the regression baseline comparable)
+    "a03_dict_encode", "a07_entropy_single", "a08_entropy_batch",
+    "a13_spurious_fold", "a14_spurious_tree", "a19_mvd_measures",
+    "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
+    "b15_enumerate_schemas", "s01_windowed_counts", "s02_sessionize",
+    "s03_user_stats", "s04_stream_enrich", "o01_exact_dedup",
+    "o03_lsh_pairs", "o07_cosine_topk", "o16_ivf_topk",
+    "o21_dedup_clusters", "o24_asof_join",
+]
+
+
+def _reorder(d: dict, head: list[str]) -> dict:
+    missing = [k for k in head if k not in d]
+    if missing:
+        raise KeyError(f"window references unknown queries: {missing}")
+    out = {k: d[k] for k in head}
+    out.update((k, v) for k, v in d.items() if k not in out)
+    return out
+
+
+QUERIES = _reorder(QUERIES, _WINDOW_ROUND5)
+# oracle order mirrors query order end-to-end (driver zips them by key, but
+# aligned ordering keeps the artifacts diffable round-over-round)
+ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
