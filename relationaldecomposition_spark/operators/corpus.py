@@ -276,17 +276,30 @@ def sql_repetition_metrics(table: str, text_col: str, id_col: str,
 
 
 def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """ONE map-only scan computing every per-row corpus signal at once:
+    """ONE fused scan computing every per-row corpus signal at once:
     token/char counts, quality score, content fingerprint, PII counts, and
     language ID — operator fusion for the 100 TB ingest pass, where five
-    separate operators would mean five full reads of the corpus. Catalyst
-    collapses the staged projections into a single WholeStageCodegen over
-    the scan; zero shuffles, zero joins (pinned in tests/test_corpus.py).
+    separate operators would mean five full reads of the corpus. The
+    token/quality/fingerprint/PII signals collapse into a single
+    WholeStageCodegen projection over the scan; language scoring (round-5
+    single-scan rewrite) adds one broadcast-profile window join whose
+    map-side-combined aggregation and final doc-keyed join move only THIN
+    rows — the text column itself is never shuffled (pinned in
+    tests/test_corpus.py). On a STREAMING input the whole profile stays
+    map-only (lang_id dispatches to its Arrow-batched scorer), so
+    profile-on-ingest still runs append-mode with zero extra code.
 
     Returns (id, ws_tokens, bpe_tokens, n_chars, quality, fingerprint,
     n_email, n_phone, n_ipv4, pred_lang)."""
     from .text import (fingerprint_col, lang_id, quality_col,
                        token_count_cols)
+    if not df.isStreaming:
+        # single-split small inputs would run every fused signal on one
+        # core; spread before the signal expressions (no-op at real scale
+        # where the scan already offers >= cores splits)
+        par = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
     c = F.col(text_col)
     sigs = df.select(F.col(id_col), c,
                      *token_count_cols(c), quality_col(c),

@@ -185,7 +185,11 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     CODEBOOK WITH THE CORPUS: within-cell work is quadratic in cell size,
     so the centroid count must grow ~linearly with rows to keep cells
     bounded (e.g. one cell per ~500 vectors; a fixed codebook measured
-    37x wall at 10x rows). Pairs whose
+    37x wall at 10x rows). That sizing law makes THIS flat literal argmin
+    O(n * cells * dim) — fine for dimension-table-sized codebooks, the
+    wrong economics past that: use semdedup_pairs_hier (two-level
+    assignment, sub-codebooks as a joined table) once cells outgrow a few
+    hundred. Pairs whose
     members straddle cells are sacrificed by design; recall vs the exact
     verifier is measured in tests/test_ivf.py.
 
@@ -197,6 +201,13 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
             .withColumn("n", _norm(F.col("v")))
             .withColumn("cell",
                         F.element_at(_dist_structs("v", centroids), 1)["cell"]))
+    return _cell_pairs(base, id_col, tau)
+
+
+def _cell_pairs(base: DataFrame, id_col: str, tau: float) -> DataFrame:
+    """Within-cell cosine pairs over (id, v, n, cell): ONE equi-join on
+    cell, id_a < id_b, threshold tau — shared by the flat and hierarchical
+    SemDeDup faces."""
     left = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
                        F.col("n").alias("na"), "cell")
     right = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
@@ -208,6 +219,99 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
                         / (F.col("na") * F.col("nb")))
             .where(F.col("cosine") >= tau)
             .select("cell", "id_a", "id_b", "cosine"))
+
+
+def route_sub_codebook(df: DataFrame, vec_col: str, id_col: str,
+                       coarse: list[tuple[int, list[float]]],
+                       k2: int) -> DataFrame:
+    """Per-route sub-codebooks derived FROM THE DATA: route every row to
+    its nearest coarse centroid (map-only literal argmin over K1), then
+    take each route's k2 smallest-id members as that route's sub-centroids
+    — the seed-row idiom applied per route, so the construction stays
+    deterministic and oracle-expressible. Returns (route,
+    cb: array<struct<cell, cv>>) with one row per non-empty route; cell
+    ids are member row ids, globally unique across routes.
+
+    This is the round-5 fix for the flat-codebook economics: the SemDeDup
+    sizing law (cells must grow ~linearly with rows to bound within-cell
+    quadratic work) made the flat literal argmin O(n * cells * dim). Two
+    levels make total cells C = K1 * k2 at O((K1 + k2) * dim) per row, and
+    the sub-codebook is a TABLE — joined (AQE broadcasts it while it fits,
+    shuffles on route past that), never a plan literal, so C can keep
+    scaling. Deeper hierarchies compose the same way (route again within a
+    route)."""
+    routed = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+              .withColumn("route",
+                          F.element_at(_dist_structs("v", coarse),
+                                       1)["cell"]))
+    w = Window.partitionBy("route").orderBy(F.col(id_col).asc())
+    return (routed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k2)
+            .groupBy("route")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col(id_col).cast("long").alias("cell"),
+                F.col("v").alias("cv")))).alias("cb")))
+
+
+def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
+                      coarse: list[tuple[int, list[float]]],
+                      subs: DataFrame) -> DataFrame:
+    """(id, v, route, cell): two-level assignment — coarse route via the
+    literal argmin, then argmin over the route's sub-codebook COLUMN
+    (delivered by the equi-join on route; same (distance, cell) struct-sort
+    tie-break, same zip_with/aggregate float summation order as the
+    literal path and the DuckDB twin)."""
+    routed = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+              .withColumn("route",
+                          F.element_at(_dist_structs("v", coarse),
+                                       1)["cell"]))
+    joined = routed.join(subs, "route")
+    best = F.element_at(F.array_sort(F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col("v"), c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, b: a + b).alias("d"),
+            c["cell"].alias("cell")))), 1)["cell"]
+    return joined.select(F.col(id_col), "v", "route", best.alias("cell"))
+
+
+def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
+                        coarse: list[tuple[int, list[float]]],
+                        k2: int, tau: float) -> DataFrame:
+    """Hierarchical SemDeDup pairs: two-level cell assignment
+    (route_sub_codebook / assign_cells_hier), then the same within-cell
+    cosine pair join as semdedup_pairs. Returns (cell, id_a, id_b, cosine)
+    with id_a < id_b.
+
+    Scale contract: per-row assignment cost O((K1 + k2) * dim) with total
+    cells K1 * k2 — size BOTH levels with the corpus (K1 ~ k2 ~ sqrt(n /
+    target_cell_size)) and neither the literal expression nor the joined
+    codebook grows linearly in n."""
+    assigned = assign_cells_hier(df, vec_col, id_col, coarse,
+                                 route_sub_codebook(df, vec_col, id_col,
+                                                    coarse, k2))
+    base = assigned.withColumn("n", _norm(F.col("v")))
+    return _cell_pairs(base, id_col, tau)
+
+
+def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
+                        coarse: list[tuple[int, list[float]]],
+                        k2: int, tau: float) -> DataFrame:
+    """Greedy survivor set over the hierarchical cells (min-id
+    representative, same policy as semdedup_apply). Returns (id, cell,
+    kept)."""
+    assigned = assign_cells_hier(df, vec_col, id_col, coarse,
+                                 route_sub_codebook(df, vec_col, id_col,
+                                                    coarse, k2))
+    base = assigned.withColumn("n", _norm(F.col("v")))
+    dropped = (_cell_pairs(base, id_col, tau)
+               .select(F.col("id_b").alias(id_col)).distinct())
+    return (base.select(id_col, "cell")
+            .join(dropped.withColumn("_drop", F.lit(True)),
+                  id_col, "left")
+            .select(F.col(id_col), F.col("cell"),
+                    F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")))
 
 
 def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,

@@ -1361,6 +1361,86 @@ def _oracle_semdedup(which: str) -> str:
       FROM assign v"""
 
 
+HIER_COARSE_IDS = list(range(0, 480, 120))  # K1 = 4 coarse routes
+HIER_SUB_K = 4             # k2 = 4 data-derived sub-cells per route
+
+
+def q_o56_semdedup_hier_pairs(spark, sf_dir):
+    """Hierarchical SemDeDup pairs (ivf.semdedup_pairs_hier): coarse
+    literal routing + per-route sub-codebooks delivered by a JOIN — total
+    cells K1*k2 = 16 (comparable to o44's flat 16) at O(K1 + k2) per-row
+    assignment cost instead of O(cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
+    out = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse,
+                                  HIER_SUB_K, SEMDEDUP_TAU)
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      "id_a", "id_b",
+                      F.round("cosine", ROUND).alias("cosine"))
+
+
+def q_o57_semdedup_hier_apply(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
+    out = ivf.semdedup_apply_hier(emb, "embedding", "vec_id", coarse,
+                                  HIER_SUB_K, SEMDEDUP_TAU)
+    return out.select("vec_id", F.col("cell").cast("bigint").alias("cell"),
+                      "kept")
+
+
+def _oracle_semdedup_hier(which: str) -> str:
+    """Twin of the two-level assignment: coarse route by nearest seed
+    centroid, sub-seeds = each route's HIER_SUB_K smallest-id members,
+    final cell by nearest sub-seed (ties (distance, id) ascending, both
+    levels) — then the same within-cell pair join as _oracle_semdedup."""
+    cids = ", ".join(map(str, HIER_COARSE_IDS))
+    diffc = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqdc = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> {diffc} * {diffc}))")
+    diffs = "(CAST(e.embedding[i] AS DOUBLE) - CAST(cs.embedding[i] AS DOUBLE))"
+    sqds = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> {diffs} * {diffs}))")
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    base = f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      dr AS (SELECT e.vec_id, c.cid, {sqdc} AS sd FROM embeddings e, cent c),
+      route AS (SELECT vec_id, cid AS route
+                FROM (SELECT vec_id, cid, row_number() OVER
+                        (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                      FROM dr) WHERE rn = 1),
+      sub_seed AS (SELECT route, vec_id AS scid
+                   FROM (SELECT route, vec_id, row_number() OVER
+                           (PARTITION BY route ORDER BY vec_id ASC) AS rn
+                         FROM route) WHERE rn <= {HIER_SUB_K}),
+      d2 AS (SELECT r.vec_id, s.scid, {sqds} AS sd
+             FROM route r
+             JOIN embeddings e ON e.vec_id = r.vec_id
+             JOIN sub_seed s ON s.route = r.route
+             JOIN embeddings cs ON cs.vec_id = s.scid),
+      assign AS (SELECT vec_id, scid::BIGINT AS cell
+                 FROM (SELECT vec_id, scid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY sd ASC, scid ASC) AS rn
+                       FROM d2) WHERE rn = 1),
+      pairs AS (
+        SELECT la.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+               {dot} / ({na} * {nb}) AS cos
+        FROM embeddings a JOIN assign la ON la.vec_id = a.vec_id
+             JOIN assign lb ON lb.cell = la.cell
+             JOIN embeddings b ON b.vec_id = lb.vec_id
+        WHERE a.vec_id < b.vec_id
+          AND {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU})"""
+    if which == "pairs":
+        return base + f"""
+      SELECT cell, id_a, id_b, round(cos, {ROUND}) AS cosine FROM pairs"""
+    return base + """
+      SELECT v.vec_id, v.cell,
+             (v.vec_id NOT IN (SELECT id_b FROM pairs)) AS kept
+      FROM assign v"""
+
+
 def q_o42_kmv_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return sketches.kmv_distinct(li, SKETCH_GROUP, SKETCH_VALUE, KMV_K)
@@ -1419,6 +1499,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o43_hll_distinct": q_o43_hll_distinct,
     "o44_semdedup_pairs": q_o44_semdedup_pairs,
     "o45_semdedup_apply": q_o45_semdedup_apply,
+    "o56_semdedup_hier_pairs": q_o56_semdedup_hier_pairs,
+    "o57_semdedup_hier_apply": q_o57_semdedup_hier_apply,
     "o46_line_dedup": q_o46_line_dedup,
     "o47_bloom_semi_join": q_o47_bloom_semi_join,
     "o48_approx_quantiles": q_o48_approx_quantiles,
@@ -1503,6 +1585,8 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),
     "o44_semdedup_pairs": _oracle_semdedup("pairs"),
     "o45_semdedup_apply": _oracle_semdedup("apply"),
+    "o56_semdedup_hier_pairs": _oracle_semdedup_hier("pairs"),
+    "o57_semdedup_hier_apply": _oracle_semdedup_hier("apply"),
     "o46_line_dedup": _oracle_line_dedup(),
     "o47_bloom_semi_join": _oracle_bloom_semi_join(),
     "o48_approx_quantiles": stats.sql_approx_group_quantiles(

@@ -338,101 +338,301 @@ def bpe_token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _profile_re(trigrams: list[str]) -> str:
-    """One alternation regex per language — a single regexp_count call in
-    either engine. re.escape semantics are shared by Java regex and RE2 for
-    the characters the seeds contain."""
-    return "(" + "|".join(_re.escape(t) for t in trigrams) + ")"
+def _parse_char_ranges(spec: str) -> list[tuple[int, int]]:
+    """'a-zà-ÿ' / '぀-ヿ' style range literal -> [(lo_cp, hi_cp), ...]."""
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < len(spec):
+        if i + 2 < len(spec) and spec[i + 1] == "-":
+            out.append((ord(spec[i]), ord(spec[i + 2])))
+            i += 3
+        else:
+            out.append((ord(spec[i]), ord(spec[i])))
+            i += 1
+    return out
+
+
+SCRIPT_INTERVALS: list[tuple[str, list[tuple[int, int]]]] = [
+    (lang, _parse_char_ranges(rng)) for lang, rng in SCRIPT_RANGES]
+LATIN_INTERVALS: list[tuple[int, int]] = \
+    _parse_char_ranges(LATIN_LETTER_RE.strip("[]"))
+
+
+def _build_gram_table() -> list[tuple[str, str, int, int]]:
+    """(gram, lang, weight, priority) — every profile pattern (curated
+    marker, unique trigram, shared trigram) as one weighted row, weights
+    pre-summed per (gram, lang); priority = LANG_PROFILES position (the
+    argmax tie-break). ~700 rows — a broadcast dimension, not a plan
+    literal fan."""
+    acc: dict[tuple[str, str], int] = {}
+    prio = {p[0]: i for i, p in enumerate(LANG_PROFILES)}
+    for lang, markers, uniq, shared in LANG_PROFILES:
+        for tier, w in ((markers, W_MARKER), (uniq, W_UNIQ), (shared, W_SHARED)):
+            for g in tier:
+                acc[(g, lang)] = acc.get((g, lang), 0) + w
+    return sorted((g, l, w, prio[l]) for (g, l), w in acc.items())
+
+
+GRAM_TABLE: list[tuple[str, str, int, int]] = _build_gram_table()
+GRAM_LENGTHS: list[int] = sorted({len(g) for g, _, _, _ in GRAM_TABLE})
+
+
+def _lang_norm_col(text_col: str):
+    """Shared normalization: lower, collapse whitespace, pad one space each
+    side so word-edge markers fire at string boundaries."""
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.lower(F.coalesce(F.col(text_col),
+                                                   F.lit(""))),
+                                r"\s+", " ")),
+        F.lit(" "))
+
+
+def _cp_in(cp, intervals: list[tuple[int, int]]):
+    cond = F.lit(False)
+    for lo, hi in intervals:
+        cond = cond | ((cp >= F.lit(lo)) & (cp <= F.lit(hi)))
+    return cond
+
+
+def _script_count(cps, intervals: list[tuple[int, int]]):
+    """One-arg lambda via closure: PySpark inspects lambda arity, so a
+    defaulted second argument would be (mis)read as the array index."""
+    return F.size(F.filter(cps, lambda cp: _cp_in(cp, intervals)))
+
+
+def _gram_rows(norm: DataFrame, id_col: str) -> DataFrame:
+    """(id, gram) — one row per (position, profile-length) window of the
+    normalized text column ``_t``. Formulated as two Generate stages with
+    plain substring projections so the whole fan-out stays inside
+    WholeStageCodegen: higher-order-function lambdas are interpreted
+    per-element and measured ~10x slower here. Windows that would run past
+    the end of the string come back truncated from substring; the length
+    filter drops them (a truncated window must not alias a shorter
+    tier's gram)."""
+    lengths_arr = F.array(*[F.lit(L) for L in GRAM_LENGTHS])
+    pos_rows = norm.select(
+        F.col(id_col).alias("_id"), F.col("_t"),
+        F.explode(F.sequence(F.lit(1), F.length("_t"))).alias("_pos"))
+    win_rows = pos_rows.select(
+        "_id",
+        F.posexplode(F.array(*[
+            F.substring(F.col("_t"), F.col("_pos"), F.lit(L))
+            for L in GRAM_LENGTHS])).alias("_i", "gram"))
+    return (win_rows
+            .where(F.length("gram")
+                   == F.element_at(lengths_arr, F.col("_i") + 1))
+            .select("_id", "gram"))
+
+
+
+
+PY_GRAM_LOOKUP: dict[str, list[tuple[int, str, int]]] = {}
+for _g, _l, _w, _p in GRAM_TABLE:
+    PY_GRAM_LOOKUP.setdefault(_g, []).append((_p, _l, _w))
+
+
+def py_lang_score(text: str | None) -> str:
+    """Pure-Python twin of lang_id's per-document decision — same constants,
+    same normalization, same all-positions window counting, same argmax
+    tie-break. Serves two roles: the Arrow-batched scorer behind the
+    STREAMING face of lang_id (per-row work, no aggregation, so append-mode
+    streams stay legal), and an independent oracle for the declarative
+    batch path (tests/test_langid.py pins batch == python on the held-out
+    fixture)."""
+    t = " " + _re.sub(r"\s+", " ", (text or "").lower().strip()) + " "
+    lat = 0
+    sc = [0] * len(SCRIPT_INTERVALS)
+    for ch in t:
+        cp = ord(ch)
+        for i, (_, iv) in enumerate(SCRIPT_INTERVALS):
+            if any(lo <= cp <= hi for lo, hi in iv):
+                sc[i] += 1
+        if any(lo <= cp <= hi for lo, hi in LATIN_INTERVALS):
+            lat += 1
+    if sum(sc) > lat:
+        for i, (lang, _) in enumerate(SCRIPT_INTERVALS):
+            if sc[i] > 0:
+                return lang
+    scores: dict[str, int] = {}
+    prio: dict[str, int] = {}
+    for L in GRAM_LENGTHS:
+        for i in range(len(t) - L + 1):
+            for p, l, w in PY_GRAM_LOOKUP.get(t[i:i + L], ()):
+                scores[l] = scores.get(l, 0) + w
+                prio[l] = p
+    if not scores:
+        return "und"
+    lang, score = max(scores.items(),
+                      key=lambda kv: (kv[1], -prio[kv[0]]))
+    return lang if score >= UND_MIN_SCORE else "und"
 
 
 def lang_id(df: DataFrame, text_col: str, id_col: str,
             keep: list[str] | None = None) -> DataFrame:
-    """Character-trigram + script-range language ID over 25 languages.
+    """Character-trigram + script-range language ID over 25 languages —
+    single-scan formulation (round 5; the previous version issued ~58
+    regexp_count full-text passes per document, ~24% of the whole bench).
 
-    1. Count characters per non-Latin Unicode script and Latin letters.
-       When script characters outnumber Latin letters, the first script (in
-       SCRIPT_RANGES priority order — kana before han, hangul before han)
-       with a nonzero count decides.
-    2. Otherwise score each Latin language as the weighted hit count of its
-       three pattern tiers (curated markers >> unique trigrams > shared
-       trigrams — one alternation regexp per tier); argmax wins, ties
-       broken by LANG_PROFILES order; 'und' when nothing matches. Text is
-       whitespace-normalized and space-padded so word-boundary markers fire
-       at string edges.
+    1. Script decision: per-character code points (one split, no regex)
+       counted against the SCRIPT_RANGES / Latin intervals via array
+       filters — when script characters outnumber Latin letters, the first
+       script (priority order: kana before han, hangul before han) with a
+       nonzero count decides.
+    2. Latin scoring: every substring window whose length occurs in the
+       profile table (GRAM_LENGTHS) is exploded ONCE and equi-joined
+       against the broadcast (gram, lang, weight) dimension — curated
+       markers weigh W_MARKER, unique trigrams W_UNIQ, shared trigrams
+       W_SHARED, every occurrence counted (overlaps included). Per-doc
+       per-lang sums are combined map-side, so the shuffle carries at most
+       one thin row per (doc, matched language); argmax wins, ties broken
+       by LANG_PROFILES order, 'und' below UND_MIN_SCORE.
 
-    Pure column expressions; the DuckDB twin (sql_lang_id) is generated
-    from the same profile constants, so results are bit-comparable.
-    Held-out accuracy is measured in tests/test_langid.py (48/48 on the
-    fixture at ship time).
+    At scale this is: one text scan for the script/keep projection, one
+    text scan for the window explode (broadcast hash join, partial agg),
+    one doc-keyed join of thin rows — versus 58 regex NFA passes. The
+    DuckDB twin (sql_lang_id) is generated from the same constants, so
+    results stay bit-comparable; held-out accuracy is pinned in
+    tests/test_langid.py.
 
-    `keep` columns pass through both projection stages untouched, so fused
-    pipelines (document_profile) carry other per-row signals through the
-    scoring select without a join."""
+    `keep` columns pass through untouched so fused pipelines
+    (document_profile) carry other per-row signals alongside.
+
+    STREAMING input dispatches to the Arrow-batched py_lang_score face
+    (map-only, append-safe): per-document scoring is per-row work, but the
+    declarative formulation expresses it as a groupBy that unwatermarked
+    append streams reject. Identical semantics from the same constants —
+    the batch/stream parity test in tests/test_corpus.py cross-checks the
+    two implementations."""
     keep = keep or []
-    c = F.concat(F.lit(" "),
-                 F.trim(F.regexp_replace(F.lower(F.col(text_col)),
-                                         r"\s+", " ")),
-                 F.lit(" "))
-    script_cols = [F.regexp_count(c, F.lit(f"[{rng}]")).alias(f"s_{lang}")
-                   for lang, rng in SCRIPT_RANGES]
-    latin = F.regexp_count(c, F.lit(LATIN_LETTER_RE)).alias("s_latin")
-    hit_cols = []
-    for lang, markers, uniq, shared in LANG_PROFILES:
-        score = sum((
-            W_MARKER * F.regexp_count(c, F.lit(_profile_re(markers))),
-            W_UNIQ * F.regexp_count(c, F.lit(_profile_re(uniq))),
-            W_SHARED * F.regexp_count(c, F.lit(_profile_re(shared))),
-        ))
-        hit_cols.append(score.alias(f"h_{lang}"))
-    scored = df.select(F.col(id_col), *[F.col(k) for k in keep],
-                       latin, *script_cols, *hit_cols)
+    if df.isStreaming:
+        from pyspark.sql.functions import pandas_udf
 
+        @pandas_udf("string")
+        def _score(texts: pd.Series) -> pd.Series:
+            return texts.map(py_lang_score).astype("object")
+
+        return df.select(F.col(id_col), *[F.col(k) for k in keep],
+                         _score(F.col(text_col)).alias("pred_lang"))
+    # Materialize the normalized text (and its code-point array) as
+    # ATTRIBUTES in their own projections before any higher-order function
+    # touches them: a lambda body re-evaluates captured non-attribute
+    # expressions PER ELEMENT, so windowing directly over the
+    # regexp_replace expression re-normalized the text once per window
+    # (~7 x n_chars times per document — measured 6x slower than the regex
+    # fan it replaced). Reading a bound row field per element is free.
+    norm = df.select(F.col(id_col), *[F.col(k) for k in keep],
+                     _lang_norm_col(text_col).alias("_t"))
+    withcps = norm.select(
+        F.col(id_col), *[F.col(k) for k in keep],
+        F.transform(F.split(F.col("_t"), ""),
+                    lambda ch: F.ascii(ch)).alias("_cps"))
+    cps = F.col("_cps")
+    script_cols = [_script_count(cps, iv).alias(f"s_{lang}")
+                   for lang, iv in SCRIPT_INTERVALS]
+    latin = _script_count(cps, LATIN_INTERVALS).alias("s_latin")
+    base = withcps.select(F.col(id_col), *[F.col(k) for k in keep],
+                          latin, *script_cols)
+
+    spark = df.sparkSession
+    prof = spark.createDataFrame(
+        GRAM_TABLE, "gram string, lang string, w int, prio int")
+    # Window fan-out parallelism: a small compacted parquet input can
+    # arrive as a single split (one row group), which would run the whole
+    # ~|text| x |GRAM_LENGTHS| explode on one core. When the scan offers
+    # fewer partitions than the cluster, spread the slim (id, _t)
+    # projection first; at real scale the input already has >= cores
+    # splits and this branch never fires.
+    slim = norm.select(F.col(id_col), F.col("_t"))
+    par = spark.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < par:
+        slim = slim.repartition(par)
+    grams = _gram_rows(slim, id_col)
+    best = (grams.join(F.broadcast(prof), "gram")
+            .groupBy("_id", "lang", "prio").agg(F.sum("w").alias("score"))
+            .groupBy("_id")
+            .agg(F.max(F.struct(F.col("score"),
+                                (-F.col("prio")).alias("np"),
+                                F.col("lang"))).alias("b"))
+            .select("_id", F.col("b.lang").alias("_best_lang"),
+                    F.col("b.score").alias("_best_score")))
+
+    out = base.join(best, base[id_col] == best["_id"], "left")
     script_total = sum(F.col(f"s_{lang}") for lang, _ in SCRIPT_RANGES)
     script_pred = F.lit("und")
     for lang, _ in reversed(SCRIPT_RANGES):
         script_pred = F.when(F.col(f"s_{lang}") > 0,
                              F.lit(lang)).otherwise(script_pred)
-    max_hits = F.greatest(*[F.col(f"h_{p[0]}") for p in LANG_PROFILES])
-    latin_pred = F.lit("und")
-    for p in reversed(LANG_PROFILES):
-        latin_pred = F.when((F.col(f"h_{p[0]}") == max_hits)
-                            & (max_hits >= UND_MIN_SCORE),
-                            F.lit(p[0])).otherwise(latin_pred)
+    latin_pred = F.when(
+        F.col("_best_score").isNotNull()
+        & (F.col("_best_score") >= UND_MIN_SCORE),
+        F.col("_best_lang")).otherwise(F.lit("und"))
     pred = F.when(script_total > F.col("s_latin"), script_pred) \
             .otherwise(latin_pred)
-    return scored.select(F.col(id_col), *[F.col(k) for k in keep],
-                         pred.alias("pred_lang"))
+    return out.select(F.col(id_col), *[F.col(k) for k in keep],
+                      pred.alias("pred_lang"))
 
 
 def sql_lang_id(table: str, text_col: str, id_col: str) -> str:
-    def q(pattern: str) -> str:
-        return pattern.replace("'", "''")
+    """DuckDB twin of the single-scan lang_id, generated from the same
+    constants: the same normalization, the same code-point interval script
+    counts, the same window explode joined to the same profile VALUES
+    table, the same (score DESC, priority ASC) argmax."""
+    def q(s: str) -> str:
+        return s.replace("'", "''")
 
-    lc = (f"' ' || trim(regexp_replace(lower({text_col}), "
-          f"'\\s+', ' ', 'g')) || ' '")
-    cols = [f"len(regexp_extract_all({lc}, '{q(LATIN_LETTER_RE)}')) AS s_latin"]
-    cols += [f"len(regexp_extract_all({lc}, '[{q(rng)}]')) AS s_{lang}"
-             for lang, rng in SCRIPT_RANGES]
-    for lang, markers, uniq, shared in LANG_PROFILES:
-        cols.append(
-            f"({W_MARKER} * len(regexp_extract_all({lc}, '{q(_profile_re(markers))}'))"
-            f" + {W_UNIQ} * len(regexp_extract_all({lc}, '{q(_profile_re(uniq))}'))"
-            f" + {W_SHARED} * len(regexp_extract_all({lc}, '{q(_profile_re(shared))}'))"
-            f") AS h_{lang}")
+    norm = (f"' ' || trim(regexp_replace(lower(coalesce({text_col}, '')), "
+            f"'\\s+', ' ', 'g')) || ' '")
+
+    def cond(intervals: list[tuple[int, int]]) -> str:
+        return " OR ".join(f"(cp >= {lo} AND cp <= {hi})"
+                           for lo, hi in intervals)
+
+    script_cols = ", ".join(
+        f"len(list_filter(cps, cp -> {cond(iv)})) AS s_{lang}"
+        for lang, iv in SCRIPT_INTERVALS)
+    prof_vals = ", ".join(
+        f"('{q(g)}', '{l}', {w}, {p})" for g, l, w, p in GRAM_TABLE)
+    win_selects = " UNION ALL ".join(
+        f"SELECT _id, substr(t, i::INT, {L}) AS gram FROM lang_norm, "
+        f"LATERAL (SELECT unnest(range(1, greatest(len(t) - {L - 1}, 0) + 1)) "
+        f"AS i) p"
+        for L in GRAM_LENGTHS)
     script_total = " + ".join(f"s_{lang}" for lang, _ in SCRIPT_RANGES)
     script_case = "CASE " + " ".join(
         f"WHEN s_{lang} > 0 THEN '{lang}'" for lang, _ in SCRIPT_RANGES) \
         + " ELSE 'und' END"
-    max_expr = "greatest(" + ", ".join(
-        f"h_{p[0]}" for p in LANG_PROFILES) + ")"
-    latin_case = "CASE " + " ".join(
-        f"WHEN h_{p[0]} = {max_expr} AND {max_expr} >= {UND_MIN_SCORE} "
-        f"THEN '{p[0]}'"
-        for p in LANG_PROFILES) + " ELSE 'und' END"
-    return (
-        f"SELECT {id_col}, CASE WHEN ({script_total}) > s_latin "
-        f"THEN {script_case} ELSE {latin_case} END AS pred_lang "
-        f"FROM (SELECT {id_col}, {', '.join(cols)} FROM {table})")
+    return f"""
+      WITH lang_norm AS (
+        SELECT {id_col} AS _id, {norm} AS t FROM {table}
+      ),
+      lang_prof(gram, lang, w, prio) AS (VALUES {prof_vals}),
+      lang_script AS (
+        SELECT _id, len(list_filter(cps, cp -> {cond(LATIN_INTERVALS)}))
+                 AS s_latin, {script_cols}
+        FROM (SELECT _id,
+                     list_transform(string_split(t, ''), ch -> unicode(ch))
+                       AS cps
+              FROM lang_norm)
+      ),
+      lang_wins AS ({win_selects}),
+      lang_scores AS (
+        SELECT _id, lang, prio, sum(w) AS score
+        FROM lang_wins JOIN lang_prof USING (gram)
+        GROUP BY 1, 2, 3
+      ),
+      lang_best AS (
+        SELECT _id, lang AS best_lang, score AS best_score
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY _id ORDER BY score DESC, prio ASC) AS rn
+              FROM lang_scores)
+        WHERE rn = 1
+      )
+      SELECT s._id AS {id_col},
+             CASE WHEN ({script_total}) > s_latin THEN {script_case}
+                  WHEN b.best_score >= {UND_MIN_SCORE} THEN b.best_lang
+                  ELSE 'und' END AS pred_lang
+      FROM lang_script s LEFT JOIN lang_best b USING (_id)"""
 
 
 def quality_col(c):

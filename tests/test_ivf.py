@@ -158,3 +158,110 @@ def test_semdedup_plan_no_cartesian(emb, sd_cents):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical SemDeDup (round 5: two-level assignment, joined sub-codebooks)
+# ---------------------------------------------------------------------------
+
+H_COARSE = list(range(0, 480, 120))   # K1 = 4
+H_SUB_K = 4                           # k2 = 4 -> 16 total cells (== flat)
+
+
+@pytest.fixture(scope="module")
+def h_coarse(emb):
+    return ivf.seed_centroids(emb, "embedding", "vec_id", H_COARSE)
+
+
+def _np_hier_assign(emb_np, coarse, k2):
+    """Independent re-derivation: route -> k2 smallest-id members as
+    sub-seeds -> nearest sub-seed."""
+    routes = _np_assign(emb_np, coarse)
+    members: dict[int, list[int]] = {}
+    for vid, r in sorted(routes.items()):
+        members.setdefault(r, []).append(vid)
+    sub = {r: sorted(ms)[:k2] for r, ms in members.items()}
+    out = {}
+    for vid, v in emb_np.items():
+        seeds = sub[routes[vid]]
+        out[vid] = min(
+            seeds, key=lambda s: (float(np.sum((v - emb_np[s]) ** 2)), s))
+    return out
+
+
+def test_hier_assign_matches_numpy(emb, emb_np, h_coarse):
+    subs = ivf.route_sub_codebook(emb, "embedding", "vec_id", h_coarse,
+                                  H_SUB_K)
+    got = {r["vec_id"]: r["cell"] for r in
+           ivf.assign_cells_hier(emb, "embedding", "vec_id", h_coarse, subs)
+           .select("vec_id", "cell").collect()}
+    want = _np_hier_assign(emb_np, h_coarse, H_SUB_K)
+    assert got == want
+
+
+def test_semdedup_hier_pairs_subset_of_exact(emb, emb_np, h_coarse):
+    from relationaldecomposition_spark.operators import dedup
+
+    sd = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                 H_SUB_K, SD_TAU).toPandas()
+    exact = dedup.embedding_cosine_pairs(emb, "embedding", "vec_id",
+                                         SD_TAU).toPandas()
+    cells = _np_hier_assign(emb_np, h_coarse, H_SUB_K)
+    got = set(zip(sd.id_a, sd.id_b))
+    want = {(a, b) for a, b in zip(exact.id_a, exact.id_b)
+            if cells[a] == cells[b]}
+    assert got == want and len(got) > 0
+
+
+def test_semdedup_hier_recall_comparable_to_flat(emb, sd_cents, h_coarse):
+    """Same total cell count (16): the two-level partition must not cost
+    meaningful recall vs the flat codebook — the round-5 'recall unchanged'
+    gate for swapping in the scalable assignment."""
+    from relationaldecomposition_spark.operators import dedup
+
+    exact = dedup.embedding_cosine_pairs(emb, "embedding", "vec_id",
+                                         SD_TAU).count()
+    flat = ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents,
+                              SD_TAU).count()
+    hier = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                   H_SUB_K, SD_TAU).count()
+    assert exact > 0
+    r_flat, r_hier = flat / exact, hier / exact
+    assert r_hier >= 0.8 * r_flat, (r_flat, r_hier)
+
+
+def test_semdedup_hier_apply_matches_pair_policy(emb, h_coarse):
+    pairs = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                    H_SUB_K, SD_TAU).toPandas()
+    out = ivf.semdedup_apply_hier(emb, "embedding", "vec_id", h_coarse,
+                                  H_SUB_K, SD_TAU).toPandas()
+    dropped = set(pairs.id_b)
+    assert len(out) == emb.count()
+    for r in out.itertuples():
+        assert r.kept == (r.vec_id not in dropped)
+
+
+def test_semdedup_hier_deterministic_under_repartition(emb, h_coarse):
+    a = sorted(map(tuple, ivf.semdedup_pairs_hier(
+        emb, "embedding", "vec_id", h_coarse, H_SUB_K, SD_TAU).collect()))
+    b = sorted(map(tuple, ivf.semdedup_pairs_hier(
+        emb.repartition(7, "vec_id"), "embedding", "vec_id", h_coarse,
+        H_SUB_K, SD_TAU).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_semdedup_hier_plan_no_cartesian_no_literal_codebook(emb, h_coarse):
+    """No cross product anywhere, and the SUB-codebook must arrive via a
+    join, not plan literals: growing k2 must not grow the plan text (the
+    flat path's plan size is linear in cells — the economics the
+    hierarchy fixes)."""
+    p4 = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                 4, SD_TAU) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p4
+    assert "BroadcastNestedLoopJoin" not in p4
+    p32 = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                  32, SD_TAU) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p32) - len(p4)) < 0.05 * len(p4), \
+        (len(p4), len(p32))

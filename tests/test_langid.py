@@ -119,3 +119,16 @@ def test_script_beats_sprinkled_latin(spark):
     out = {r["doc_id"]: r["pred_lang"]
            for r in T.lang_id(df, "text", "doc_id").collect()}
     assert out[1] == "ru" and out[2] == "en"
+
+
+def test_python_scorer_matches_spark(spark, labeled_rows):
+    """py_lang_score (the streaming face's Arrow scorer) must agree with
+    the declarative batch path on every held-out sentence — same constants,
+    same all-positions counting, same tie-breaks."""
+    df = spark.createDataFrame(labeled_rows, ["doc_id", "lang", "text"])
+    got_spark = {r["doc_id"]: r["pred_lang"]
+                 for r in T.lang_id(df, "text", "doc_id").collect()}
+    for i, _, s in labeled_rows:
+        assert T.py_lang_score(s) == got_spark[i], (i, s)
+    assert T.py_lang_score(None) == "und"
+    assert T.py_lang_score("") == "und"

@@ -70,10 +70,10 @@ def test_every_query_has_an_oracle():
     except the documented rows-only set (non-SQL-expressible operators,
     each carrying its value oracle in pytest instead)."""
     from relationaldecomposition_spark.queries import ORACLES, QUERIES
-    ROWS_ONLY_BY_DESIGN = {
-        # true BPE: iterative rank-order merges; value oracle in test_bpe.py
-        "o20_bpe_tokens",
-    }
+    # Round 5: EMPTY — even true BPE (o20) now has a DuckDB twin (the
+    # learned merge table replayed by a recursive CTE); every query
+    # hash-verifies.
+    ROWS_ONLY_BY_DESIGN: set[str] = set()
     assert set(QUERIES) - set(ORACLES) == ROWS_ONLY_BY_DESIGN
     assert not set(ORACLES) - set(QUERIES)
 
