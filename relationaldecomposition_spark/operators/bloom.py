@@ -37,6 +37,8 @@ measured against the exact semi-join in tests/test_bloom.py.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.hashing import (
@@ -120,11 +122,52 @@ def bloom_probe_expr(key_col: str, words: list[int], k: int = 5,
 # Auto-sizing: ~10 bits per build key gives FP ~ 0.9% at k=5.
 BLOOM_BITS_PER_KEY = 10
 BLOOM_MIN_BITS = 1024
+# Plan-literal bitmap ceiling (~1 MiB of int32 words). Auto-sizing grows
+# m_bits with the BUILD side, and a plan literal that grows with data is
+# the wrong economics past dimension scale: the expression tree is copied
+# into every task binary and re-parsed per plan. Beyond the ceiling the
+# SAME bitmap rides an executor broadcast variable instead (see
+# bloom_probe_broadcast) — the dispatch changes delivery, never values.
+BLOOM_LITERAL_MAX_BITS = 8 * 1024 * 1024
+
+
+def bloom_probe_broadcast(df: DataFrame, key_col: str, words: list[int],
+                          k: int = 5, seed: int = BLOOM_SEED) -> Column:
+    """Large-bitmap membership predicate: identical hash family and bitmap
+    as bloom_probe_expr, but the words array is a sparkContext.broadcast
+    numpy vector and the k affine bit-tests run vectorized in an
+    Arrow-batched pandas UDF over the JVM-computed portable 32-bit hash —
+    one int64 per row crosses into Arrow, the bitmap ships to each
+    executor ONCE (not per task binary, not per plan copy). Value-identical
+    to the literal probe by construction (pinned in tests/test_bloom.py);
+    intermediate products stay < 2^62, inside int64."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ..functions.hashing import MERSENNE_P, portable_hash32
+
+    m_bits = len(words) * WORD_BITS
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.asarray(words, dtype=np.int64))
+    params = minhash_params(k, seed)
+
+    @pandas_udf("boolean")
+    def _probe(h: pd.Series) -> pd.Series:
+        wl = bc.value
+        hv = h.to_numpy(dtype=np.int64)
+        ok = np.ones(len(hv), dtype=bool)
+        for a, b in params:
+            p = ((hv * a + b) % MERSENNE_P) % m_bits
+            ok &= ((wl[p // WORD_BITS] >> (p % WORD_BITS)) & 1).astype(bool)
+        return pd.Series(ok)
+
+    return _probe(portable_hash32(F.col(key_col).cast("string")))
 
 
 def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
                     small_key: str, m_bits: int | None = None, k: int = 5,
-                    seed: int = BLOOM_SEED) -> DataFrame:
+                    seed: int = BLOOM_SEED,
+                    literal_max_bits: int = BLOOM_LITERAL_MAX_BITS
+                    ) -> DataFrame:
     """Rows of `big` whose key *may* appear in `small` (no false
     negatives; deterministic false positives at ~(1-e^{-kn/m})^k). NULL
     keys never pass, matching semi-join semantics.
@@ -132,14 +175,24 @@ def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
     m_bits=None (default) sizes the bitmap from the build-side count at
     BLOOM_BITS_PER_KEY — an undersized bitmap saturates silently and the
     "filter" passes everything. Pass explicit m_bits only when a
-    cross-engine oracle needs a data-independent constant."""
+    cross-engine oracle needs a data-independent constant.
+
+    SIZE DISPATCH: bitmaps up to `literal_max_bits` ride the plan as one
+    parsed literal (zero-copy map-only probe, DuckDB-twin-able); larger
+    builds switch to the broadcast-variable + vectorized-Arrow probe —
+    same bitmap, same surviving rows, different delivery. Builds so large
+    that even ~10 bits/key is unaffordable should shrink to a budget
+    (higher FP rate) or fall back to a shuffle semi-join."""
     if m_bits is None:
         n = small.where(F.col(small_key).isNotNull()).count()
         m_bits = max(BLOOM_MIN_BITS,
                      -(-(n * BLOOM_BITS_PER_KEY) // WORD_BITS) * WORD_BITS)
     words = bloom_build(small, small_key, m_bits, k, seed)
-    return big.where(F.col(big_key).isNotNull()
-                     & bloom_probe_expr(big_key, words, k, seed))
+    if m_bits <= literal_max_bits:
+        probe = bloom_probe_expr(big_key, words, k, seed)
+    else:
+        probe = bloom_probe_broadcast(big, big_key, words, k, seed)
+    return big.where(F.col(big_key).isNotNull() & probe)
 
 
 def sql_bloom_semi_join(big_table: str, big_key: str, small_table: str,

@@ -120,3 +120,47 @@ def test_auto_sized_bitmap_fp_rate(spark, li, small):
             -(-(n * bloom.BLOOM_BITS_PER_KEY) // 32) * 32)
     theory = (1.0 - math.exp(-K * n / m)) ** K
     assert fp <= max(3 * theory, 0.05), (fp, theory, m)
+
+
+# ---------------------------------------------------------------------------
+# size dispatch (round 5): literal plan bitmap vs broadcast-variable bitmap
+# ---------------------------------------------------------------------------
+
+def test_broadcast_probe_value_identical_to_literal(spark, li, small):
+    """Forcing the broadcast path (literal_max_bits=0) must keep the
+    surviving row set BIT-IDENTICAL to the literal path at the same
+    m_bits/k/seed — the dispatch changes delivery, never values."""
+    lit_rows = sorted(r["l_orderkey"] for r in bloom.bloom_semi_join(
+        li, "l_orderkey", small, "o_orderkey", m_bits=M_BITS, k=K)
+        .select("l_orderkey").collect())
+    bc_rows = sorted(r["l_orderkey"] for r in bloom.bloom_semi_join(
+        li, "l_orderkey", small, "o_orderkey", m_bits=M_BITS, k=K,
+        literal_max_bits=0).select("l_orderkey").collect())
+    assert lit_rows == bc_rows and len(lit_rows) > 0
+
+
+def test_broadcast_probe_no_false_negatives(spark, li, small):
+    got = set(r["l_orderkey"] for r in bloom.bloom_semi_join(
+        li, "l_orderkey", small, "o_orderkey", m_bits=M_BITS, k=K,
+        literal_max_bits=0).select("l_orderkey").collect())
+    want = set(r["l_orderkey"] for r in
+               li.join(small, li.l_orderkey == small.o_orderkey,
+                       "left_semi").select("l_orderkey").collect())
+    assert want <= got
+
+
+def test_dispatch_threshold_picks_literal_for_small_builds(spark, li, small):
+    """Default ceiling: a dimension-sized build stays on the literal path
+    (plan contains the parsed bitmap array, no Python evaluation)."""
+    plan = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                 m_bits=M_BITS, k=K) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dispatch_threshold_picks_broadcast_for_large_builds(spark, li,
+                                                             small):
+    plan = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                 m_bits=M_BITS, k=K, literal_max_bits=0) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
