@@ -500,12 +500,12 @@ def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+                       F.lit(0.0), lambda acc, e: acc + e)
 
 
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+                              F.lit(0.0), lambda acc, e: acc + e))
 
 
 def embedding_cosine_pairs(df: DataFrame, vec_col: str, id_col: str,

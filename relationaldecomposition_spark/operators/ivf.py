@@ -43,6 +43,15 @@ def _as_double(vec_col: str) -> Column:
     return F.transform(F.col(vec_col), lambda x: x.cast("double"))
 
 
+def _fresh(df: DataFrame) -> DataFrame:
+    """Re-project a caller-provided frame through fresh UnresolvedAttributes
+    (`select("*")` would short-circuit to the cached analyzed plan). One
+    layer of the self-join-safety recipe — see _flat_base for the bug this
+    family works around; Catalyst collapses the extra projection, so the
+    physical plan is unchanged."""
+    return df.select(*[F.col(c) for c in df.columns])
+
+
 def seed_centroids(df: DataFrame, vec_col: str, id_col: str,
                    centroid_ids: list[int]) -> list[tuple[int, list[float]]]:
     """Codebook from fixed seed rows: [(cell_id, vector)] where cell_id IS
@@ -63,18 +72,29 @@ def _dist_structs(vname: str, centroids: list[tuple[int, list[float]]]) -> Colum
     cell id) — struct field order gives the deterministic tie-break.
 
     The codebook is embedded as ONE parsed SQL literal (array of (cell,
-    vector) structs) + a transform, not n_cells·dim Python-built literal
-    nodes — same construction-cost fix as similarity._bucket_sql, same
-    float semantics (zip_with squared-diff, left-to-right aggregate add —
-    the same summation order as DuckDB's list_sum, bit-for-bit)."""
-    cents = "array(" + ",".join(
+    vector) structs), not n_cells·dim Python-built literal nodes — same
+    construction-cost fix as similarity._bucket_sql, same float semantics
+    (zip_with squared-diff, left-to-right aggregate add — the same
+    summation order as DuckDB's list_sum, bit-for-bit).
+
+    The distance lambdas are built with the PYTHON HOF API over that
+    parsed constant, never F.expr-parsed: a fully parsed lambda tree
+    (`transform(..., c -> aggregate(zip_with(v, ...)))`) holds resolved
+    outer references that DeduplicateRelations fails to rewrite inside
+    LambdaFunction nodes — self-joining any frame carrying such a column
+    dies at runtime with [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND] "Could not
+    find v#N" once the source has been analyzed before (semdedup_pairs
+    after a prior count was the repro). API-built lambdas re-resolve
+    cleanly; the parsed part is a pure literal with no references."""
+    cents = F.expr("array(" + ",".join(
         f"named_struct('cell', {int(cid)}, 'cv', "
         f"array({','.join(repr(float(x)) + 'D' for x in c)}))"
-        for cid, c in centroids) + ")"
-    return F.expr(
-        f"array_sort(transform({cents}, c -> named_struct('d', "
-        f"aggregate(zip_with({vname}, c.cv, (x, y) -> (x - y) * (x - y)), "
-        f"0.0D, (a, b) -> a + b), 'cell', c.cell)))")
+        for cid, c in centroids) + ")")
+    v = F.col(vname)
+    return F.array_sort(F.transform(cents, lambda c: F.struct(
+        F.aggregate(F.zip_with(v, c["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, b: a + b).alias("d"),
+        c["cell"].alias("cell"))))
 
 
 def assign_cells(df: DataFrame, vec_col: str, id_col: str,
@@ -193,24 +213,61 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     members straddle cells are sacrificed by design; recall vs the exact
     verifier is measured in tests/test_ivf.py.
 
-    Plan: map-only assignment (codebook literals), ONE shuffle on cell for
-    the self-join, no window. Returns (cell, id_a, id_b, cosine) with
-    id_a < id_b.
+    Plan: map-only assignment (codebook literals) materialized as a THIN
+    (id, cell) localCheckpoint — 16 bytes/row, joined back onto the
+    vectors — then ONE shuffle on cell for the self-join, no window.
+    Returns (cell, id_a, id_b, cosine) with id_a < id_b. (The checkpoint
+    is also the working member of the self-join workaround family — see
+    _flat_base.)
     """
-    base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    return _cell_pairs(_flat_base(df, vec_col, id_col, centroids),
+                       id_col, tau)
+
+
+def _flat_base(df: DataFrame, vec_col: str, id_col: str,
+               centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(id, v, n, cell) for the flat faces, built SELF-JOIN-SAFE.
+
+    Self-joining a pure projection chain whose lambdas sit directly over
+    an already-analyzed scan dies in Spark 4.1 with [INTERNAL_ERROR_
+    ATTRIBUTE_NOT_FOUND]: DeduplicateRelations regenerates the scan/alias
+    ids of one side but never rewrites references INSIDE LambdaFunction
+    bodies (ZipWith/ArrayAggregate frames in the task stack), so the
+    distance lambdas keep pointing at orphaned ids. Empirically a subtree
+    that contains a JOIN deduplicates cleanly (the hierarchical path never
+    trips this), so the flat base: (1) computes the assignment once and
+    materializes ONLY (id, cell) — an eager localCheckpoint of thin rows,
+    the bytes a shuffle of the same columns would cost; (2) joins it back
+    onto a fresh vector projection. The self-joined subtree then has the
+    join shape, and the literal-argmin lambdas never face relation
+    dedup."""
+    assign = (_fresh(df)
+              .select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("_av"))
+              .select(F.col(id_col),
+                      F.element_at(_dist_structs("_av", centroids),
+                                   1)["cell"].alias("cell"))
+              .localCheckpoint())
+    return (_fresh(df)
+            .select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("v"))
             .withColumn("n", _norm(F.col("v")))
-            .withColumn("cell",
-                        F.element_at(_dist_structs("v", centroids), 1)["cell"]))
-    return _cell_pairs(base, id_col, tau)
+            .join(assign, id_col))
 
 
 def _cell_pairs(base: DataFrame, id_col: str, tau: float) -> DataFrame:
-    """Within-cell cosine pairs over (id, v, n, cell): ONE equi-join on
-    cell, id_a < id_b, threshold tau — shared by the flat and hierarchical
-    SemDeDup faces."""
-    left = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+    """Within-cell cosine pairs over ONE shared (id, v, n, cell) subtree:
+    one equi-join on cell, id_a < id_b, threshold tau — shared by the flat
+    and hierarchical SemDeDup faces. The caller must build `base` over a
+    _fresh()-projected input (see _fresh: self-join relation dedup vs
+    already-analyzed plans); the SHARED subtree matters too — two
+    separately-built structurally-identical sides re-trigger the same
+    lambda-rewrite bug, while one subtree deduplicates consistently."""
+    left = base.select(F.col(id_col).alias("id_a"),
+                       F.col("v").alias("va"),
                        F.col("n").alias("na"), "cell")
-    right = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+    right = base.select(F.col(id_col).alias("id_b"),
+                        F.col("v").alias("vb"),
                         F.col("n").alias("nb"), "cell")
     return (left.join(right, "cell")
             .where(F.col("id_a") < F.col("id_b"))
@@ -288,6 +345,7 @@ def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
     cells K1 * k2 — size BOTH levels with the corpus (K1 ~ k2 ~ sqrt(n /
     target_cell_size)) and neither the literal expression nor the joined
     codebook grows linearly in n."""
+    df = _fresh(df)
     assigned = assign_cells_hier(df, vec_col, id_col, coarse,
                                  route_sub_codebook(df, vec_col, id_col,
                                                     coarse, k2))
@@ -301,6 +359,7 @@ def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
     """Greedy survivor set over the hierarchical cells (min-id
     representative, same policy as semdedup_apply). Returns (id, cell,
     kept)."""
+    df = _fresh(df)
     assigned = assign_cells_hier(df, vec_col, id_col, coarse,
                                  route_sub_codebook(df, vec_col, id_col,
                                                     coarse, k2))
@@ -324,14 +383,11 @@ def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,
 
     One extra distinct + left-anti-shaped join over the pair list; the
     whole pipeline is still two shuffles (cell, then id)."""
-    assigned = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-                .withColumn(
-                    "cell",
-                    F.element_at(_dist_structs("v", centroids), 1)["cell"])
-                .select(id_col, "cell"))
-    dropped = (semdedup_pairs(df, vec_col, id_col, centroids, tau)
+    base = _flat_base(df, vec_col, id_col, centroids)
+    dropped = (_cell_pairs(base, id_col, tau)
                .select(F.col("id_b").alias(id_col)).distinct())
-    return (assigned.join(dropped.withColumn("_drop", F.lit(True)),
-                          id_col, "left")
+    return (base.select(id_col, "cell")
+            .join(dropped.withColumn("_drop", F.lit(True)),
+                  id_col, "left")
             .select(F.col(id_col), F.col("cell"),
                     F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")))

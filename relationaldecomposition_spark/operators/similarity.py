@@ -317,7 +317,7 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
         acc = F.aggregate(
             F.zip_with(F.col(vec_col).cast("array<double>"), sj,
                        lambda x, s: x * s),
-            F.lit(0.0), lambda a, v: a + v)
+            F.lit(0.0), lambda a, e: a + e)
         ys.append(round6(acc * F.lit(scale)))
     return df.select(F.col(id_col), F.array(*ys).alias("y"))
 

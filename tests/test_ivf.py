@@ -265,3 +265,18 @@ def test_semdedup_hier_plan_no_cartesian_no_literal_codebook(emb, h_coarse):
         ._jdf.queryExecution().executedPlan().toString()
     assert abs(len(p32) - len(p4)) < 0.05 * len(p4), \
         (len(p4), len(p32))
+
+
+def test_semdedup_after_prior_evaluation_regression(spark, sd_cents,
+                                                    h_coarse):
+    """Regression (round 5): self-joining pairs over a frame the caller
+    already evaluated used to die with [INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]
+    (relation dedup missing lambda-internal references). The _fresh
+    re-projection must make both faces immune."""
+    from tests.conftest import SF_DIR
+    emb2 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb2.count()  # the trigger: evaluate BEFORE building the self-join
+    assert ivf.semdedup_pairs(emb2, "embedding", "vec_id", sd_cents,
+                              SD_TAU).count() > 0
+    assert ivf.semdedup_pairs_hier(emb2, "embedding", "vec_id", h_coarse,
+                                   H_SUB_K, SD_TAU).count() > 0

@@ -1,0 +1,151 @@
+"""Augment SCALING.json with the larger scale points and the round-5
+flat-vs-hierarchical SemDeDup evidence:
+
+- sf3 (30x sf0.1 rows): full headline bench, single repeat, slope vs sf1
+  and fitted exponent log(t_sf3/t_sf0.1)/log(30) per query.
+- sf10 (100x rows): the heaviest queries only, fitted exponent over the
+  full 100x span.
+- semdedup_hier_vs_flat: at law-sized cell counts (cells ~ rows/500), the
+  flat literal-argmin SemDeDup vs the hierarchical two-level assignment
+  (K1 ~ k2 ~ sqrt(cells)) at the SAME total cell count — wall clock and
+  pair counts, the measured answer to round-4 "What's wrong #4".
+
+Run AFTER tools/bench_scaling.py (which writes the sf0.1/sf1 + skew core).
+
+Usage: python tools/bench_extra_scale.py [--sf3-dir .data/sf3]
+           [--sf10-dir .data/sf10] [--skip-sf3] [--skip-sf10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import run_bench  # noqa: E402
+
+from relationaldecomposition_spark.session import get_spark  # noqa: E402
+
+SF10_QUERIES = ["entropy_batch32", "lsh_dedup", "dedup_pipeline",
+                "sketch_distinct", "bloom_semi", "ivf_topk", "tfidf_topk",
+                "unigram_xent", "incremental_dedup", "semdedup",
+                "pack_sequences", "doc_profile", "curation_e2e"]
+
+SEMDEDUP_TAU = 0.35
+TARGET_CELL = 500  # the documented sizing law: one cell per ~500 vectors
+
+
+def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
+    """One repeat each at the law-sized cell count. Seed ids are spread
+    evenly over the id space so both partitions see comparable geometry."""
+    from pyspark.sql import functions as F
+
+    from relationaldecomposition_spark.operators import ivf
+    from relationaldecomposition_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cells = max(4, n // TARGET_CELL)
+    k1 = max(2, int(math.isqrt(cells)))
+    k2 = max(2, -(-cells // k1))        # k1*k2 >= cells
+    step_flat = max(1, n // (k1 * k2))
+    flat_ids = list(range(0, step_flat * (k1 * k2), step_flat))
+    step_coarse = max(1, n // k1)
+    coarse_ids = list(range(0, step_coarse * k1, step_coarse))
+
+    t0 = time.time()
+    cents = ivf.seed_centroids(emb, "embedding", "vec_id", flat_ids)
+    flat_pairs = ivf.semdedup_pairs(emb, "embedding", "vec_id", cents,
+                                    SEMDEDUP_TAU).count()
+    t_flat = time.time() - t0
+
+    t0 = time.time()
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", coarse_ids)
+    hier_pairs = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id",
+                                         coarse, k2, SEMDEDUP_TAU).count()
+    t_hier = time.time() - t0
+
+    return {
+        "rows": n, "cells": k1 * k2, "k1": k1, "k2": k2,
+        "flat_sec": round(t_flat, 3), "hier_sec": round(t_hier, 3),
+        "speedup": round(t_flat / t_hier, 2) if t_hier > 0 else None,
+        "flat_pairs": flat_pairs, "hier_pairs": hier_pairs,
+        "note": ("same total cell count, same tau; flat = literal argmin "
+                 "over all cells (O(n*cells*dim)), hier = coarse literal "
+                 "K1 + per-route joined sub-codebook k2 "
+                 "(O(n*(K1+k2)*dim)). Pair counts differ because the "
+                 "partitions differ; both are the within-cell subset of "
+                 "the exact pair set (tests/test_ivf.py)."),
+    }
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--sf1-dir", default=os.path.join(REPO, ".data", "sf1"))
+    ap.add_argument("--sf3-dir", default=os.path.join(REPO, ".data", "sf3"))
+    ap.add_argument("--sf10-dir", default=os.path.join(REPO, ".data", "sf10"))
+    ap.add_argument("--skip-sf3", action="store_true")
+    ap.add_argument("--skip-sf10", action="store_true")
+    ap.add_argument("--skip-semdedup", action="store_true")
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    args = ap.parse_args(argv)
+
+    with open(args.out) as f:
+        record = json.load(f)
+    t01 = record["sf0.1"]
+    t1 = record.get("sf1", {})
+
+    spark = get_spark("bench-extra-scale")
+
+    if not args.skip_sf3 and os.path.isdir(args.sf3_dir):
+        t3 = run_bench(spark, args.sf3_dir, repeats=1)
+        record["sf3"] = {q: round(v, 3) for q, v in t3.items()}
+        record["slope_sf1_to_sf3"] = {
+            q: round(t3[q] / t1[q], 2) for q in t3 if t1.get(q)}
+        record["fitted_exponent_sf0.1_to_sf3"] = {
+            q: round(math.log(t3[q] / t01[q]) / math.log(30), 2)
+            for q in t3 if t01.get(q) and t3[q] > 0}
+        record["note3"] = (
+            "third scale point: sf3 = 30x sf0.1 rows, single repeat, "
+            "forced-evaluation bench. slope_sf1_to_sf3 is over 3x rows "
+            "(<= ~3 at-most-linear); fitted_exponent is "
+            "log(t_sf3/t_sf0.1)/log(30) (<= ~1.0 at-most-linear across "
+            "the full 30x span).")
+
+    if not args.skip_sf10 and os.path.isdir(args.sf10_dir):
+        t10 = run_bench(spark, args.sf10_dir, repeats=1, only=SF10_QUERIES)
+        record["sf10_spotcheck"] = {
+            "queries": {q: round(v, 3) for q, v in t10.items()},
+            "fitted_exponent_sf0.1_to_sf10": {
+                q: round(math.log(t10[q] / t01[q]) / math.log(100), 2)
+                for q in t10 if t01.get(q) and t10[q] > 0},
+            "note": ("fourth scale point, 100x sf0.1 rows, single repeat, "
+                     "heaviest queries, forced-evaluation bench; exponent "
+                     "= log(t_sf10/t_sf0.1)/log(100), <= ~1.0 is "
+                     "at-most-linear over the full 100x span."),
+        }
+
+    if not args.skip_semdedup:
+        sd = {}
+        for label, d in [("sf1", args.sf1_dir), ("sf10", args.sf10_dir)]:
+            if os.path.isdir(d):
+                sd[label] = _semdedup_flat_vs_hier(spark, d)
+        record["semdedup_hier_vs_flat"] = sd
+
+    spark.stop()
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps({k: record[k] for k in
+                      ("semdedup_hier_vs_flat",) if k in record}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
