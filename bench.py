@@ -58,6 +58,7 @@ import json
 import os
 import re
 import statistics
+import sys
 import time
 
 
@@ -236,8 +237,13 @@ def build_queries(spark, sf_dir: str):
         # sf10 with 8 planes / 780-vector buckets)
         n = emb.count()
         planes = max(8, _m.ceil(_m.log2(max(n, 1) / 200)))
+        # production configuration: the hot-bucket cap engaged (replica-
+        # structured corpora at sf>=3 land identical-direction vectors in
+        # one bucket; uncapped, its pair join is quadratic — same hazard
+        # class as unguarded lsh_dedup, same guard)
         pairs = srp_near_dup_pairs(emb, "embedding", "vec_id", 0.35,
-                                   n_planes=planes, dim=64, n_tables=4)
+                                   n_planes=planes, dim=64, n_tables=4,
+                                   max_bucket=2000)
         _force(apply_dedup(emb, connected_components(pairs), "vec_id"))
 
     def line_dedup_q():
@@ -395,6 +401,7 @@ def run_bench(spark, sf_dir: str, repeats: int = 1,
     queries = build_queries(spark, sf_dir)
     if only is not None:
         queries = {k: queries[k] for k in only}
+    verbose = os.environ.get("SPARK_GRAFT_BENCH_VERBOSE") == "1"
     out: dict[str, float] = {}
     for name, fn in queries.items():
         samples = []
@@ -403,6 +410,9 @@ def run_bench(spark, sf_dir: str, repeats: int = 1,
             fn()
             samples.append(time.time() - t0)
         out[name] = statistics.median(samples)
+        if verbose:
+            print(f"[bench] {sf_dir} {name}: {out[name]:.2f}s",
+                  file=sys.stderr, flush=True)
     return out
 
 

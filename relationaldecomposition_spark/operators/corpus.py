@@ -428,6 +428,79 @@ def sql_vocabulary(table: str, text_col: str, id_col: str,
       LIMIT {top_n}"""
 
 
+PMI_TOP_K = 20
+PMI_MIN_COUNT = 5
+
+
+def bigram_pmi(df: DataFrame, text_col: str, id_col: str,
+               k: int = PMI_TOP_K,
+               min_count: int = PMI_MIN_COUNT) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    PMI(a,b) = log2(p(ab) / (p(a) p(b))) with unigram probabilities over
+    all tokens and bigram probability over all adjacent pairs (Church &
+    Hanks 1990). The phrase-discovery pass of a tokenizer/quality
+    pipeline: high-PMI pairs are multiword units ("new york"), low-PMI
+    frequent pairs are boilerplate.
+
+    Plan shape: one token explode + one shingle explode, each collapsing
+    via map-side-combined counts to vocabulary-sized tables; bigram rows
+    join unigram counts on each word (vocabulary-sized sides); the two
+    corpus totals ride single-row broadcasts (the documented o37/o52/o54
+    idiom). Output ordered by ROUNDED pmi desc then bigram asc and
+    truncated TakeOrdered-style, so the k-boundary is engine-independent
+    (log2 parity with DuckDB is already load-bearing for the entropy
+    oracles). Returns (bigram, n_ab, pmi)."""
+    if k <= 0 or min_count <= 0:
+        raise ValueError("k and min_count must be positive")
+    c = F.col(text_col)
+    uni = (df.select(F.explode(tokens(c)).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    bi = (df.select(F.explode(word_shingles(c, 2)).alias("bigram"))
+          .groupBy("bigram").agg(F.count(F.lit(1)).alias("cab")))
+    tot_u = uni.agg(F.sum("cw").alias("tu"))
+    tot_b = bi.agg(F.sum("cab").alias("tb"))
+    parts = (bi.where(F.col("cab") >= min_count)
+             .withColumn("w1", F.element_at(F.split("bigram", " "), 1))
+             .withColumn("w2", F.element_at(F.split("bigram", " "), 2)))
+    j = (parts
+         .join(uni.select(F.col("w").alias("w1"),
+                          F.col("cw").alias("c1")), "w1")
+         .join(uni.select(F.col("w").alias("w2"),
+                          F.col("cw").alias("c2")), "w2")
+         .crossJoin(F.broadcast(tot_u)).crossJoin(F.broadcast(tot_b)))
+    pmi = F.log2((F.col("cab") / F.col("tb"))
+                 / ((F.col("c1") / F.col("tu"))
+                    * (F.col("c2") / F.col("tu"))))
+    return (j.select("bigram", F.col("cab").cast("bigint").alias("n_ab"),
+                     round6(pmi).alias("pmi"))
+            .orderBy(F.desc("pmi"), F.asc("bigram")).limit(k))
+
+
+def sql_bigram_pmi(table: str, text_col: str, id_col: str,
+                   k: int = PMI_TOP_K,
+                   min_count: int = PMI_MIN_COUNT) -> str:
+    toks = sql_tokens(text_col)
+    sh2 = sql_word_shingles(text_col, 2)
+    return f"""
+      WITH pmi_uni AS (
+        SELECT w, count(*) AS cw
+        FROM (SELECT unnest({toks}) AS w FROM {table}) GROUP BY 1),
+      pmi_bi AS (
+        SELECT bigram, count(*) AS cab
+        FROM (SELECT unnest({sh2}) AS bigram FROM {table}) GROUP BY 1),
+      pmi_tu AS (SELECT sum(cw) AS tu FROM pmi_uni),
+      pmi_tb AS (SELECT sum(cab) AS tb FROM pmi_bi)
+      SELECT bigram, cab::BIGINT AS n_ab,
+             {sql_round6("log2((cab / tb) / "
+                         "((c1.cw / tu) * (c2.cw / tu)))")} AS pmi
+      FROM pmi_bi, pmi_tu, pmi_tb
+      JOIN pmi_uni c1 ON c1.w = split_part(bigram, ' ', 1)
+      JOIN pmi_uni c2 ON c2.w = split_part(bigram, ' ', 2)
+      WHERE cab >= {min_count}
+      ORDER BY pmi DESC, bigram ASC
+      LIMIT {k}"""
+
+
 def corpus_report(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-language corpus report: the fused document_profile rolled up by
     predicted language — document counts, token/char volume, mean quality,

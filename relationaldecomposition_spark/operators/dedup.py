@@ -296,6 +296,33 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
                                     & (F.col("n_batch_hits") == 0)))
 
 
+def band_index_merge(index: DataFrame, new_df: DataFrame, text_col: str,
+                     id_col: str, n_hashes: int = DEFAULT_N_HASHES,
+                     bands: int = DEFAULT_BANDS,
+                     shingle_k: int = DEFAULT_SHINGLE_K,
+                     seed: int = 42) -> DataFrame:
+    """The WRITE-BACK half of the continuous-ingestion loop
+    (incremental_dedup is the probe half): the persisted band index plus
+    the band buckets of the batch's SURVIVORS — documents that
+    incremental_dedup admits (no index hit, first of every batch bucket).
+    Rejected near-duplicates contribute no buckets, so the index never
+    accumulates entries for documents that were dropped.
+
+    Scale shape: the corpus index passes through UNTOUCHED (a union, no
+    re-shingle, no shuffle of the stored side — append the new rows to
+    the bucketed store); new work is batch-sized only (one shingle pass
+    feeding both the probe and the new buckets, one semi-join on the
+    survivor ids). Returns (band, sig, id) like minhash_band_index."""
+    banded = minhash_band_index(new_df, text_col, id_col, n_hashes,
+                                bands, shingle_k, seed)
+    surv = (incremental_dedup(new_df, index, text_col, id_col, n_hashes,
+                              bands, shingle_k, seed, banded=banded)
+            .where(F.col("survives")).select(id_col))
+    new_rows = banded.join(surv, id_col, "left_semi") \
+                     .select("band", "sig", id_col)
+    return index.select("band", "sig", id_col).unionByName(new_rows)
+
+
 def maponly_minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                                n_hashes: int = DEFAULT_N_HASHES,
                                shingle_k: int = DEFAULT_SHINGLE_K,

@@ -191,7 +191,7 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
 
 def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
                    centroids: list[tuple[int, list[float]]],
-                   tau: float) -> DataFrame:
+                   tau: float, max_cell: int | None = None) -> DataFrame:
     """SemDeDup cluster-scoped near-duplicate pairs (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication", arXiv:2303.09540, §2): assign every embedding to its
@@ -221,7 +221,7 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     _flat_base.)
     """
     return _cell_pairs(_flat_base(df, vec_col, id_col, centroids),
-                       id_col, tau)
+                       id_col, tau, max_cell)
 
 
 def _flat_base(df: DataFrame, vec_col: str, id_col: str,
@@ -255,21 +255,47 @@ def _flat_base(df: DataFrame, vec_col: str, id_col: str,
             .join(assign, id_col))
 
 
-def _cell_pairs(base: DataFrame, id_col: str, tau: float) -> DataFrame:
+def _cell_pairs(base: DataFrame, id_col: str, tau: float,
+                max_cell: int | None = None) -> DataFrame:
     """Within-cell cosine pairs over ONE shared (id, v, n, cell) subtree:
     one equi-join on cell, id_a < id_b, threshold tau — shared by the flat
     and hierarchical SemDeDup faces. The caller must build `base` over a
     _fresh()-projected input (see _fresh: self-join relation dedup vs
     already-analyzed plans); the SHARED subtree matters too — two
     separately-built structurally-identical sides re-trigger the same
-    lambda-rewrite bug, while one subtree deduplicates consistently."""
+    lambda-rewrite bug, while one subtree deduplicates consistently.
+
+    `max_cell` is the hot-cell guard (same split idiom as the LSH
+    max_bucket guard): cells above the cap are deterministically split
+    into ceil(size/max_cell) sub-cells by id hash and pairs are generated
+    within sub-cells only — per-cell work drops from size² to
+    ~size·max_cell, sacrificing cross-sub-cell pairs. A replica-structured
+    corpus can land many near-identical vectors in one cell; its uncapped
+    pair join is quadratic in that cell regardless of codebook sizing (the
+    per-pair cosine is a CodegenFallback expression — microseconds each,
+    ruinous at tens of millions of pairs in one task)."""
+    if max_cell is not None:
+        if max_cell <= 0:
+            raise ValueError("max_cell must be positive")
+        counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
+        base = (base.join(counts, "cell")
+                .withColumn(
+                    "_sub",
+                    F.when(F.col("_cn") > max_cell,
+                           F.pmod(F.xxhash64(F.col(id_col)),
+                                  F.ceil(F.col("_cn") / max_cell)
+                                   .cast("long")))
+                    .otherwise(F.lit(0).cast("long")))
+                .drop("_cn"))
+    else:
+        base = base.withColumn("_sub", F.lit(0).cast("long"))
     left = base.select(F.col(id_col).alias("id_a"),
                        F.col("v").alias("va"),
-                       F.col("n").alias("na"), "cell")
+                       F.col("n").alias("na"), "cell", "_sub")
     right = base.select(F.col(id_col).alias("id_b"),
                         F.col("v").alias("vb"),
-                        F.col("n").alias("nb"), "cell")
-    return (left.join(right, "cell")
+                        F.col("n").alias("nb"), "cell", "_sub")
+    return (left.join(right, ["cell", "_sub"])
             .where(F.col("id_a") < F.col("id_b"))
             .withColumn("cosine",
                         _dot(F.col("va"), F.col("vb"))
@@ -335,7 +361,8 @@ def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
 
 def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
-                        k2: int, tau: float) -> DataFrame:
+                        k2: int, tau: float,
+                        max_cell: int | None = None) -> DataFrame:
     """Hierarchical SemDeDup pairs: two-level cell assignment
     (route_sub_codebook / assign_cells_hier), then the same within-cell
     cosine pair join as semdedup_pairs. Returns (cell, id_a, id_b, cosine)
@@ -350,7 +377,7 @@ def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
                                  route_sub_codebook(df, vec_col, id_col,
                                                     coarse, k2))
     base = assigned.withColumn("n", _norm(F.col("v")))
-    return _cell_pairs(base, id_col, tau)
+    return _cell_pairs(base, id_col, tau, max_cell)
 
 
 def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,

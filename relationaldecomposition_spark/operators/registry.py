@@ -1154,6 +1154,58 @@ def q_o50_incremental_dedup(spark, sf_dir):
                                    N_HASHES, BANDS, SHINGLE_K, MINHASH_SEED)
 
 
+def q_o58_bigram_pmi(spark, sf_dir):
+    """Top-k bigram collocations by PMI (corpus.bigram_pmi) — the phrase-
+    discovery pass."""
+    return corpus.bigram_pmi(load_table(spark, sf_dir, "documents"),
+                             "text", "doc_id")
+
+
+def q_o59_band_index_merge(spark, sf_dir):
+    """Write-back half of continuous-ingestion dedup
+    (dedup.band_index_merge): the o50 configuration's corpus index plus
+    the surviving batch docs' buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_half = docs.where(F.col("doc_id") % 2 == 0)
+    new_batch = docs.where(F.col("doc_id") % 2 == 1)
+    idx = dedup.minhash_band_index(corpus_half, "text", "doc_id", N_HASHES,
+                                   BANDS, SHINGLE_K, MINHASH_SEED)
+    out = dedup.band_index_merge(idx, new_batch, "text", "doc_id",
+                                 N_HASHES, BANDS, SHINGLE_K, MINHASH_SEED)
+    return out.select(F.col("band").cast("int").alias("band"), "sig",
+                      F.col("doc_id").cast("bigint").alias("doc_id"))
+
+
+def _oracle_band_index_merge() -> str:
+    """Twin of band_index_merge at the o50 configuration: the corpus
+    half's band rows plus the band rows of batch survivors (the o50
+    survivors predicate inlined)."""
+    return f"""
+      WITH corpus_h AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+      newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+      {_sql_minhash_sig_cte(src="corpus_h", name="sig_c")},
+      {_sql_minhash_sig_cte(src="newb", name="sig_n")},
+      {_sql_band_cte("sig_c", "band_c")},
+      {_sql_band_cte("sig_n", "band_n")},
+      ibk AS (SELECT DISTINCT band, bsig FROM band_c),
+      ih AS (SELECT n.doc_id, count(*) AS n_index_hits
+             FROM band_n n JOIN ibk USING (band, bsig) GROUP BY 1),
+      bmin AS (SELECT band, bsig, min(doc_id) AS m FROM band_n GROUP BY 1, 2),
+      bh AS (SELECT n.doc_id, count(*) AS n_batch_hits
+             FROM band_n n JOIN bmin USING (band, bsig)
+             WHERE n.doc_id > bmin.m GROUP BY 1),
+      surv AS (SELECT d.doc_id FROM newb d
+               LEFT JOIN ih ON d.doc_id = ih.doc_id
+               LEFT JOIN bh ON d.doc_id = bh.doc_id
+               WHERE coalesce(ih.n_index_hits, 0) = 0
+                 AND coalesce(bh.n_batch_hits, 0) = 0)
+      SELECT band::INT AS band, bsig AS sig, doc_id::BIGINT AS doc_id
+      FROM band_c
+      UNION ALL
+      SELECT band::INT AS band, bsig AS sig, doc_id::BIGINT AS doc_id
+      FROM band_n WHERE doc_id IN (SELECT doc_id FROM surv)"""
+
+
 def _sql_band_cte(signame: str, name: str) -> str:
     """CTE `name`: (doc_id, band, bsig) — the LSH banding of `signame`'s
     mh_* rows, shingle-less (sentinel) docs excluded. Mirrors
@@ -1509,6 +1561,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o55_random_projection": q_o55_random_projection,
     "o49_fuzzy_decon": q_o49_fuzzy_decon,
     "o50_incremental_dedup": q_o50_incremental_dedup,
+    "o58_bigram_pmi": q_o58_bigram_pmi,
+    "o59_band_index_merge": q_o59_band_index_merge,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1605,4 +1659,6 @@ OPERATOR_ORACLES: dict[str, str] = {
       FROM rp, (SELECT unnest(range(1, {RP_OUT_DIM + 1})) AS i)""",
     "o49_fuzzy_decon": _oracle_fuzzy_decon(),
     "o50_incremental_dedup": _oracle_incremental_dedup(),
+    "o58_bigram_pmi": corpus.sql_bigram_pmi("documents", "text", "doc_id"),
+    "o59_band_index_merge": _oracle_band_index_merge(),
 }

@@ -788,16 +788,16 @@ _WINDOW_ROUND5: list[str] = [
     "o47_bloom_semi_join", "o48_approx_quantiles", "o49_fuzzy_decon",
     "o50_incremental_dedup", "o53_group_top_values", "o54_unigram_xent",
     "o55_random_projection",
-    # round-5 additions (hierarchical SemDeDup) — never checked by definition
+    # round-5 additions — never checked by definition
     "o56_semdedup_hier_pairs", "o57_semdedup_hier_apply",
+    "o58_bigram_pmi", "o59_band_index_merge",
     # core anchors (one per area; keep the regression baseline comparable)
     "a03_dict_encode", "a07_entropy_single", "a08_entropy_batch",
     "a13_spurious_fold", "a14_spurious_tree", "a19_mvd_measures",
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas", "s01_windowed_counts", "s02_sessionize",
     "s03_user_stats", "s04_stream_enrich",
-    "o03_lsh_pairs", "o07_cosine_topk", "o16_ivf_topk",
-    "o21_dedup_clusters",
+    "o07_cosine_topk", "o16_ivf_topk",
 ]
 
 

@@ -501,3 +501,70 @@ def test_unigram_xent_orders_rarity(spark):
         assert out[did]["xent"] == pytest.approx(r6(sum(lps) / len(ts)),
                                                  abs=1e-9)
         assert out[did]["n_tokens"] == len(ts)
+
+
+class TestBigramPMI:
+    def test_matches_python_rederivation(self, spark):
+        import math
+        from collections import Counter
+
+        texts = ["new york is big", "new york new jersey",
+                 "big data is big", "york new york"]
+        docs = _docs(spark, texts)
+        out = corpus.bigram_pmi(docs, "text", "doc_id", k=10,
+                                min_count=2).collect()
+        toks = [t for s in texts for t in s.split()]
+        uni = Counter(toks)
+        bi = Counter(" ".join(p) for s in texts
+                     for p in zip(s.split(), s.split()[1:]))
+        tu, tb = sum(uni.values()), sum(bi.values())
+        exp = {}
+        for g, cab in bi.items():
+            if cab >= 2:
+                w1, w2 = g.split(" ")
+                pmi = math.log2((cab / tb)
+                                / ((uni[w1] / tu) * (uni[w2] / tu)))
+                exp[g] = (cab, math.floor(pmi * 1e6 + 0.5) / 1e6)
+        got = {r["bigram"]: (r["n_ab"], r["pmi"]) for r in out}
+        assert got == dict(sorted(exp.items(),
+                                  key=lambda kv: (-kv[1][1], kv[0]))[:10])
+        # ordering: rounded pmi desc, bigram asc
+        vals = [(r["pmi"], r["bigram"]) for r in out]
+        assert vals == sorted(vals, key=lambda v: (-v[0], v[1]))
+
+    def test_validates_args(self, spark):
+        import pytest as _pt
+        docs = _docs(spark, ["a b"])
+        with _pt.raises(ValueError):
+            corpus.bigram_pmi(docs, "text", "doc_id", k=0)
+
+
+class TestBandIndexMerge:
+    def test_index_grows_by_survivors_only(self, spark):
+        from relationaldecomposition_spark.operators import dedup as D
+
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark forest tonight")
+        corpus_docs = _docs(spark, [base + f" tail{i}" for i in range(3)])
+        # batch: doc 0 near-dups the corpus, doc 1 is novel
+        batch = spark.createDataFrame(
+            [(100, base + " tail0 extra"),
+             (101, "completely different content about spark catalyst "
+                   "optimizer rules and adaptive query execution planning "
+                   "with shuffle partitions tuned for large clusters")],
+            ["doc_id", "text"])
+        idx = D.minhash_band_index(corpus_docs, "text", "doc_id")
+        inc = {r["doc_id"]: r["survives"] for r in
+               D.incremental_dedup(batch, idx, "text", "doc_id").collect()}
+        merged = D.band_index_merge(idx, batch, "text", "doc_id")
+        idx_rows = {tuple(r) for r in idx.collect()}
+        merged_rows = {tuple(r) for r in merged.collect()}
+        assert idx_rows <= merged_rows
+        new_ids = {r[2] for r in merged_rows - idx_rows}
+        assert new_ids == {i for i, s in inc.items() if s}
+        # a second identical batch now collides with the merged index
+        inc2 = {r["doc_id"]: r["survives"] for r in
+                D.incremental_dedup(
+                    batch.withColumn("doc_id", F.col("doc_id") + 100),
+                    merged, "text", "doc_id").collect()}
+        assert not any(inc2.values())

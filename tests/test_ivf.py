@@ -280,3 +280,23 @@ def test_semdedup_after_prior_evaluation_regression(spark, sd_cents,
                               SD_TAU).count() > 0
     assert ivf.semdedup_pairs_hier(emb2, "embedding", "vec_id", h_coarse,
                                    H_SUB_K, SD_TAU).count() > 0
+
+
+def test_max_cell_guard_subset_and_validation(emb, sd_cents, h_coarse):
+    """Hot-cell split guard: capped pairs are a strict subset of the
+    uncapped within-cell pairs, on both faces; bad cap rejected."""
+    unc = {(r.id_a, r.id_b) for r in ivf.semdedup_pairs(
+        emb, "embedding", "vec_id", sd_cents, SD_TAU).collect()}
+    cap = {(r.id_a, r.id_b) for r in ivf.semdedup_pairs(
+        emb, "embedding", "vec_id", sd_cents, SD_TAU,
+        max_cell=5).collect()}
+    assert cap <= unc and len(cap) < len(unc)
+    unc_h = {(r.id_a, r.id_b) for r in ivf.semdedup_pairs_hier(
+        emb, "embedding", "vec_id", h_coarse, H_SUB_K, SD_TAU).collect()}
+    cap_h = {(r.id_a, r.id_b) for r in ivf.semdedup_pairs_hier(
+        emb, "embedding", "vec_id", h_coarse, H_SUB_K, SD_TAU,
+        max_cell=5).collect()}
+    assert cap_h <= unc_h and len(cap_h) < len(unc_h)
+    with pytest.raises(ValueError):
+        ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU,
+                           max_cell=0).collect()

@@ -39,6 +39,10 @@ SF10_QUERIES = ["entropy_batch32", "lsh_dedup", "dedup_pipeline",
 
 SEMDEDUP_TAU = 0.35
 TARGET_CELL = 500  # the documented sizing law: one cell per ~500 vectors
+MAX_CELL = 2000    # hot-cell split guard, engaged on BOTH faces (replica-
+                   # structured scale data lands near-identical vectors in
+                   # one cell; uncapped, that cell's pair join is quadratic
+                   # for flat and hier alike)
 
 
 def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
@@ -62,13 +66,15 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
     t0 = time.time()
     cents = ivf.seed_centroids(emb, "embedding", "vec_id", flat_ids)
     flat_pairs = ivf.semdedup_pairs(emb, "embedding", "vec_id", cents,
-                                    SEMDEDUP_TAU).count()
+                                    SEMDEDUP_TAU,
+                                    max_cell=MAX_CELL).count()
     t_flat = time.time() - t0
 
     t0 = time.time()
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", coarse_ids)
     hier_pairs = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id",
-                                         coarse, k2, SEMDEDUP_TAU).count()
+                                         coarse, k2, SEMDEDUP_TAU,
+                                         max_cell=MAX_CELL).count()
     t_hier = time.time() - t0
 
     return {
@@ -76,7 +82,9 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
         "flat_sec": round(t_flat, 3), "hier_sec": round(t_hier, 3),
         "speedup": round(t_flat / t_hier, 2) if t_hier > 0 else None,
         "flat_pairs": flat_pairs, "hier_pairs": hier_pairs,
-        "note": ("same total cell count, same tau; flat = literal argmin "
+        "max_cell": MAX_CELL,
+        "note": ("same total cell count, same tau, same hot-cell cap; "
+                 "flat = literal argmin "
                  "over all cells (O(n*cells*dim)), hier = coarse literal "
                  "K1 + per-route joined sub-codebook k2 "
                  "(O(n*(K1+k2)*dim)). Pair counts differ because the "
