@@ -766,38 +766,39 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (CORRECTNESS_r01..r04 each cut off at 50 rows). Rounds 1-4
-# verified the first 50 of the historical order; the 30 queries that landed
-# past the window (the text-analysis / multimodal / sketch / corpus family
-# added in rounds 3-4) had pytest + local-replica oracle coverage but never
-# a driver row. This round those 30 go FIRST, followed by 20 core anchors
-# for cross-round regression coverage; the 31 remaining queries (all green
-# in CORRECTNESS_r04.json) rotate to the back and rotate into the window in
-# a later round. tests/test_registry_window.py pins the invariant: every
-# query is either in the current first-50 window or has a green row in a
-# prior CORRECTNESS file.
-_WINDOW_ROUND5: list[str] = [
-    # never driver-checked before round 5
-    "o09_token_counts", "o10_lang_id", "o11_quality", "o12_fingerprint",
-    "o13_media_features", "o14_frame_sample", "o19_ppm_decode",
-    "o20_bpe_tokens", "o22_dedup_apply", "o27_decontaminate",
-    "o28_pii_redact", "o29_repetition", "o30_tfidf_topk", "o31_ppm_pixels",
-    "o32_doc_profile", "o38_snapshot_diff", "o39_vocabulary",
-    "o41_corpus_report", "o42_kmv_distinct", "o43_hll_distinct",
-    "o44_semdedup_pairs", "o45_semdedup_apply", "o46_line_dedup",
-    "o47_bloom_semi_join", "o48_approx_quantiles", "o49_fuzzy_decon",
-    "o50_incremental_dedup", "o53_group_top_values", "o54_unigram_xent",
-    "o55_random_projection",
-    # round-5 additions — never checked by definition
-    "o56_semdedup_hier_pairs", "o57_semdedup_hier_apply",
-    "o58_bigram_pmi", "o59_band_index_merge",
-    # core anchors (one per area; keep the regression baseline comparable)
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 84
+# registered queries the window rotates each round so that the union of the
+# two most recent CORRECTNESS files always covers every query: round 5
+# verified the 34 previously-unchecked operators, round 6 rotates the 34 it
+# displaced back in (plus a stable anchor set kept in-window every round).
+# tests/test_registry_window.py pins the invariant: every query is either
+# inside the current first-50 window or green in one of the two most recent
+# CORRECTNESS rounds.
+_WINDOW_ROUND6: list[str] = [
+    # the 34 queries rotated OUT of the round-5 window (green in r04 with
+    # unchanged implementations, per the round-5 judge diff-audit) rotate
+    # back in so CORRECTNESS_r06 re-verifies them under the
+    # "r{N} ∪ r{N-1} covers all" bar.
+    "a02_attr_count", "a05_groupby_count_having", "a11_all_entropies",
+    "a12_projection_distinct", "a15_naive_spurious", "a16_distinct_count",
+    "a18_fd_measures", "a20_jd_measures", "a21_decomp_metrics",
+    "a22_sampled_entropy", "a23_mm_entropy",
+    "o01_exact_dedup", "o02_minhash_sigs", "o03_lsh_pairs", "o04_simhash",
+    "o05_ngram_jaccard", "o06_cosine_pairs", "o08_lsh_topk", "o15_ann_topk",
+    "o17_lsh_pairs_guard", "o18_ann_topk_guard", "o21_dedup_clusters",
+    "o23_cosine_lsh_pairs", "o24_asof_join", "o25_doc_chunks",
+    "o26_stratified_sample", "o33_interval_join", "o34_weighted_sample",
+    "o35_group_quantiles", "o36_numeric_profile", "o37_skew_report",
+    "o40_cluster_sizes", "o51_pack_sequences", "o52_rebalance_mixture",
+    # core anchors (kept in-window every round so the regression baseline
+    # stays comparable across CORRECTNESS files)
     "a03_dict_encode", "a07_entropy_single", "a08_entropy_batch",
-    "a13_spurious_fold", "a14_spurious_tree", "a19_mvd_measures",
+    "a13_spurious_fold", "a19_mvd_measures",
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas", "s01_windowed_counts", "s02_sessionize",
     "s03_user_stats", "s04_stream_enrich",
-    "o07_cosine_topk", "o16_ivf_topk",
+    # round-5 flagship anchors
+    "o56_semdedup_hier_pairs", "o58_bigram_pmi", "o20_bpe_tokens",
 ]
 
 
@@ -810,7 +811,11 @@ def _reorder(d: dict, head: list[str]) -> dict:
     return out
 
 
-QUERIES = _reorder(QUERIES, _WINDOW_ROUND5)
+QUERIES = _reorder(QUERIES, _WINDOW_ROUND6)
 # oracle order mirrors query order end-to-end (driver zips them by key, but
 # aligned ordering keeps the artifacts diffable round-over-round)
+_unknown_oracles = set(ORACLES) - set(QUERIES)
+if _unknown_oracles:
+    raise KeyError(
+        f"oracles registered for unknown queries: {sorted(_unknown_oracles)}")
 ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
