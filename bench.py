@@ -23,11 +23,15 @@ beyond-reference pipeline operators:
   - tfidf_topk:      TF-IDF top-k keywords per document (o30)
   - sketch_distinct: KMV + HLL cardinality sketches over lineitem (o42/o43)
   - semdedup:        embedding near-dup dedup, SRP-bucketed linear path
-                     (cells from sign buckets; the seeded-codebook o44/o45
-                     operator is gate-verified but its flat assignment is
-                     O(n*cells) — see the query comment)
+                     with the gram pair kernel (one BLAS matmul per
+                     bucket; see the query comment and operators/gram.py)
   - line_dedup:      corpus-frequency boilerplate line removal (o46)
   - bloom_semi:      auto-sized Bloom bitmap build + map-only probe (o47)
+  - bloom_semi_bc:   Bloom semi-join forced onto the broadcast-variable +
+                     vectorized-Arrow probe (the >8 Mbit size dispatch)
+  - decompose_e2e:   the reference's core deliverable end-to-end: mine
+                     min-sep JDs -> enumerate acyclic schemas -> validate
+                     spurious tuples -> bucketed write of the best schema
   - incremental_dedup: probe-only ingest vs the MinHash band index (o50)
   - pack_sequences:  greedy token-budget packing, per-shard windows (o51)
   - rebalance:       mixture rebalance to target source shares (o52)
@@ -37,10 +41,15 @@ beyond-reference pipeline operators:
                      of the streaming operators)
   - asof_join / interval_join: event-time join operators (o24/o33)
 
-$SPARK_GRAFT_BENCH_REPEATS (default 1): run every query N times and report
+$SPARK_GRAFT_BENCH_REPEATS (default 3): run every query N times and report
 the per-query MEDIAN — this host shows rare 10-20x stalls, so single-sample
 timings produce phantom regressions (BENCH_r02's cosine_topk). The repeats
 run back-to-back per query, so medians are steady-state numbers.
+
+QUERY ORDER IS PART OF THE CONTRACT: the registry dict order below is the
+execution order, and cross-round BENCH comparisons assume it. Append new
+queries at the end; do not reorder existing ones (the round-5 reorder made
+sub-2s medians whipsaw against SCALING's fixed order).
 
   - curation_e2e:    the full curate_corpus composition (dedup -> quality ->
                      decontaminate -> rebalance -> pack) + funnel report
@@ -144,6 +153,37 @@ def build_queries(spark, sf_dir: str):
         miner.mine_all_min_seps()
         miner.eng.unpersist()
 
+    def decompose_e2e():
+        # the reference's core deliverable END-TO-END (round-5 ask #8):
+        # mine min-sep JDs on the denormalized relation -> enumerate
+        # acyclic schemas -> validate candidates' spurious-tuple counts
+        # (Yannakakis count-fold) -> bucketed+sorted write of the best
+        # schema on the join key, so downstream rejoins of the normalized
+        # tables are exchange-free sort-merge joins. Re-join equality of
+        # the written tables is pinned in tests/test_decompose_e2e.py.
+        from relationaldecomposition_spark.engine.decompose import (
+            write_decomposition_bucketed)
+        from relationaldecomposition_spark.schema.acyclic import (
+            AcyclicSchemaEnumerator, validate_schema)
+        miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)),
+                        epsilon=0.0)
+        miner.mine_all_min_seps()
+        v = DecompositionValidator(denorm)
+        best, best_key = None, None
+        for i, schema in enumerate(AcyclicSchemaEnumerator(
+                tuple(denorm.columns), sorted(miner.mined_jds, key=str))):
+            if i >= 3:
+                break
+            info = validate_schema(v, schema)
+            key = (int(info.spurious_tuples), -len(schema.clusters))
+            if best_key is None or key < best_key:
+                best, best_key = schema, key
+        v.close()
+        miner.eng.unpersist()
+        if best is not None:
+            write_decomposition_bucketed(denorm, best.clusters,
+                                         "c_nationkey", "bench_decomp_e2e")
+
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
         _force(lsh_candidate_pairs(docs, "text", "doc_id"))
@@ -217,13 +257,13 @@ def build_queries(spark, sf_dir: str):
 
     def semdedup_q():
         # embedding near-dup dedup at scale: SRP-LSH cells (map-only sign
-        # buckets, O(n * planes * dim)) -> within-cell exact cosine pairs
-        # -> connected components -> min-id survivors. This is the LINEAR
-        # path; the seeded-codebook SemDeDup (o44/o45) stays the
-        # paper-faithful gate operator, but its flat argmin assignment is
-        # O(n * cells) and cells must grow with n to bound within-cell
-        # work, making it O(n^2 / cell_size) however the codebook is
-        # sized (measured 37x fixed / 23x scaled at 10x rows).
+        # buckets, O(n * planes * dim)) -> within-bucket GRAM-KERNEL
+        # cosine pairs (one BLAS matmul per bucket, candidates never
+        # materialize as rows — operators/gram.py) -> connected components
+        # -> min-id survivors. kernel="gram" is the production face: the
+        # expression kernel materialized ~100x more candidate rows than
+        # survivors and scored each with a CodegenFallback expression
+        # (sf10: 360 s -> 54 s measured for this pipeline).
         import math as _m
 
         from relationaldecomposition_spark.operators.dedup import (
@@ -243,7 +283,7 @@ def build_queries(spark, sf_dir: str):
         # class as unguarded lsh_dedup, same guard)
         pairs = srp_near_dup_pairs(emb, "embedding", "vec_id", 0.35,
                                    n_planes=planes, dim=64, n_tables=4,
-                                   max_bucket=2000)
+                                   max_bucket=2000, kernel="gram")
         _force(apply_dedup(emb, connected_components(pairs), "vec_id"))
 
     def line_dedup_q():
@@ -263,6 +303,20 @@ def build_queries(spark, sf_dir: str):
         od = load_table(spark, sf_dir, "orders")
         small = od.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
         _force(bloom_semi_join(li, "l_orderkey", small, "o_orderkey"))
+
+    def bloom_semi_bc():
+        # Bloom semi-join on the BROADCAST-VARIABLE probe path (o47's
+        # >8 Mbit dispatch): build on ALL orders keys and pin
+        # literal_max_bits=0 so every SF measures the vectorized-Arrow
+        # probe's slope (the auto dispatch trips it naturally once the
+        # build side exceeds ~840k keys, i.e. sf>=1; forcing it keeps the
+        # bench curve single-path and comparable across SFs)
+        from relationaldecomposition_spark.operators.bloom import (
+            bloom_semi_join)
+        od = load_table(spark, sf_dir, "orders")
+        _force(bloom_semi_join(li, "l_orderkey",
+                               od.select("o_orderkey"), "o_orderkey",
+                               literal_max_bits=0))
 
     def incremental_dedup_q():
         # probe-only ingest dedup (o50): even doc_ids are the indexed
@@ -382,6 +436,9 @@ def build_queries(spark, sf_dir: str):
         "asof_join": asof_join_q,
         "interval_join": interval_join_q,
         "curation_e2e": curation_e2e,
+        # round-6 additions (appended — see the order contract above)
+        "bloom_semi_bc": bloom_semi_bc,
+        "decompose_e2e": decompose_e2e,
     }
 
 
@@ -418,7 +475,10 @@ def run_bench(spark, sf_dir: str, repeats: int = 1,
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
+    # default 3: sub-2s queries on this host whipsaw 2-3x between rounds on
+    # single samples (round-5 verdict, "what's wrong" #3) — median-of-3
+    # makes BENCH_r{N} deltas attributable to code, not scheduling noise
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 

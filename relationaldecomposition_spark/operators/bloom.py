@@ -153,12 +153,17 @@ def bloom_probe_broadcast(df: DataFrame, key_col: str, words: list[int],
     @pandas_udf("boolean")
     def _probe(h: pd.Series) -> pd.Series:
         wl = bc.value
-        hv = h.to_numpy(dtype=np.int64)
+        # NULL keys hash to NULL: mask them to FALSE (bloom_probe_expr's
+        # null semantics — a null key never passes) instead of letting
+        # to_numpy(int64) raise on NaN when a caller probes nullable keys
+        # directly, outside bloom_semi_join's isNotNull pre-filter.
+        mask = h.notna()
+        hv = h.fillna(0).to_numpy(dtype=np.int64)
         ok = np.ones(len(hv), dtype=bool)
         for a, b in params:
             p = ((hv * a + b) % MERSENNE_P) % m_bits
             ok &= ((wl[p // WORD_BITS] >> (p % WORD_BITS)) & 1).astype(bool)
-        return pd.Series(ok)
+        return pd.Series(ok & mask.to_numpy(dtype=bool))
 
     return _probe(portable_hash32(F.col(key_col).cast("string")))
 

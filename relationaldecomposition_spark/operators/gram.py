@@ -1,0 +1,102 @@
+"""Vectorized within-group cosine pair scoring — the gram-matrix kernel.
+
+The near-dup pipelines (SemDeDup cells, SRP-LSH buckets) all end in the
+same shape: FOR EACH small group of vectors, emit every pair with cosine
+>= tau. The expression path (`ivf._cell_pairs`,
+`similarity.srp_near_dup_pairs`) does this as a self-equi-join on the
+group key plus a per-pair `aggregate(zip_with(...))` cosine — correct,
+oracle-expressible, but the per-pair expression is CodegenFallback
+(microseconds per pair) and the join MATERIALIZES every candidate pair as
+a Spark row before the tau filter. At sf10 that is ~50 M candidate rows
+for ~1.7 M survivors: candidate generation and per-pair scoring dominate
+the whole dedup pipeline (measured 360 s+; round-5 verdict).
+
+This kernel replaces both costs with one BLAS matmul per group:
+`applyInPandas` over the group key; inside the group the vectors become
+one (m x dim) float64 matrix, the full cosine gram C = Xn @ Xn.T is one
+matmul, and only the upper-triangle entries >= tau leave the kernel.
+Candidate pairs are never materialized as rows; per-pair cost drops from
+~10 us (expression) to ~1 ns (BLAS fused multiply-add).
+
+Scale contract (100 TB):
+- ONE shuffle, on the group key — the same shuffle the equi-join needed;
+  the vectors ride it (dim * 8 bytes/row) instead of being joined back.
+- Group size is bounded by the callers' guards (SemDeDup `max_cell`
+  split, LSH `max_bucket` truncation), so the O(m^2) gram is bounded per
+  task. An internal row-block cap additionally bounds kernel memory to
+  ~block * m * 8 bytes even if a caller disables its guard.
+- Determinism: rows are sorted by id inside the group, so the matrix
+  layout — and the BLAS result — is independent of partitioning.
+
+Float caveat: BLAS sums products in SIMD/blocked order, not the
+expression path's strict left-to-right, so cosines can differ from the
+expression/DuckDB value in the last ~ulp. Pairs whose cosine sits within
+~1e-12 of tau may therefore differ between kernels; everywhere else the
+pair sets are identical (pinned by tests/test_gram.py). The expression
+kernel stays the default on the oracle-gated faces for bit-stable
+correctness rows; this kernel is the production scale path.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+_BLOCK_ELEMS = 1 << 25  # ~256 MiB of float64 per gram block, worst case
+
+
+def gram_group_pairs(base: DataFrame, keys: list[str], id_col: str,
+                     vec_col: str, tau: float) -> DataFrame:
+    """Within-group cosine pairs via one gram matmul per group.
+
+    `base` must carry the group key columns, an id column, and a
+    float/double array vector column. Returns (*keys, id_a, id_b, cosine)
+    with id_a < id_b and cosine >= tau; id/key dtypes mirror the input
+    schema. Zero-norm vectors divide to NaN/inf exactly like the
+    expression path (NaN never passes tau; +inf does for both kernels).
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = base.schema[id_col].dataType
+    out = StructType(
+        [StructField(k, base.schema[k].dataType) for k in keys]
+        + [StructField("id_a", id_type), StructField("id_b", id_type),
+           StructField("cosine", DoubleType())])
+    key_cols = list(keys)
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({f.name: pd.Series(dtype=object)
+                                 for f in out.fields})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        x = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+        frames = []
+        block = max(1, min(m, _BLOCK_ELEMS // m))
+        for i0 in range(0, m - 1, block):
+            i1 = min(i0 + block, m)
+            c = xn[i0:i1] @ xn.T                       # (i1-i0, m)
+            bi, bj = np.nonzero(c >= tau)
+            gi = bi + i0
+            keep = bj > gi                             # id_a < id_b only
+            bi, bj, gi = bi[keep], bj[keep], gi[keep]
+            if len(gi):
+                frames.append(pd.DataFrame({
+                    "id_a": ids[gi], "id_b": ids[bj],
+                    "cosine": c[bi, bj]}))
+        if not frames:
+            return pd.DataFrame({f.name: pd.Series(dtype=object)
+                                 for f in out.fields})
+        res = pd.concat(frames, ignore_index=True)
+        for k in key_cols:
+            res[k] = pdf[k].iloc[0]
+        return res[[f.name for f in out.fields]]
+
+    return base.groupBy(*key_cols).applyInPandas(score, out)

@@ -191,7 +191,8 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
 
 def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
                    centroids: list[tuple[int, list[float]]],
-                   tau: float, max_cell: int | None = None) -> DataFrame:
+                   tau: float, max_cell: int | None = None,
+                   kernel: str = "expr") -> DataFrame:
     """SemDeDup cluster-scoped near-duplicate pairs (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
     deduplication", arXiv:2303.09540, §2): assign every embedding to its
@@ -213,15 +214,88 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     members straddle cells are sacrificed by design; recall vs the exact
     verifier is measured in tests/test_ivf.py.
 
-    Plan: map-only assignment (codebook literals) materialized as a THIN
-    (id, cell) localCheckpoint — 16 bytes/row, joined back onto the
-    vectors — then ONE shuffle on cell for the self-join, no window.
-    Returns (cell, id_a, id_b, cosine) with id_a < id_b. (The checkpoint
-    is also the working member of the self-join workaround family — see
-    _flat_base.)
+    Plan (kernel="expr"): map-only assignment (codebook literals)
+    materialized as a THIN (id, cell) localCheckpoint — 16 bytes/row,
+    joined back onto the vectors — then ONE shuffle on cell for the
+    self-join, no window. Returns (cell, id_a, id_b, cosine) with
+    id_a < id_b. (The checkpoint is also the working member of the
+    self-join workaround family — see _flat_base.) CAVEATS of that
+    checkpoint: building this DataFrame launches the assignment job
+    EAGERLY (at plan-construction time, before any action on the
+    result), and localCheckpoint output is not recomputable if an
+    executor holding it is lost — acceptable in the gate/oracle setting,
+    but long-running production pipelines should prefer
+    ``kernel="gram"``, which has no self-join and therefore no
+    checkpoint: fully lazy, fully recomputable, and ~10× faster
+    (vectorized BLAS assignment + per-cell gram pair scoring; see
+    _np_assigned / operators/gram.py).
     """
+    if kernel == "gram":
+        # fully vectorized production face: BLAS argmin assignment
+        # (mapInPandas, no self-join → no checkpoint workaround needed)
+        # feeding the gram pair kernel
+        return _cell_pairs(_np_assigned(df, vec_col, id_col, centroids),
+                           id_col, tau, max_cell, kernel)
     return _cell_pairs(_flat_base(df, vec_col, id_col, centroids),
-                       id_col, tau, max_cell)
+                       id_col, tau, max_cell, kernel)
+
+
+def _np_assigned(df: DataFrame, vec_col: str, id_col: str,
+                 centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(id, v, cell): nearest-centroid assignment as ONE map-only
+    mapInPandas pass — the vectorized twin of the literal-argmin
+    expression. The codebook rides the closure (a broadcast-sized
+    constant); per batch the argmin is a BLAS matmul
+    (score = |c|² − 2·X·Cᵀ, same argmin as the squared distance), chunked
+    over centroids so memory stays ~batch × chunk regardless of codebook
+    size. Centroids are scanned in ascending cell-id order with a
+    strict-less update, reproducing the expression path's
+    (distance, cell) tie-break; the two kernels can disagree only when
+    two centroids are equidistant to the last ~ulp (BLAS vs left-to-right
+    summation), pinned identical on the gate data by tests/test_gram.py.
+
+    This removes the flat-codebook economics problem the hierarchical
+    path was built for at broadcastable codebook sizes: the literal
+    argmin is an interpreted HOF expression (~µs per centroid visit →
+    O(n·cells) dominates once cells grow with the corpus), while this
+    kernel's per-visit cost is one fused multiply-add. Past broadcast
+    size (codebooks of many MB), use the hierarchical route."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   StructField, StructType)
+
+    ordered = sorted(centroids)
+    cids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)
+    out = StructType([df.schema[id_col],
+                      StructField("v", ArrayType(DoubleType())),
+                      StructField("cell", IntegerType())])
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            best_s = np.full(len(x), np.inf)
+            best_c = np.zeros(len(x), dtype=np.int64)
+            for k0 in range(0, len(cmat), 4096):
+                k1 = min(k0 + 4096, len(cmat))
+                s = c2[k0:k1][None, :] - 2.0 * (x @ cmat[k0:k1].T)
+                j = np.argmin(s, axis=1)          # first minimum → min cid
+                sj = s[np.arange(len(x)), j]
+                upd = sj < best_s
+                best_s[upd] = sj[upd]
+                best_c[upd] = cids[k0 + j[upd]]
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "v": list(x),
+                                "cell": best_c.astype(np.int32)})
+
+    return (df.select(F.col(id_col), _as_double(vec_col).alias(vec_col))
+            .mapInPandas(assign, out))
 
 
 def _flat_base(df: DataFrame, vec_col: str, id_col: str,
@@ -255,30 +329,21 @@ def _flat_base(df: DataFrame, vec_col: str, id_col: str,
             .join(assign, id_col))
 
 
-def _cell_pairs(base: DataFrame, id_col: str, tau: float,
-                max_cell: int | None = None) -> DataFrame:
-    """Within-cell cosine pairs over ONE shared (id, v, n, cell) subtree:
-    one equi-join on cell, id_a < id_b, threshold tau — shared by the flat
-    and hierarchical SemDeDup faces. The caller must build `base` over a
-    _fresh()-projected input (see _fresh: self-join relation dedup vs
-    already-analyzed plans); the SHARED subtree matters too — two
-    separately-built structurally-identical sides re-trigger the same
-    lambda-rewrite bug, while one subtree deduplicates consistently.
-
-    `max_cell` is the hot-cell guard (same split idiom as the LSH
-    max_bucket guard): cells above the cap are deterministically split
+def _with_sub(base: DataFrame, id_col: str,
+              max_cell: int | None) -> DataFrame:
+    """Attach the hot-cell split column `_sub` (same split idiom as the
+    LSH max_bucket guard): cells above the cap are deterministically split
     into ceil(size/max_cell) sub-cells by id hash and pairs are generated
     within sub-cells only — per-cell work drops from size² to
     ~size·max_cell, sacrificing cross-sub-cell pairs. A replica-structured
     corpus can land many near-identical vectors in one cell; its uncapped
-    pair join is quadratic in that cell regardless of codebook sizing (the
-    per-pair cosine is a CodegenFallback expression — microseconds each,
-    ruinous at tens of millions of pairs in one task)."""
+    pair join is quadratic in that cell regardless of codebook sizing.
+    Shared by both pair kernels so the capped pair sets match."""
     if max_cell is not None:
         if max_cell <= 0:
             raise ValueError("max_cell must be positive")
         counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("_cn"))
-        base = (base.join(counts, "cell")
+        return (base.join(counts, "cell")
                 .withColumn(
                     "_sub",
                     F.when(F.col("_cn") > max_cell,
@@ -287,8 +352,39 @@ def _cell_pairs(base: DataFrame, id_col: str, tau: float,
                                    .cast("long")))
                     .otherwise(F.lit(0).cast("long")))
                 .drop("_cn"))
-    else:
-        base = base.withColumn("_sub", F.lit(0).cast("long"))
+    return base.withColumn("_sub", F.lit(0).cast("long"))
+
+
+def _cell_pairs(base: DataFrame, id_col: str, tau: float,
+                max_cell: int | None = None,
+                kernel: str = "expr") -> DataFrame:
+    """Within-cell cosine pairs over ONE shared (id, v, n, cell) subtree —
+    shared by the flat and hierarchical SemDeDup faces. The caller must
+    build `base` over a _fresh()-projected input (see _fresh: self-join
+    relation dedup vs already-analyzed plans); the SHARED subtree matters
+    too — two separately-built structurally-identical sides re-trigger the
+    same lambda-rewrite bug, while one subtree deduplicates consistently.
+
+    Two kernels, identical pair semantics:
+
+    - ``kernel="expr"`` (default): self-equi-join on (cell, _sub) plus a
+      per-pair `aggregate(zip_with(...))` cosine. Left-to-right float
+      summation — bit-identical to the DuckDB oracle; the correctness
+      face. The per-pair expression is CodegenFallback (~µs each) and the
+      join materializes every candidate pair as a row, so cost is
+      O(sum cell²) Spark rows — fine at gate scale, dominant at sf10.
+    - ``kernel="gram"``: one BLAS gram matmul per (cell, _sub) group via
+      applyInPandas (operators/gram.py); candidates never materialize and
+      per-pair cost drops ~1000×. Cosines agree with the expression path
+      to the last ~ulp (pair sets can differ only for cosines within
+      ~1e-12 of tau); the production scale path."""
+    base = _with_sub(base, id_col, max_cell)
+    if kernel == "gram":
+        from .gram import gram_group_pairs
+        return (gram_group_pairs(base, ["cell", "_sub"], id_col, "v", tau)
+                .select("cell", "id_a", "id_b", "cosine"))
+    if kernel != "expr":
+        raise ValueError(f"unknown pair kernel: {kernel!r}")
     left = base.select(F.col(id_col).alias("id_a"),
                        F.col("v").alias("va"),
                        F.col("n").alias("na"), "cell", "_sub")
@@ -359,10 +455,71 @@ def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
     return joined.select(F.col(id_col), "v", "route", best.alias("cell"))
 
 
+def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
+                      coarse: list[tuple[int, list[float]]],
+                      k2: int) -> DataFrame:
+    """(id, v, route, cell): lambda-free two-level assignment — the
+    vectorized twin of route_sub_codebook + assign_cells_hier. Coarse
+    routing is the BLAS argmin (_np_assigned); each route's k2 smallest-id
+    members become its sub-centroids (identical construction to
+    route_sub_codebook, but over the routed frame — plain window/agg
+    columns, no HOF lambdas); the second-level argmin runs in ONE
+    mapInPandas over the routed⋈sub-codebook join, vectorized per route
+    within each Arrow batch. No lambda expression anywhere in the plan, so
+    the Spark 4.1 DeduplicateRelations/LambdaFunction binding bug (see
+    _flat_base) cannot trigger — this face needs no checkpoint and stays
+    fully lazy. Same (distance, cell) tie-break as the expression path
+    modulo last-ulp BLAS summation (pinned on gate data in
+    tests/test_gram.py)."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    routed = (_np_assigned(df, vec_col, id_col, coarse)
+              .withColumnRenamed("cell", "route"))
+    w = Window.partitionBy("route").orderBy(F.col(id_col).asc())
+    subs = (routed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k2)
+            .groupBy("route")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col(id_col).cast("long").alias("cell"),
+                F.col("v").alias("cv")))).alias("cb")))
+    joined = routed.join(subs, "route")
+    out = StructType([df.schema[id_col],
+                      StructField("v", ArrayType(DoubleType())),
+                      joined.schema["route"],
+                      StructField("cell", LongType())])
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = np.empty(len(pdf), dtype=np.int64)
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+            routes = pdf["route"].to_numpy()
+            for r in np.unique(routes):
+                m = routes == r
+                cb = pdf["cb"].iloc[int(np.nonzero(m)[0][0])]
+                cids = np.array([e["cell"] for e in cb], dtype=np.int64)
+                cmat = np.array([e["cv"] for e in cb], dtype=np.float64)
+                order = np.argsort(cids, kind="stable")
+                cids, cmat = cids[order], cmat[order]
+                s = ((cmat * cmat).sum(axis=1)[None, :]
+                     - 2.0 * (x[m] @ cmat.T))
+                cells[m] = cids[np.argmin(s, axis=1)]
+            yield pd.DataFrame({id_col: pdf[id_col], "v": list(x),
+                                "route": pdf["route"], "cell": cells})
+
+    return joined.mapInPandas(assign, out)
+
+
 def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
                         k2: int, tau: float,
-                        max_cell: int | None = None) -> DataFrame:
+                        max_cell: int | None = None,
+                        kernel: str = "expr") -> DataFrame:
     """Hierarchical SemDeDup pairs: two-level cell assignment
     (route_sub_codebook / assign_cells_hier), then the same within-cell
     cosine pair join as semdedup_pairs. Returns (cell, id_a, id_b, cosine)
@@ -372,26 +529,33 @@ def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
     cells K1 * k2 — size BOTH levels with the corpus (K1 ~ k2 ~ sqrt(n /
     target_cell_size)) and neither the literal expression nor the joined
     codebook grows linearly in n."""
+    if kernel == "gram":
+        base = _np_assigned_hier(df, vec_col, id_col, coarse, k2)
+        return _cell_pairs(base, id_col, tau, max_cell, kernel)
     df = _fresh(df)
     assigned = assign_cells_hier(df, vec_col, id_col, coarse,
                                  route_sub_codebook(df, vec_col, id_col,
                                                     coarse, k2))
     base = assigned.withColumn("n", _norm(F.col("v")))
-    return _cell_pairs(base, id_col, tau, max_cell)
+    return _cell_pairs(base, id_col, tau, max_cell, kernel)
 
 
 def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
-                        k2: int, tau: float) -> DataFrame:
+                        k2: int, tau: float,
+                        kernel: str = "expr") -> DataFrame:
     """Greedy survivor set over the hierarchical cells (min-id
     representative, same policy as semdedup_apply). Returns (id, cell,
     kept)."""
-    df = _fresh(df)
-    assigned = assign_cells_hier(df, vec_col, id_col, coarse,
-                                 route_sub_codebook(df, vec_col, id_col,
-                                                    coarse, k2))
-    base = assigned.withColumn("n", _norm(F.col("v")))
-    dropped = (_cell_pairs(base, id_col, tau)
+    if kernel == "gram":
+        base = _np_assigned_hier(df, vec_col, id_col, coarse, k2)
+    else:
+        df = _fresh(df)
+        assigned = assign_cells_hier(df, vec_col, id_col, coarse,
+                                     route_sub_codebook(df, vec_col,
+                                                        id_col, coarse, k2))
+        base = assigned.withColumn("n", _norm(F.col("v")))
+    dropped = (_cell_pairs(base, id_col, tau, kernel=kernel)
                .select(F.col("id_b").alias(id_col)).distinct())
     return (base.select(id_col, "cell")
             .join(dropped.withColumn("_drop", F.lit(True)),
@@ -402,7 +566,7 @@ def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
 
 def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,
                    centroids: list[tuple[int, list[float]]],
-                   tau: float) -> DataFrame:
+                   tau: float, kernel: str = "expr") -> DataFrame:
     """Greedy SemDeDup survivor set: drop a row iff some SMALLER id in its
     cluster is within tau (the paper's keep-one-per-group policy with the
     deterministic lowest-id representative, matching `dedup.exact_dedup`'s
@@ -410,8 +574,11 @@ def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,
 
     One extra distinct + left-anti-shaped join over the pair list; the
     whole pipeline is still two shuffles (cell, then id)."""
-    base = _flat_base(df, vec_col, id_col, centroids)
-    dropped = (_cell_pairs(base, id_col, tau)
+    if kernel == "gram":
+        base = _np_assigned(df, vec_col, id_col, centroids)
+    else:
+        base = _flat_base(df, vec_col, id_col, centroids)
+    dropped = (_cell_pairs(base, id_col, tau, kernel=kernel)
                .select(F.col("id_b").alias(id_col)).distinct())
     return (base.select(id_col, "cell")
             .join(dropped.withColumn("_drop", F.lit(True)),

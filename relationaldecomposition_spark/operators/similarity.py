@@ -66,7 +66,8 @@ def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                        n_planes: int = DEFAULT_N_PLANES,
                        dim: int = DEFAULT_DIM, seed: int = 42,
                        n_tables: int = 1,
-                       max_bucket: int | None = None) -> DataFrame:
+                       max_bucket: int | None = None,
+                       kernel: str = "expr") -> DataFrame:
     """Scale path for embedding near-duplicate detection: the LSH twin of
     dedup.embedding_cosine_pairs (which is O(n^2) crossJoin by design — the
     verifier). Candidate pairs are rows colliding in any of L sign-random-
@@ -84,7 +85,24 @@ def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
 
     Returns (id_a, id_b, cosine) with id_a < id_b — o06's exact schema.
     tests/test_similarity_recall.py measures pair recall vs the exact
-    baseline."""
+    baseline.
+
+    Two scoring kernels, identical pair semantics:
+
+    - ``kernel="expr"`` (default): slim (id, tbl, bk) self-join →
+      cross-table distinct → vectors joined back → per-pair expression
+      cosine. Left-to-right float summation, bit-identical to the DuckDB
+      oracle — the correctness face. Every candidate pair becomes a Spark
+      row BEFORE the tau filter; at permissive tau the candidate set is
+      100× the survivor set and dominates wall-clock (measured: 17 M
+      candidates → 218 k pairs at sf3).
+    - ``kernel="gram"``: vectors ride the banding explode; ONE shuffle on
+      (tbl, bk), then one BLAS gram matmul per bucket (operators/gram.py)
+      emits only pairs >= tau; cross-table dedup happens AFTER the tau
+      filter on the ~100×-smaller survivor set (max(cosine) keeps the
+      value deterministic should ulp-differing bucket layouts disagree).
+      The production scale path; cosines agree with the expression path
+      to the last ~ulp."""
     tables = table_planes(n_planes, dim, seed, n_tables)
     base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
             .withColumn("n", _norm(F.col("v"))))
@@ -92,6 +110,21 @@ def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         F.struct(F.lit(t).alias("tbl"),
                  _bucket_expr("v", pl).alias("bk"))
         for t, pl in enumerate(tables)])
+    if kernel == "gram":
+        from .gram import gram_group_pairs
+        banded = (base.select(F.col(id_col), "v",
+                              F.explode(band_structs).alias("b"))
+                  .select(id_col, "v", F.col("b.tbl").alias("tbl"),
+                          F.col("b.bk").alias("bk")))
+        if max_bucket is not None:
+            banded = cap_buckets(banded, ["tbl", "bk"], id_col, max_bucket)
+        scored = gram_group_pairs(banded, ["tbl", "bk"], id_col, "v", tau)
+        if n_tables > 1:
+            scored = (scored.groupBy("id_a", "id_b")
+                      .agg(F.max("cosine").alias("cosine")))
+        return scored.select("id_a", "id_b", "cosine")
+    if kernel != "expr":
+        raise ValueError(f"unknown pair kernel: {kernel!r}")
     banded = (base.select(F.col(id_col), F.explode(band_structs).alias("b"))
               .select(id_col, F.col("b.tbl").alias("tbl"),
                       F.col("b.bk").alias("bk")))

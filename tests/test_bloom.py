@@ -139,6 +139,20 @@ def test_broadcast_probe_value_identical_to_literal(spark, li, small):
     assert lit_rows == bc_rows and len(lit_rows) > 0
 
 
+def test_broadcast_probe_standalone_null_keys_false(spark, li, small):
+    """bloom_probe_broadcast is public: probing a nullable key column
+    DIRECTLY (outside bloom_semi_join's isNotNull pre-filter) must return
+    FALSE for null keys — matching bloom_probe_expr's null-never-passes
+    semantics — instead of failing the task on NaN→int64 conversion."""
+    words = bloom.bloom_build(small, "o_orderkey", M_BITS, K)
+    df = spark.createDataFrame(
+        [(1,), (None,)], "key bigint").withColumn(
+        "hit", bloom.bloom_probe_broadcast(
+            spark.createDataFrame([(1,)], "key bigint"), "key", words, K))
+    got = {r["key"]: r["hit"] for r in df.collect()}
+    assert got[None] is False
+
+
 def test_broadcast_probe_no_false_negatives(spark, li, small):
     got = set(r["l_orderkey"] for r in bloom.bloom_semi_join(
         li, "l_orderkey", small, "o_orderkey", m_bits=M_BITS, k=K,

@@ -1,0 +1,176 @@
+"""Gram-matrix pair kernel (operators/gram.py): the vectorized scale face
+of the within-group cosine pair join. Pinned properties:
+
+- kernel equality: for every caller (flat SemDeDup, capped SemDeDup,
+  hierarchical SemDeDup, SRP-LSH near-dup pairs) the gram kernel returns
+  the SAME pair set as the default expression kernel, with cosines equal
+  to ~1e-9 (BLAS vs left-to-right summation differs in the last ulp; the
+  gate data has no cosine within 1e-9 of tau — asserted, so the sets
+  cannot legally diverge at the boundary).
+- determinism under repartition (rows sorted by id inside the group, so
+  the BLAS layout is partition-independent).
+- plan shape: ONE shuffle on the group key feeding FlatMapGroupsInPandas;
+  no join, no cartesian product.
+"""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import dedup, ivf, similarity
+from tests.conftest import load
+
+SD_TAU = 0.3
+CIDS = list(range(0, 480, 30))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def sd_cents(emb):
+    return ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+
+
+def _pairs(df):
+    pd = df.toPandas()
+    return {(a, b): c for a, b, c in zip(pd.id_a, pd.id_b, pd.cosine)}
+
+
+def _assert_same_pairs(expr_df, gram_df, tau):
+    e, g = _pairs(expr_df), _pairs(gram_df)
+    assert set(e) == set(g)
+    assert len(e) > 0
+    for k, c in e.items():
+        assert abs(c - g[k]) < 1e-9, k
+        # the boundary-divergence caveat cannot trigger on this data
+        assert abs(c - tau) > 1e-9, k
+
+
+def test_flat_semdedup_kernels_agree(emb, sd_cents):
+    _assert_same_pairs(
+        ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU),
+        ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU,
+                           kernel="gram"),
+        SD_TAU)
+
+
+def test_capped_semdedup_kernels_agree(emb, sd_cents):
+    """max_cell splits via the SHARED _with_sub column, so even the
+    sacrificed cross-sub-cell pairs match between kernels."""
+    _assert_same_pairs(
+        ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU,
+                           max_cell=20),
+        ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU,
+                           max_cell=20, kernel="gram"),
+        SD_TAU)
+
+
+def test_hier_semdedup_kernels_agree(emb):
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id",
+                                list(range(0, 400, 100)))
+    _assert_same_pairs(
+        ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse, 4,
+                                SD_TAU),
+        ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse, 4,
+                                SD_TAU, kernel="gram"),
+        SD_TAU)
+
+
+def test_srp_kernels_agree(emb):
+    _assert_same_pairs(
+        similarity.srp_near_dup_pairs(emb, "embedding", "vec_id", SD_TAU,
+                                      n_planes=8, n_tables=4),
+        similarity.srp_near_dup_pairs(emb, "embedding", "vec_id", SD_TAU,
+                                      n_planes=8, n_tables=4,
+                                      kernel="gram"),
+        SD_TAU)
+
+
+def test_srp_kernels_agree_with_bucket_cap(emb):
+    _assert_same_pairs(
+        similarity.srp_near_dup_pairs(emb, "embedding", "vec_id", SD_TAU,
+                                      n_planes=4, n_tables=2,
+                                      max_bucket=40),
+        similarity.srp_near_dup_pairs(emb, "embedding", "vec_id", SD_TAU,
+                                      n_planes=4, n_tables=2,
+                                      max_bucket=40, kernel="gram"),
+        SD_TAU)
+
+
+def test_gram_deterministic_under_repartition(emb, sd_cents):
+    a = sorted(map(tuple, ivf.semdedup_pairs(
+        emb, "embedding", "vec_id", sd_cents, SD_TAU,
+        kernel="gram").collect()))
+    b = sorted(map(tuple, ivf.semdedup_pairs(
+        emb.repartition(7, "vec_id"), "embedding", "vec_id", sd_cents,
+        SD_TAU, kernel="gram").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_gram_apply_matches_expr_apply(emb, sd_cents):
+    e = ivf.semdedup_apply(emb, "embedding", "vec_id", sd_cents,
+                           SD_TAU).toPandas()
+    g = ivf.semdedup_apply(emb, "embedding", "vec_id", sd_cents, SD_TAU,
+                           kernel="gram").toPandas()
+    assert (sorted(zip(e.vec_id, e.cell, e.kept))
+            == sorted(zip(g.vec_id, g.cell, g.kept)))
+
+
+def test_gram_plan_one_grouped_pandas_no_join(emb, sd_cents):
+    plan = ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents, SD_TAU,
+                              kernel="gram") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gram_blocked_path_matches_unblocked(spark):
+    """Force the internal row-block cap so the blocked gram loop runs, and
+    pin it against the unblocked numpy oracle."""
+    from relationaldecomposition_spark.operators import gram as gram_mod
+
+    rng = np.random.default_rng(7)
+    n, dim, tau = 300, 16, 0.2
+    x = rng.normal(size=(n, dim))
+    rows = [(i, 0, [float(v) for v in x[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "id bigint, g int, v array<double>")
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    c = xn @ xn.T
+    iu = np.triu_indices(n, 1)
+    want = {(int(i), int(j)) for i, j in zip(*iu) if c[i, j] >= tau}
+    old = gram_mod._BLOCK_ELEMS
+    gram_mod._BLOCK_ELEMS = 16 * n  # block of 16 rows
+    try:
+        pdf = gram_mod.gram_group_pairs(df, ["g"], "id", "v", tau).toPandas()
+        got = {(int(a), int(b)) for a, b in zip(pdf.id_a, pdf.id_b)}
+    finally:
+        gram_mod._BLOCK_ELEMS = old
+    assert got == want and len(want) > 1000
+
+
+def test_np_assignment_matches_expression_argmin(emb, sd_cents):
+    """The BLAS argmin (mapInPandas, score = |c|²−2x·c) must agree with
+    the literal-expression (distance, cell)-sort assignment on the gate
+    data — the tie-break caveat (ulp-equidistant centroids) must not
+    trigger here."""
+    expr = dict(ivf.assign_cells(emb, "embedding", "vec_id", sd_cents)
+                .collect())
+    got = {r["vec_id"]: r["cell"]
+           for r in ivf._np_assigned(emb, "embedding", "vec_id", sd_cents)
+           .select("vec_id", "cell").collect()}
+    assert got == expr
+
+
+def test_gram_handles_singleton_and_empty_groups(spark):
+    from relationaldecomposition_spark.operators.gram import gram_group_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 1, [1.0, 0.0]), (3, 1, [1.0, 0.001])],
+        "id bigint, g int, v array<double>")
+    out = gram_group_pairs(df, ["g"], "id", "v", 0.9).collect()
+    assert [(r.g, r.id_a, r.id_b) for r in out] == [(1, 2, 3)]
