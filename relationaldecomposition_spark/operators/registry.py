@@ -1431,6 +1431,36 @@ def q_o56_semdedup_hier_pairs(spark, sf_dir):
                       F.round("cosine", ROUND).alias("cosine"))
 
 
+def q_o60_semdedup_gram_pairs(spark, sf_dir):
+    """Flat SemDeDup pairs on the round-6 GRAM kernel (BLAS argmin
+    assignment + one gram matmul per cell, operators/gram.py) — the
+    production scale face of o44 (sf10: 656 s expr → 11 s gram, identical
+    pair set). Shares o44's oracle: ROUND-digit rounding absorbs the
+    BLAS-vs-left-to-right last-ulp difference, and kernel pair-set
+    equality is additionally pinned in tests/test_gram.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
+    out = ivf.semdedup_pairs(emb, "embedding", "vec_id", cents,
+                             SEMDEDUP_TAU, kernel="gram")
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      "id_a", "id_b",
+                      F.round("cosine", ROUND).alias("cosine"))
+
+
+def q_o61_semdedup_hier_gram_pairs(spark, sf_dir):
+    """Hierarchical SemDeDup pairs on the GRAM kernel — the lambda-free
+    two-level assignment (_np_assigned_hier: BLAS coarse route + per-route
+    sub-codebook argmin in one mapInPandas) feeding the per-cell gram pair
+    matmul. Shares o56's oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
+    out = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse,
+                                  HIER_SUB_K, SEMDEDUP_TAU, kernel="gram")
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      "id_a", "id_b",
+                      F.round("cosine", ROUND).alias("cosine"))
+
+
 def q_o57_semdedup_hier_apply(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
@@ -1563,6 +1593,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o50_incremental_dedup": q_o50_incremental_dedup,
     "o58_bigram_pmi": q_o58_bigram_pmi,
     "o59_band_index_merge": q_o59_band_index_merge,
+    "o60_semdedup_gram_pairs": q_o60_semdedup_gram_pairs,
+    "o61_semdedup_hier_gram_pairs": q_o61_semdedup_hier_gram_pairs,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1661,4 +1693,8 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o50_incremental_dedup": _oracle_incremental_dedup(),
     "o58_bigram_pmi": corpus.sql_bigram_pmi("documents", "text", "doc_id"),
     "o59_band_index_merge": _oracle_band_index_merge(),
+    # the gram-kernel faces share the expression faces' oracles: the
+    # ROUND-digit rounding absorbs the BLAS last-ulp difference
+    "o60_semdedup_gram_pairs": _oracle_semdedup("pairs"),
+    "o61_semdedup_hier_gram_pairs": _oracle_semdedup_hier("pairs"),
 }
