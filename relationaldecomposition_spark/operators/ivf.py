@@ -145,15 +145,21 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
              query_ids: list[int], k: int = 5,
              centroid_ids: list[int] | None = None,
              centroids: list[tuple[int, list[float]]] | None = None,
-             n_probes: int = 4, lloyd_iters: int = 0) -> DataFrame:
+             n_probes: int = 4, lloyd_iters: int = 0,
+             kernel: str = "expr") -> DataFrame:
     """Approximate top-k via IVF: exact cosine re-rank restricted to the
     n_probes cells nearest each query. Pass either `centroid_ids` (seed
     rows, optionally Lloyd-refined) or a prebuilt `centroids` codebook.
 
     Plan shape: data side is scan → map-only cell assignment; query side is
-    a codebook-sized broadcast; ONE equi-join on cell; window top-k. The
-    only per-row cost that grows with n_cells is the argmin expression —
-    O(n_cells · dim) multiply-adds inside whole-stage codegen."""
+    a codebook-sized broadcast; ONE equi-join on cell; window top-k. With
+    ``kernel="expr"`` (default, the oracle face) the data-side argmin is
+    the literal codebook expression — O(n_cells · dim) interpreted HOF
+    visits per row, fine for gate-sized codebooks; ``kernel="np"`` swaps
+    in the BLAS argmin (_np_assigned, mapInPandas) whose per-visit cost is
+    a fused multiply-add — the production face once the codebook follows
+    the cells∝rows sizing law. The tiny query side always uses the
+    literal probe expression."""
     if centroids is None:
         if not centroid_ids:
             raise ValueError("need centroid_ids or centroids")
@@ -165,8 +171,14 @@ def ivf_topk(df: DataFrame, vec_col: str, id_col: str,
         raise ValueError(f"n_probes must be in [1, {len(centroids)}]")
     base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
             .withColumn("n", _norm(F.col("v"))))
-    data = base.withColumn(
-        "cell", F.element_at(_dist_structs("v", centroids), 1)["cell"])
+    if kernel == "np":
+        data = (_np_assigned(df, vec_col, id_col, centroids)
+                .withColumn("n", _norm(F.col("v"))))
+    elif kernel == "expr":
+        data = base.withColumn(
+            "cell", F.element_at(_dist_structs("v", centroids), 1)["cell"])
+    else:
+        raise ValueError(f"unknown assignment kernel: {kernel!r}")
     q = base.where(F.col(id_col).isin(query_ids)) \
             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
                     F.col("n").alias("qn"))

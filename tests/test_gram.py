@@ -166,6 +166,19 @@ def test_np_assignment_matches_expression_argmin(emb, sd_cents):
     assert got == expr
 
 
+def test_ivf_topk_np_kernel_matches_expr(emb):
+    """ivf_topk(kernel=\"np\") must return the same neighbors/ranks as the
+    literal-argmin face at every probe depth tried."""
+    for n_probes in (4, 16):
+        e = ivf.ivf_topk(emb, "embedding", "vec_id", list(range(10)), 5,
+                         centroid_ids=CIDS, n_probes=n_probes).toPandas()
+        g = ivf.ivf_topk(emb, "embedding", "vec_id", list(range(10)), 5,
+                         centroid_ids=CIDS, n_probes=n_probes,
+                         kernel="np").toPandas()
+        assert (sorted(zip(e.query_id, e.neighbor_id, e["rank"]))
+                == sorted(zip(g.query_id, g.neighbor_id, g["rank"])))
+
+
 def test_gram_handles_singleton_and_empty_groups(spark):
     from relationaldecomposition_spark.operators.gram import gram_group_pairs
 
