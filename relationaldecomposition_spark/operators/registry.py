@@ -1461,6 +1461,25 @@ def q_o61_semdedup_hier_gram_pairs(spark, sf_dir):
                       F.round("cosine", ROUND).alias("cosine"))
 
 
+SHARD_SHUFFLE_N = 8
+
+
+def _sql_shard_shuffle_oracle() -> str:
+    from .sampling import sql_shard_shuffle
+
+    return sql_shard_shuffle("documents", "doc_id", SHARD_SHUFFLE_N)
+
+
+def q_o62_shard_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle + sharding (the training-data
+    writer prepass): seeded hash-permutation rank, shard = rank mod N,
+    dense position within shard. One exchange (per-shard window)."""
+    from .sampling import shard_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_shuffle(docs, "doc_id", SHARD_SHUFFLE_N)
+
+
 def q_o57_semdedup_hier_apply(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
@@ -1595,6 +1614,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o59_band_index_merge": q_o59_band_index_merge,
     "o60_semdedup_gram_pairs": q_o60_semdedup_gram_pairs,
     "o61_semdedup_hier_gram_pairs": q_o61_semdedup_hier_gram_pairs,
+    "o62_shard_shuffle": q_o62_shard_shuffle,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1697,4 +1717,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     # ROUND-digit rounding absorbs the BLAS last-ulp difference
     "o60_semdedup_gram_pairs": _oracle_semdedup("pairs"),
     "o61_semdedup_hier_gram_pairs": _oracle_semdedup_hier("pairs"),
+    "o62_shard_shuffle": _sql_shard_shuffle_oracle(),
 }

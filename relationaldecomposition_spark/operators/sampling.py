@@ -233,3 +233,65 @@ def sql_rebalance_to_mixture(table: str, key_col: str, stratum_col: str,
       SELECT {select_cols}
       FROM {table} d JOIN th ON d.{stratum_col} = th.stratum
       WHERE {bucket} < th.thresh"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle + sharding (training-data writer prepass)
+# ---------------------------------------------------------------------------
+
+def shard_shuffle(df: DataFrame, key_col: str, n_shards: int,
+                  seed: int = 42) -> DataFrame:
+    """Deterministic global corpus shuffle for training-data writes: every
+    row gets a pseudo-random but reproducible rank (seeded affine permute
+    of the portable 60-bit key hash), a shard = rank mod n_shards, and its
+    0-based position within the shard ordered by (rank, key). The standard
+    "shuffle the corpus before sharding to epochs" step, as a pure
+    DataFrame op.
+
+    Scale shape (100 TB): the hash/shard columns are map-only; the only
+    shuffle is the per-shard window (ONE exchange on shard, each shard
+    sorts its own ~n/n_shards slice — exactly the work a shard writer has
+    to do anyway). Size n_shards so a shard fits an executor's sort
+    budget; the downstream write is `.repartition("shard")` +
+    `partitionBy("shard")` with rows already in position order.
+    Determinism: same seed → same permutation on any cluster layout; ties
+    in rank (hash collisions) break by key, so the order is total.
+
+    Returns (key, shard, pos) with shard in [0, n_shards), pos dense per
+    shard. DuckDB twin: sql_shard_shuffle (identical md5-affine
+    arithmetic, bit-identical assignment)."""
+    from ..functions.hashing import (affine_hash, minhash_params,
+                                     portable_hash32)
+    from pyspark.sql import Window
+
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    a, b = minhash_params(1, seed)[0]
+    rank = affine_hash(portable_hash32(F.col(key_col).cast("string")), a, b)
+    w = (Window.partitionBy("shard")
+         .orderBy(F.col("_rank").asc(), F.col(key_col).asc()))
+    return (df.select(F.col(key_col), rank.alias("_rank"))
+            .withColumn("shard", F.pmod(F.col("_rank"),
+                                        F.lit(n_shards)).cast("int"))
+            .withColumn("pos", F.row_number().over(w).cast("long") - 1)
+            .select(key_col, "shard", "pos"))
+
+
+def sql_shard_shuffle(table: str, key_col: str, n_shards: int,
+                      seed: int = 42) -> str:
+    """DuckDB twin of shard_shuffle: same md5-derived hash, same seeded
+    affine permute, same (rank, key) window order."""
+    from ..functions.hashing import (MERSENNE_P, minhash_params, sql_hash32)
+
+    a, b = minhash_params(1, seed)[0]
+    h = sql_hash32(f"CAST({key_col} AS VARCHAR)")
+    rank = f"(({h} * {a} + {b}) % {MERSENNE_P})"
+    return f"""
+      SELECT {key_col},
+             (((({rank}) % {n_shards}) + {n_shards}) % {n_shards})::INT
+               AS shard,
+             (row_number() OVER (
+                PARTITION BY ((({rank}) % {n_shards}) + {n_shards})
+                             % {n_shards}
+                ORDER BY {rank} ASC, {key_col} ASC) - 1)::BIGINT AS pos
+      FROM {table}"""

@@ -797,11 +797,10 @@ _WINDOW_ROUND6: list[str] = [
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas", "s01_windowed_counts", "s02_sessionize",
     "s03_user_stats", "s04_stream_enrich",
-    # round-6 additions (never driver-checked) + one round-5 flagship
-    # anchor; o58/o20/o57 stay covered by their green r05 rows until the
-    # round-7 rotation
+    # round-6 additions (never driver-checked; o56/o58/o20/o57 stay
+    # covered by their green r05 rows until the round-7 rotation)
     "o60_semdedup_gram_pairs", "o61_semdedup_hier_gram_pairs",
-    "o56_semdedup_hier_pairs",
+    "o62_shard_shuffle",
 ]
 
 

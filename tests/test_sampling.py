@@ -183,3 +183,58 @@ def test_rebalance_to_mixture_validates(spark):
         rebalance_to_mixture(df, "doc_id", "source", {"a": 0.4, "b": 0.4})
     with pytest.raises(ValueError):
         rebalance_to_mixture(df, "doc_id", "source", {"a": 1.5, "b": -0.5})
+
+
+# ---------------------------------------------------------------------------
+# shard_shuffle (deterministic global shuffle + sharding, o62)
+# ---------------------------------------------------------------------------
+
+def test_shard_shuffle_is_a_partition_with_dense_positions(spark):
+    from relationaldecomposition_spark.operators.sampling import shard_shuffle
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    out = shard_shuffle(docs, "doc_id", 8).toPandas()
+    assert len(out) == docs.count()
+    assert set(out.doc_id) == {r["doc_id"] for r in
+                               docs.select("doc_id").collect()}
+    assert out.shard.between(0, 7).all()
+    # positions dense 0..size-1 per shard
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp.pos) == list(range(len(grp)))
+
+
+def test_shard_shuffle_deterministic_and_seed_sensitive(spark):
+    from relationaldecomposition_spark.operators.sampling import shard_shuffle
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    a = sorted(map(tuple, shard_shuffle(docs, "doc_id", 8).collect()))
+    b = sorted(map(tuple, shard_shuffle(
+        docs.repartition(7), "doc_id", 8).collect()))
+    assert a == b
+    c = sorted(map(tuple, shard_shuffle(docs, "doc_id", 8,
+                                        seed=7).collect()))
+    assert a != c  # different seed -> different permutation
+
+
+def test_shard_shuffle_actually_shuffles(spark):
+    """The within-shard order must decorrelate from the input key order:
+    positions are rank-ordered by hash, so consecutive doc_ids should not
+    be consecutive in any shard (a sorted pass-through would fail this)."""
+    from relationaldecomposition_spark.operators.sampling import shard_shuffle
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    out = shard_shuffle(docs, "doc_id", 1).toPandas().sort_values("pos")
+    ids = list(out.doc_id)
+    monotone_adjacent = sum(1 for x, y in zip(ids, ids[1:]) if y == x + 1)
+    assert monotone_adjacent < len(ids) * 0.05
+
+
+def test_shard_shuffle_validates(spark):
+    from relationaldecomposition_spark.operators.sampling import shard_shuffle
+    from tests.conftest import load
+
+    with pytest.raises(ValueError):
+        shard_shuffle(load(spark, "documents"), "doc_id", 0)
