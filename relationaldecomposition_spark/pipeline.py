@@ -36,7 +36,8 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
                   lsh_min_est: float = 0.7,
                   max_bucket: int | None = None,
                   pack_target: int = 2048,
-                  pack_shards: int = 64) -> tuple[DataFrame, DataFrame]:
+                  pack_shards: int = 64,
+                  persist_stages: bool = False) -> tuple[DataFrame, DataFrame]:
     """Returns (packed, funnel):
 
     - packed: `pack_sequences` output over the surviving documents —
@@ -51,19 +52,32 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
     (n-gram-overlap decontamination), `source_col`+`mixture` (rebalance),
     `xent_max` (drop high-cross-entropy outliers; token-less docs pass).
     `max_bucket` forwards the LSH hot-bucket guard for boilerplate-heavy
-    corpora."""
+    corpora.
+
+    `persist_stages=True` persists each stage's survivor frame so that
+    evaluating the funnel AND the packed output computes every stage once
+    instead of re-deriving each stage's prefix per funnel row (the lazy
+    default re-evaluates a 6-stage prefix chain ~quadratically: measured
+    25 s -> ~10 s at sf0.1). The caller owns the storage: call
+    `df.sparkSession.catalog.clearCache()` (or unpersist individually)
+    after the outputs are materialized."""
+    def _keep(frame: DataFrame) -> DataFrame:
+        return frame.persist() if persist_stages else frame
+
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
 
     survivors = (exact_dedup(cur, [text_col], id_col)
                  .select(F.col("keep_id").alias(id_col)))
     cur = cur.join(survivors, id_col)
+    cur = _keep(cur)
     stages.append(("exact_dedup", cur))
 
     pairs = lsh_candidate_pairs(cur, text_col, id_col,
                                 min_est=lsh_min_est,
                                 max_bucket=max_bucket, skew_mode="split")
     cur = apply_dedup(cur, connected_components(pairs), id_col)
+    cur = _keep(cur)
     stages.append(("near_dedup", cur))
 
     keep_q = (quality_score(cur, text_col, id_col)
@@ -76,16 +90,19 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
                   .where(F.col("xent").isNull()
                          | (F.col("xent") <= xent_max)).select(id_col))
         cur = cur.join(keep_x, id_col)
+    cur = _keep(cur)
     stages.append(("quality", cur))
 
     if benchmark is not None:
         clean = (decontaminate(cur, text_col, id_col, benchmark)
                  .where(F.col("contaminated") == 0).select(id_col))
         cur = cur.join(clean, id_col)
+        cur = _keep(cur)
         stages.append(("decontaminated", cur))
 
     if source_col is not None and mixture:
         cur = rebalance_to_mixture(cur, id_col, source_col, mixture)
+        cur = _keep(cur)
         stages.append(("rebalanced", cur))
 
     packed = pack_sequences(cur, text_col, id_col, pack_target, pack_shards)

@@ -62,3 +62,26 @@ def test_curate_corpus_rebalance_stage(spark, planted):
     srcs = {r["source"] for r in planted.join(
         packed.select("doc_id"), "doc_id").select("source").collect()}
     assert srcs <= {"web", "code"}
+
+
+def test_persist_stages_same_outputs(spark):
+    """persist_stages=True changes evaluation strategy only: funnel rows
+    and packed output must be identical to the lazy default."""
+    from pyspark.sql import functions as F
+
+    from relationaldecomposition_spark.pipeline import curate_corpus
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    outs = []
+    for ps in (False, True):
+        packed, funnel = curate_corpus(
+            docs, "text", "doc_id", source_col="source",
+            mixture={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            benchmark=docs.where(F.col("doc_id") % 20 == 7),
+            max_bucket=1000, pack_target=256, pack_shards=16,
+            persist_stages=ps)
+        outs.append((sorted(map(tuple, packed.collect())),
+                     [tuple(r) for r in funnel.collect()]))
+        spark.catalog.clearCache()
+    assert outs[0] == outs[1]
