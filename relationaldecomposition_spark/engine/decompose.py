@@ -237,6 +237,21 @@ class DecompositionValidator:
         self.base.unpersist()
 
 
+def _remove_orphan_table_location(spark, name: str) -> None:
+    """Delete a local warehouse directory for `name` that no catalog entry
+    owns (leftover from another session). file:-scheme paths only."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file"):
+        return
+    loc = os.path.join(wh.path, name.lower())
+    if wh.path and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def write_decomposition_bucketed(df: DataFrame, clusters, join_key: str,
                                  table_prefix: str, num_buckets: int = 32) -> list[str]:
     """Scale variant of the ETL writer: materialize each cluster projection
@@ -251,10 +266,18 @@ def write_decomposition_bucketed(df: DataFrame, clusters, join_key: str,
     """
     base = df.distinct().persist()
     names: list[str] = []
+    spark = df.sparkSession
     try:
         for i, cluster in enumerate(clusters):
             cols = sorted_cols(attrset(cluster), df.columns)
             name = f"{table_prefix}_cluster_{i:03d}"
+            # mode("overwrite") only replaces tables THIS catalog knows;
+            # a managed-table directory left by a previous session (local
+            # in-memory catalog, surviving warehouse dir) fails CTAS with
+            # LOCATION_ALREADY_EXISTS — drop the entry and any orphaned
+            # local location first. Real metastores never orphan.
+            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+            _remove_orphan_table_location(spark, name)
             writer = base.select(*cols).distinct().write.mode("overwrite")
             if join_key in cols:
                 writer = writer.bucketBy(num_buckets, join_key).sortBy(join_key)
