@@ -435,13 +435,30 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_k: int = DEFAULT_SHINGLE_K,
-                        tau: float = 0.2) -> DataFrame:
+                        tau: float = 0.2,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity via shingle-set self-join:
-    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tau, id_a < id_b."""
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|) >= tau, id_a < id_b.
+
+    ``max_df`` is the hot-shingle guard (the last pair generator without
+    one): a boilerplate shingle shared by m documents contributes m² rows
+    to the self-join — quadratic in the hottest key — while adding almost
+    no discriminative signal to Jaccard. With max_df set, shingles whose
+    document frequency exceeds it are dropped from BOTH the intersection
+    and the per-document set sizes (so the ratio stays a true Jaccard
+    over the filtered shingle space — the standard max-df trick from
+    TF-IDF/dedup practice, an approximation of the unfiltered score).
+    None (default) preserves exact semantics — the oracle face."""
     sh = (exploded_shingles(df, text_col, id_col, shingle_k)
           .where(F.col("shingle").isNotNull())
           .dropDuplicates([id_col, "shingle"])
           .select(F.col(id_col), F.col("shingle").alias("sh")))
+    if max_df is not None:
+        if max_df < 2:
+            raise ValueError("max_df must be >= 2 (pairs need 2 docs)")
+        dfreq = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+                 .where(F.col("_df") <= max_df).select("sh"))
+        sh = sh.join(dfreq, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")

@@ -240,3 +240,52 @@ def test_cluster_size_histogram(spark):
                .agg(F.count(F.lit(1)).alias("n_clusters")).collect()}
     # components: {1,2,3} size 3, {10,11} size 2, {20,21,22,23} size 4
     assert hist == {3: 1, 2: 1, 4: 1}
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard max_df hot-shingle guard (round 6)
+# ---------------------------------------------------------------------------
+
+def test_ngram_jaccard_max_df_noop_when_loose(spark):
+    """A max_df above every shingle's document frequency must reproduce
+    the exact operator bit-for-bit."""
+    from relationaldecomposition_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    exact = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "text", "doc_id", tau=0.2).collect()))
+    capped = sorted(map(tuple, ngram_jaccard_pairs(
+        docs, "text", "doc_id", tau=0.2, max_df=10**9).collect()))
+    assert exact == capped and len(exact) > 0
+
+
+def test_ngram_jaccard_max_df_drops_boilerplate_shingles(spark):
+    """On a corpus where every doc shares one boilerplate sentence, the
+    guard must remove the boilerplate's contribution: docs that only share
+    the boilerplate stop pairing, genuinely-duplicate docs still pair."""
+    from relationaldecomposition_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+
+    boiler = "all rights reserved contact us for terms"
+    rows = [(i, f"unique text number {i} alpha beta {boiler}")
+            for i in range(20)]
+    rows += [(100, "the quick brown fox jumps high " + boiler),
+             (101, "the quick brown fox jumps high " + boiler)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    guarded = ngram_jaccard_pairs(docs, "text", "doc_id", tau=0.5,
+                                  max_df=5).toPandas()
+    got = set(zip(guarded.id_a, guarded.id_b))
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), got  # boilerplate-only pairs gone
+
+
+def test_ngram_jaccard_max_df_validates(spark):
+    from relationaldecomposition_spark.operators.dedup import (
+        ngram_jaccard_pairs)
+    from tests.conftest import load
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(load(spark, "documents"), "text", "doc_id",
+                            max_df=1)
