@@ -100,3 +100,71 @@ def gram_group_pairs(base: DataFrame, keys: list[str], id_col: str,
         return res[[f.name for f in out.fields]]
 
     return base.groupBy(*key_cols).applyInPandas(score, out)
+
+
+def gram_group_pairs_cross(base: DataFrame, keys: list[str], id_col: str,
+                           vec_col: str, flag_col: str,
+                           tau: float) -> DataFrame:
+    """Within-group cosine pairs where AT LEAST ONE side is flagged new —
+    the probe-only kernel for incremental dedup against a persisted index.
+
+    `base` carries the group keys, id, vector, and a boolean `flag_col`
+    (true = new-batch row, false = indexed row). Per group the kernel
+    computes ONLY the new×index cross block (one rectangular matmul) and
+    the new×new upper triangle — never index×index, so re-ingesting a
+    batch against an N-row index costs O(|new| · |index ∩ cell|) per
+    cell, not O(|index ∩ cell|²): the index corpus is probed, never
+    re-compared against itself. Same ordering/dtype/zero-norm contract as
+    gram_group_pairs; id_a < id_b over the global id order.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_type = base.schema[id_col].dataType
+    out = StructType(
+        [StructField(k, base.schema[k].dataType) for k in keys]
+        + [StructField("id_a", id_type), StructField("id_b", id_type),
+           StructField("cosine", DoubleType())])
+    key_cols = list(keys)
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        new_mask = pdf[flag_col].to_numpy(dtype=bool)
+        if not new_mask.any() or len(pdf) < 2:
+            return pd.DataFrame({f.name: pd.Series(dtype=object)
+                                 for f in out.fields})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        new_mask = pdf[flag_col].to_numpy(dtype=bool)
+        x = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf[vec_col]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+        n_idx = np.nonzero(new_mask)[0]
+        frames = []
+        block = max(1, min(len(n_idx), _BLOCK_ELEMS // len(pdf)))
+        for b0 in range(0, len(n_idx), block):
+            rows = n_idx[b0:b0 + block]
+            c = xn[rows] @ xn.T                        # (block, m)
+            bi, bj = np.nonzero(c >= tau)
+            gi = rows[bi]
+            # keep each unordered pair once: always as (min id, max id);
+            # new×new pairs appear in both orientations — keep gi < bj;
+            # new×index pairs appear once — keep either orientation
+            other_new = new_mask[bj]
+            keep = np.where(other_new, bj > gi, bj != gi)
+            gi, bj, bi = gi[keep], bj[keep], bi[keep]
+            if len(gi):
+                lo = np.minimum(gi, bj)
+                hi = np.maximum(gi, bj)
+                frames.append(pd.DataFrame({
+                    "id_a": ids[lo], "id_b": ids[hi],
+                    "cosine": c[bi, bj]}))
+        if not frames:
+            return pd.DataFrame({f.name: pd.Series(dtype=object)
+                                 for f in out.fields})
+        res = pd.concat(frames, ignore_index=True)
+        for k in key_cols:
+            res[k] = pdf[k].iloc[0]
+        return res[[f.name for f in out.fields]]
+
+    return base.groupBy(*key_cols).applyInPandas(score, out)

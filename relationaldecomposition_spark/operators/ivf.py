@@ -597,3 +597,85 @@ def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,
                   id_col, "left")
             .select(F.col(id_col), F.col("cell"),
                     F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept")))
+
+
+def ivf_cell_index(df: DataFrame, vec_col: str, id_col: str,
+                   centroids: list[tuple[int, list[float]]],
+                   kernel: str = "gram") -> DataFrame:
+    """(id, v, cell): the persistable SemDeDup cell index — assign once,
+    write partitioned/bucketed by cell, probe forever (the IVF counterpart
+    of dedup.minhash_band_index). kernel="gram" uses the BLAS argmin
+    (production); "expr" the literal-codebook expression (oracle face)."""
+    if kernel == "gram":
+        return _np_assigned(df, vec_col, id_col, centroids)
+    if kernel != "expr":
+        raise ValueError(f"unknown assignment kernel: {kernel!r}")
+    return _flat_base(df, vec_col, id_col, centroids).select(
+        F.col(id_col), "v", "cell")
+
+
+def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
+                         id_col: str,
+                         centroids: list[tuple[int, list[float]]],
+                         tau: float,
+                         max_cell: int | None = None) -> DataFrame:
+    """Probe-only SemDeDup of a NEW ingest batch against a persisted cell
+    index (`ivf_cell_index` output) — the continuous-ingestion pattern for
+    EMBEDDING near-dups, mirroring dedup.incremental_dedup's contract: the
+    corpus is never re-assigned or re-compared, only its index is probed.
+
+    Per new row: n_index_hits = indexed rows in its cell within tau;
+    n_batch_hits = smaller-id same-batch rows in its cell within tau.
+    `survives` = both zero (the index is canonical — a new row never
+    evicts an indexed one, matching the band-index bucket-min-id rule).
+    Returns (id, n_index_hits, n_batch_hits, survives) for the new batch.
+
+    Scale shape: the batch is assigned with the SAME codebook (BLAS
+    argmin, map-only), then ONE shuffle on cell co-locates it with the
+    index slice and the cross gram kernel computes only new×index and the
+    new×new triangle — never index×index (gram.gram_group_pairs_cross),
+    so ingest cost is O(|batch| · cell_occupancy), independent of corpus
+    size. Store the index partitioned by cell and Spark prunes the probe
+    to touched cells."""
+    from .gram import gram_group_pairs_cross
+
+    assigned = (_np_assigned(new_df, vec_col, id_col, centroids)
+                .withColumn("_new", F.lit(True)))
+    both = assigned.unionByName(
+        index.select(F.col(id_col), F.col("v"), F.col("cell"))
+             .withColumn("_new", F.lit(False)))
+    both = _with_sub(both, id_col, max_cell)
+    pairs = gram_group_pairs_cross(both, ["cell", "_sub"], id_col, "v",
+                                   "_new", tau)
+    flags = both.select(F.col(id_col).alias("_fid"),
+                        F.col("_new").alias("_fnew"))
+    tagged = (pairs
+              .join(flags.withColumnRenamed("_fid", "id_a")
+                         .withColumnRenamed("_fnew", "_new_a"), "id_a")
+              .join(flags.withColumnRenamed("_fid", "id_b")
+                         .withColumnRenamed("_fnew", "_new_b"), "id_b"))
+    one = F.lit(1).cast("long")
+    per_new = (tagged.select(
+        F.explode(F.array(
+            F.struct(F.col("id_a").alias("nid"),
+                     F.when(F.col("_new_a") & ~F.col("_new_b"), one)
+                      .otherwise(F.lit(0).cast("long")).alias("ih"),
+                     F.lit(0).cast("long").alias("bh")),
+            F.struct(F.col("id_b").alias("nid"),
+                     F.when(F.col("_new_b") & ~F.col("_new_a"), one)
+                      .otherwise(F.lit(0).cast("long")).alias("ih"),
+                     F.when(F.col("_new_a") & F.col("_new_b"), one)
+                      .otherwise(F.lit(0).cast("long")).alias("bh"))
+        )).alias("s"))
+        .select(F.col("s.nid").alias(id_col), F.col("s.ih"), F.col("s.bh"))
+        .groupBy(id_col)
+        .agg(F.sum("ih").alias("n_index_hits"),
+             F.sum("bh").alias("n_batch_hits")))
+    zero = F.lit(0).cast("long")
+    return (new_df.select(id_col)
+            .join(per_new, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_index_hits", zero).alias("n_index_hits"),
+                    F.coalesce("n_batch_hits", zero).alias("n_batch_hits"))
+            .withColumn("survives", (F.col("n_index_hits") == 0)
+                                    & (F.col("n_batch_hits") == 0)))

@@ -1480,6 +1480,59 @@ def q_o62_shard_shuffle(spark, sf_dir):
     return shard_shuffle(docs, "doc_id", SHARD_SHUFFLE_N)
 
 
+def q_o63_semdedup_incremental(spark, sf_dir):
+    """Probe-only incremental SemDeDup (ivf.semdedup_incremental): even
+    vec_ids are the persisted cell index, odd vec_ids the ingest batch.
+    Cross gram kernel — new×index and new×new only, never index×index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
+    idx = ivf.ivf_cell_index(emb.where(F.col("vec_id") % 2 == 0),
+                             "embedding", "vec_id", cents)
+    return ivf.semdedup_incremental(emb.where(F.col("vec_id") % 2 == 1),
+                                    idx, "embedding", "vec_id", cents,
+                                    SEMDEDUP_TAU)
+
+
+def _oracle_semdedup_incremental() -> str:
+    """Twin: the o44 assignment CTE over ALL rows, then per odd (batch) id
+    count within-cell within-tau even partners (index hits) and smaller
+    odd partners (batch hits)."""
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqd = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+           f"i -> {diff} * {diff}))")
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    return f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      d AS (SELECT e.vec_id, c.cid, {sqd} AS sd FROM embeddings e, cent c),
+      assign AS (SELECT vec_id, cid::BIGINT AS cell
+                 FROM (SELECT vec_id, cid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                       FROM d) WHERE rn = 1),
+      hits AS (
+        SELECT a.vec_id AS vec_id,
+               SUM(CASE WHEN b.vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_index_hits,
+               SUM(CASE WHEN b.vec_id % 2 = 1 AND b.vec_id < a.vec_id
+                        THEN 1 ELSE 0 END)::BIGINT AS n_batch_hits
+        FROM embeddings a JOIN assign la ON la.vec_id = a.vec_id
+             JOIN assign lb ON lb.cell = la.cell
+             JOIN embeddings b ON b.vec_id = lb.vec_id
+        WHERE a.vec_id % 2 = 1 AND b.vec_id <> a.vec_id
+          AND {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU}
+        GROUP BY a.vec_id)
+      SELECT e.vec_id,
+             coalesce(h.n_index_hits, 0) AS n_index_hits,
+             coalesce(h.n_batch_hits, 0) AS n_batch_hits,
+             (coalesce(h.n_index_hits, 0) = 0
+              AND coalesce(h.n_batch_hits, 0) = 0) AS survives
+      FROM embeddings e LEFT JOIN hits h ON h.vec_id = e.vec_id
+      WHERE e.vec_id % 2 = 1"""
+
+
 def q_o57_semdedup_hier_apply(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
@@ -1615,6 +1668,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o60_semdedup_gram_pairs": q_o60_semdedup_gram_pairs,
     "o61_semdedup_hier_gram_pairs": q_o61_semdedup_hier_gram_pairs,
     "o62_shard_shuffle": q_o62_shard_shuffle,
+    "o63_semdedup_incremental": q_o63_semdedup_incremental,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1718,4 +1772,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o60_semdedup_gram_pairs": _oracle_semdedup("pairs"),
     "o61_semdedup_hier_gram_pairs": _oracle_semdedup_hier("pairs"),
     "o62_shard_shuffle": _sql_shard_shuffle_oracle(),
+    "o63_semdedup_incremental": _oracle_semdedup_incremental(),
 }

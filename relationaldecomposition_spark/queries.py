@@ -790,17 +790,20 @@ _WINDOW_ROUND6: list[str] = [
     "o26_stratified_sample", "o33_interval_join", "o34_weighted_sample",
     "o35_group_quantiles", "o36_numeric_profile", "o37_skew_report",
     "o40_cluster_sizes", "o51_pack_sequences", "o52_rebalance_mixture",
-    # core anchors (kept in-window every round so the regression baseline
-    # stays comparable across CORRECTNESS files)
-    "a03_dict_encode", "a07_entropy_single", "a08_entropy_batch",
+    # core anchors (kept in-window so the regression baseline stays
+    # comparable across CORRECTNESS files; a03 rotated out this round —
+    # green r05 — to make room for o63)
+    "a07_entropy_single", "a08_entropy_batch",
     "a13_spurious_fold", "a19_mvd_measures",
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas", "s01_windowed_counts", "s02_sessionize",
     "s03_user_stats", "s04_stream_enrich",
     # round-6 additions (never driver-checked; o56/o58/o20/o57 stay
-    # covered by their green r05 rows until the round-7 rotation)
+    # covered by their green r05 rows until the round-7 rotation). NOTE:
+    # exactly 50 entries — adding a query here means removing one that is
+    # green in the LATEST CORRECTNESS round.
     "o60_semdedup_gram_pairs", "o61_semdedup_hier_gram_pairs",
-    "o62_shard_shuffle",
+    "o62_shard_shuffle", "o63_semdedup_incremental",
 ]
 
 

@@ -187,3 +187,64 @@ def test_gram_handles_singleton_and_empty_groups(spark):
         "id bigint, g int, v array<double>")
     out = gram_group_pairs(df, ["g"], "id", "v", 0.9).collect()
     assert [(r.g, r.id_a, r.id_b) for r in out] == [(1, 2, 3)]
+
+
+# ---------------------------------------------------------------------------
+# incremental SemDeDup (probe-only vs persisted cell index)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_incremental_matches_batch_semantics(emb, sd_cents):
+    """With index = even ids and batch = odd ids, the incremental result
+    must equal the numpy re-derivation from the FULL batch pair set: per
+    odd id, index hits = within-tau even partners sharing its cell,
+    batch hits = within-tau smaller odd partners sharing its cell."""
+    from pyspark.sql import functions as F
+
+    idx_df = ivf.ivf_cell_index(emb.where(F.col("vec_id") % 2 == 0),
+                                "embedding", "vec_id", sd_cents)
+    new_df = emb.where(F.col("vec_id") % 2 == 1)
+    out = ivf.semdedup_incremental(new_df, idx_df, "embedding", "vec_id",
+                                   sd_cents, SD_TAU).toPandas()
+
+    full = ivf.semdedup_pairs(emb, "embedding", "vec_id", sd_cents,
+                              SD_TAU, kernel="gram").toPandas()
+    import collections
+    ih = collections.Counter()
+    bh = collections.Counter()
+    for a, b in zip(full.id_a, full.id_b):
+        for odd, other in ((a, b), (b, a)):
+            if odd % 2 == 1:
+                if other % 2 == 0:
+                    ih[odd] += 1
+                elif other < odd:
+                    bh[odd] += 1
+    got = {r.vec_id: (r.n_index_hits, r.n_batch_hits, r.survives)
+           for r in out.itertuples()}
+    assert len(got) == new_df.count()
+    for vid, (gih, gbh, gs) in got.items():
+        assert (gih, gbh) == (ih[vid], bh[vid]), vid
+        assert gs == (gih == 0 and gbh == 0)
+    assert any(not s for _, _, s in got.values())  # some dups found
+
+
+def test_semdedup_incremental_never_compares_index_to_index(spark):
+    """Planted case: two near-identical INDEX rows in one cell must not
+    produce any hit for an unrelated new row, and the cross kernel must
+    not emit index-index pairs (checked via the raw kernel output)."""
+    import numpy as np
+
+    from relationaldecomposition_spark.operators.gram import (
+        gram_group_pairs_cross)
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0], False),   # index pair (identical)
+        (1, 0, [1.0, 0.0, 0.0], False),
+        (2, 0, [0.0, 1.0, 0.0], True),    # new, orthogonal to index
+        (3, 0, [0.0, 1.0, 0.001], True),  # new, near-dup of id 2
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, g int, v array<double>, is_new boolean")
+    pairs = gram_group_pairs_cross(df, ["g"], "id", "v", "is_new",
+                                   0.9).toPandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert got == {(2, 3)}  # no (0,1) index-index pair, no cross hits
