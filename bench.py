@@ -32,6 +32,8 @@ beyond-reference pipeline operators:
   - decompose_e2e:   the reference's core deliverable end-to-end: mine
                      min-sep JDs -> enumerate acyclic schemas -> validate
                      spurious tuples -> bucketed write of the best schema
+  - semdedup_incr:   probe-only incremental embedding dedup vs a
+                     persisted cell index (o63, cross gram kernel)
   - incremental_dedup: probe-only ingest vs the MinHash band index (o50)
   - pack_sequences:  greedy token-budget packing, per-shard windows (o51)
   - rebalance:       mixture rebalance to target source shares (o52)
@@ -191,6 +193,21 @@ def build_queries(spark, sf_dir: str):
         if best is not None:
             write_decomposition_bucketed(denorm, best.clusters,
                                          "c_nationkey", "bench_decomp_e2e")
+
+    def semdedup_incr():
+        # probe-only incremental embedding dedup (o63): even vec_ids are
+        # the persisted cell index, odd the ingest batch; cross gram
+        # kernel scores new×index and new×new only — never index×index
+        from relationaldecomposition_spark.operators.ivf import (
+            ivf_cell_index, seed_centroids, semdedup_incremental)
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = seed_centroids(emb, "embedding", "vec_id",
+                               IVF_CENTROID_IDS)
+        idx = ivf_cell_index(emb.where(F.col("vec_id") % 2 == 0),
+                             "embedding", "vec_id", cents)
+        _force(semdedup_incremental(emb.where(F.col("vec_id") % 2 == 1),
+                                    idx, "embedding", "vec_id", cents,
+                                    0.35, max_cell=2000))
 
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
@@ -452,6 +469,7 @@ def build_queries(spark, sf_dir: str):
         # round-6 additions (appended — see the order contract above)
         "bloom_semi_bc": bloom_semi_bc,
         "decompose_e2e": decompose_e2e,
+        "semdedup_incr": semdedup_incr,
     }
 
 
