@@ -291,7 +291,7 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Returns (id, ws_tokens, bpe_tokens, n_chars, quality, fingerprint,
     n_email, n_phone, n_ipv4, pred_lang)."""
-    from .text import (fingerprint_col, lang_id, quality_col,
+    from .text import (fingerprint_arrow_col, lang_id, quality_col,
                        token_count_cols)
     if not df.isStreaming:
         # single-split small inputs would run every fused signal on one
@@ -301,9 +301,13 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     c = F.col(text_col)
+    # fingerprint rides the Arrow kernel: bit-identical integers (md5 +
+    # affine + min, no floats) at ~300x the core efficiency of the HOF
+    # expression, which alone cost as much as every other signal combined
+    # (31 s of the 29 s fused profile at sf1 — round-6 profile)
     sigs = df.select(F.col(id_col), c,
                      *token_count_cols(c), quality_col(c),
-                     fingerprint_col(c), *pii_count_cols(c))
+                     fingerprint_arrow_col(c), *pii_count_cols(c))
     keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality", "fingerprint"] \
         + [f"n_{name}" for name, _, _ in PII_RULES]
     return lang_id(sigs, text_col, id_col, keep=keep)

@@ -21,8 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.hashing import (
-    affine_hash, minhash_params, portable_hash32, sql_affine_hash,
-    sql_hash32, sql_tokens, sql_word_shingles, tokens, word_shingles)
+    H32_MOD, MERSENNE_P, affine_hash, minhash_params, portable_hash32,
+    sql_affine_hash, sql_hash32, sql_tokens, sql_word_shingles, tokens,
+    word_shingles)
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
 
@@ -679,7 +680,15 @@ def sql_quality_score(table: str, text_col: str, id_col: str) -> str:
 
 
 def fingerprint_col(c, shingle_k: int = 3, seed: int = 7):
-    """The fingerprint expression (see fingerprint), reusable for fusion."""
+    """The fingerprint expression (see fingerprint), reusable for fusion.
+
+    Cost note: the shingle array is a transform/slice higher-order
+    expression — CodegenFallback, ~15µs per shingle visit — so this
+    column alone costs ~word-count µs per document (measured 31 s at sf1,
+    as expensive as every other fused profile signal combined). Use
+    fingerprint_arrow_col where exact-int parity suffices (it does:
+    the fingerprint is integer arithmetic end-to-end, so the kernels are
+    bit-identical, not merely ulp-close)."""
     (a, b) = minhash_params(1, seed)[0]
     sh = word_shingles(c, shingle_k)
     fp = F.array_min(F.transform(
@@ -687,12 +696,69 @@ def fingerprint_col(c, shingle_k: int = 3, seed: int = 7):
     return F.coalesce(fp, F.lit(-1)).cast("bigint").alias("fingerprint")
 
 
+def fingerprint_arrow_col(c, shingle_k: int = 3, seed: int = 7):
+    """Arrow-batched twin of fingerprint_col: same md5-derived portable
+    hash (hashlib md5 == Spark md5 == DuckDB md5, bytes-identical), same
+    affine permute, same min — all INTEGER arithmetic, so the value is
+    bit-identical to the expression path, not merely close. Tokenization
+    replicates the expression's semantics exactly: Spark SQL trim()
+    strips only SPACE (U+0020) at the edges (not Java String.trim's
+    <=U+0020 range); Java regex \\s is the ASCII class
+    [ \\t\\n\\x0B\\f\\r] (Python's default \\s is Unicode — re.ASCII
+    pins it). ~300× more core-efficient than the HOF expression
+    (3 s single-core vs ~1000 core-seconds at sf1): one C md5 per
+    shingle instead of an interpreted slice/concat/md5 expression tree.
+    Map-only, streaming-safe (scalar pandas UDF)."""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    (a, b) = minhash_params(1, seed)[0]
+    k = shingle_k
+    _sql_trim = " "          # Spark SQL trim: SPACE only
+    _ws = _re.compile(r"\s+", _re.ASCII)
+
+    @pandas_udf("bigint")
+    def _fp(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        md5 = hashlib.md5
+        h32 = H32_MOD
+
+        def one(text):
+            if not text:
+                return -1
+            toks = [t for t in _ws.split(text.strip(_sql_trim)) if t]
+            n = len(toks)
+            if n < k:
+                return -1
+            best = None
+            for i in range(n - k + 1):
+                h = int(md5(" ".join(toks[i:i + k]).encode()
+                            ).hexdigest()[:15], 16) % h32
+                v = (h * a + b) % MERSENNE_P
+                if best is None or v < best:
+                    best = v
+            return best
+
+        return texts.map(one).astype("int64")
+
+    return _fp(c).alias("fingerprint")
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str,
-                shingle_k: int = 3, seed: int = 7) -> DataFrame:
+                shingle_k: int = 3, seed: int = 7,
+                kernel: str = "expr") -> DataFrame:
     """Rolling-hash document fingerprint: min affine hash over k-word
-    shingles (a 1-function minhash); -1 sentinel for shingle-less docs."""
+    shingles (a 1-function minhash); -1 sentinel for shingle-less docs.
+    kernel="arrow" swaps in the bit-identical Arrow kernel (see
+    fingerprint_arrow_col)."""
+    col = (fingerprint_arrow_col if kernel == "arrow"
+           else fingerprint_col)
+    if kernel not in ("expr", "arrow"):
+        raise ValueError(f"unknown fingerprint kernel: {kernel!r}")
     return df.select(F.col(id_col),
-                     fingerprint_col(F.col(text_col), shingle_k, seed))
+                     col(F.col(text_col), shingle_k, seed))
 
 
 def sql_fingerprint(table: str, text_col: str, id_col: str,

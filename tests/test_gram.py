@@ -248,3 +248,34 @@ def test_semdedup_incremental_never_compares_index_to_index(spark):
                                    0.9).toPandas()
     got = set(zip(pairs.id_a, pairs.id_b))
     assert got == {(2, 3)}  # no (0,1) index-index pair, no cross hits
+
+
+# ---------------------------------------------------------------------------
+# Arrow fingerprint kernel (round 6)
+# ---------------------------------------------------------------------------
+
+def test_fingerprint_arrow_bit_identical(spark):
+    """Integer arithmetic end-to-end: the Arrow kernel must equal the HOF
+    expression EXACTLY on gate data plus planted whitespace edge cases
+    (Spark SQL trim strips SPACE only; Java \\s is ASCII — NBSP must NOT
+    split, control chars stay in tokens)."""
+    from relationaldecomposition_spark.operators.text import fingerprint
+
+    docs = load(spark, "documents")
+    e = dict(fingerprint(docs, "text", "doc_id").collect())
+    g = dict(fingerprint(docs, "text", "doc_id", kernel="arrow").collect())
+    assert e == g and len(e) == docs.count()
+
+    nasty = spark.createDataFrame(
+        [(1, "  alpha beta gamma  "),       # edge whitespace
+         (2, "a\tb\nc\rd"),                 # ascii ws variants
+         (3, "one two"),                    # < k tokens -> -1
+         (4, ""), (5, None),                # empty / null -> -1
+         (6, "x y z w"),               # NBSP: not a Java \s split
+         (7, "\x08ctrl lead trail\x08 a b")  # control chars <= U+0020
+         ], "doc_id bigint, text string")
+    e = dict(fingerprint(nasty, "text", "doc_id").collect())
+    g = dict(fingerprint(nasty, "text", "doc_id",
+                         kernel="arrow").collect())
+    assert e == g
+    assert e[3] == -1 and e[4] == -1 and e[5] == -1
