@@ -310,7 +310,11 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      fingerprint_arrow_col(c), *pii_count_cols(c))
     keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality", "fingerprint"] \
         + [f"n_{name}" for name, _, _ in PII_RULES]
-    return lang_id(sigs, text_col, id_col, keep=keep)
+    # lang scoring likewise rides its vectorized kernel (np_lang_pred):
+    # exact same predictions, and the whole fused profile becomes ONE
+    # map-only stage — no window explode, no join, zero shuffles
+    return lang_id(sigs, text_col, id_col, keep=keep,
+                   kernel="np" if not df.isStreaming else "expr")
 
 
 def sql_document_profile(table: str, text_col: str, id_col: str) -> str:

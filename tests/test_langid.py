@@ -132,3 +132,29 @@ def test_python_scorer_matches_spark(spark, labeled_rows):
         assert T.py_lang_score(s) == got_spark[i], (i, s)
     assert T.py_lang_score(None) == "und"
     assert T.py_lang_score("") == "und"
+
+
+def test_np_kernel_matches_declarative(spark, labeled_rows):
+    """lang_id(kernel=\"np\") — the vectorized Arrow scorer — must agree
+    with the declarative oracle face EXACTLY on the held-out fixture AND
+    the gate corpus (integer scoring from the same constants)."""
+    from tests.conftest import load
+
+    df = spark.createDataFrame(labeled_rows, ["doc_id", "lang", "text"])
+    e = dict(T.lang_id(df, "text", "doc_id").collect())
+    g = dict(T.lang_id(df, "text", "doc_id", kernel="np").collect())
+    assert e == g
+
+    docs = load(spark, "documents")
+    e = dict(T.lang_id(docs, "text", "doc_id").collect())
+    g = dict(T.lang_id(docs, "text", "doc_id", kernel="np").collect())
+    assert e == g and len(e) == docs.count()
+
+
+def test_np_scorer_matches_python_twin_edges():
+    cases = ["", None, "   ", "こんにちは世界", "Привет мир", "שלום עולם",
+             "नमस्ते दुनिया", "mixed ascii こんにちは text",
+             "the quick brown fox jumps", "x \x00 y", "😀 emoji only 😀"]
+    got = T.np_lang_pred(cases)
+    for s, g in zip(cases, got):
+        assert g == T.py_lang_score(s), (s, g)
