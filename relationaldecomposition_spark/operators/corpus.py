@@ -301,20 +301,44 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         if df.rdd.getNumPartitions() < par:
             df = df.repartition(par)
     c = F.col(text_col)
-    # fingerprint rides the Arrow kernel: bit-identical integers (md5 +
-    # affine + min, no floats) at ~300x the core efficiency of the HOF
-    # expression, which alone cost as much as every other signal combined
-    # (31 s of the 29 s fused profile at sf1 — round-6 profile)
-    sigs = df.select(F.col(id_col), c,
+    if df.isStreaming:
+        sigs = df.select(F.col(id_col), c,
+                         *token_count_cols(c), quality_col(c),
+                         fingerprint_arrow_col(c), *pii_count_cols(c))
+        keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality",
+                "fingerprint"] + [f"n_{name}" for name, _, _ in PII_RULES]
+        return lang_id(sigs, text_col, id_col, keep=keep)
+    # Batch: fingerprint and lang scoring ride their vectorized kernels
+    # (bit-identical integers — py_fingerprint_batch / np_lang_pred; the
+    # HOF fingerprint expression alone measured as expensive as every
+    # other signal combined, and the declarative lang join added two
+    # shuffles). FUSED into ONE pandas UDF so the text column crosses
+    # the JVM->Arrow->Python boundary once, not once per signal; the
+    # whole profile is a single map-only stage — zero Exchanges (pinned
+    # in tests/test_corpus.py).
+    from pyspark.sql.functions import pandas_udf
+
+    from .text import np_lang_pred, py_fingerprint_batch
+
+    # no type hints: the Series -> DataFrame struct-return signature is
+    # not hint-inferable in PySpark 4.1; the returnType drives inference
+    @pandas_udf("struct<fingerprint:bigint,pred_lang:string>")
+    def _fp_lang(texts):
+        import pandas as pd
+        return pd.DataFrame({
+            "fingerprint": pd.Series(py_fingerprint_batch(texts),
+                                     dtype="int64"),
+            "pred_lang": pd.Series(np_lang_pred(texts.tolist()),
+                                   dtype="object"),
+        })
+
+    return df.select(F.col(id_col),
                      *token_count_cols(c), quality_col(c),
-                     fingerprint_arrow_col(c), *pii_count_cols(c))
-    keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality", "fingerprint"] \
-        + [f"n_{name}" for name, _, _ in PII_RULES]
-    # lang scoring likewise rides its vectorized kernel (np_lang_pred):
-    # exact same predictions, and the whole fused profile becomes ONE
-    # map-only stage — no window explode, no join, zero shuffles
-    return lang_id(sigs, text_col, id_col, keep=keep,
-                   kernel="np" if not df.isStreaming else "expr")
+                     _fp_lang(c).alias("_fl"), *pii_count_cols(c)) \
+             .select(F.col(id_col), "ws_tokens", "bpe_tokens", "n_chars",
+                     "quality", F.col("_fl.fingerprint").alias("fingerprint"),
+                     *[F.col(f"n_{name}") for name, _, _ in PII_RULES],
+                     F.col("_fl.pred_lang").alias("pred_lang"))
 
 
 def sql_document_profile(table: str, text_col: str, id_col: str) -> str:

@@ -890,6 +890,38 @@ def fingerprint_col(c, shingle_k: int = 3, seed: int = 7):
     return F.coalesce(fp, F.lit(-1)).cast("bigint").alias("fingerprint")
 
 
+def py_fingerprint_batch(texts, shingle_k: int = 3,
+                         seed: int = 7) -> "list[int]":
+    """Batch twin of the Arrow fingerprint kernel — shared by
+    fingerprint_arrow_col and the fused profile UDF (one text crossing
+    into Python instead of one per signal)."""
+    import hashlib
+
+    (a, b) = minhash_params(1, seed)[0]
+    k = shingle_k
+    md5 = hashlib.md5
+    h32 = H32_MOD
+    ws = _NP_WS
+
+    def one(text):
+        if not text:
+            return -1
+        toks = [t for t in ws.split(text.strip(" ")) if t]
+        n = len(toks)
+        if n < k:
+            return -1
+        best = None
+        for i in range(n - k + 1):
+            h = int(md5(" ".join(toks[i:i + k]).encode()
+                        ).hexdigest()[:15], 16) % h32
+            v = (h * a + b) % MERSENNE_P
+            if best is None or v < best:
+                best = v
+        return best
+
+    return [one(t) for t in texts]
+
+
 def fingerprint_arrow_col(c, shingle_k: int = 3, seed: int = 7):
     """Arrow-batched twin of fingerprint_col: same md5-derived portable
     hash (hashlib md5 == Spark md5 == DuckDB md5, bytes-identical), same
@@ -903,39 +935,13 @@ def fingerprint_arrow_col(c, shingle_k: int = 3, seed: int = 7):
     (3 s single-core vs ~1000 core-seconds at sf1): one C md5 per
     shingle instead of an interpreted slice/concat/md5 expression tree.
     Map-only, streaming-safe (scalar pandas UDF)."""
-    import re as _re
-
     from pyspark.sql.functions import pandas_udf
 
-    (a, b) = minhash_params(1, seed)[0]
-    k = shingle_k
-    _sql_trim = " "          # Spark SQL trim: SPACE only
-    _ws = _re.compile(r"\s+", _re.ASCII)
+    k, s = shingle_k, seed
 
     @pandas_udf("bigint")
     def _fp(texts: pd.Series) -> pd.Series:
-        import hashlib
-
-        md5 = hashlib.md5
-        h32 = H32_MOD
-
-        def one(text):
-            if not text:
-                return -1
-            toks = [t for t in _ws.split(text.strip(_sql_trim)) if t]
-            n = len(toks)
-            if n < k:
-                return -1
-            best = None
-            for i in range(n - k + 1):
-                h = int(md5(" ".join(toks[i:i + k]).encode()
-                            ).hexdigest()[:15], 16) % h32
-                v = (h * a + b) % MERSENNE_P
-                if best is None or v < best:
-                    best = v
-            return best
-
-        return texts.map(one).astype("int64")
+        return pd.Series(py_fingerprint_batch(texts, k, s), dtype="int64")
 
     return _fp(c).alias("fingerprint")
 
