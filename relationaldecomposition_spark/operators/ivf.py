@@ -108,7 +108,8 @@ def assign_cells(df: DataFrame, vec_col: str, id_col: str,
 
 def lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
                  centroids: list[tuple[int, list[float]]],
-                 iters: int = 1) -> list[tuple[int, list[float]]]:
+                 iters: int = 1,
+                 kernel: str = "expr") -> list[tuple[int, list[float]]]:
     """Distributed Lloyd iterations: assign (map-only) → per-cell/per-dim
     mean (posexplode + groupBy(cell, dim), shuffle of n_cells·dim rows) →
     collect the n_cells new centroids. Empty cells keep their previous
@@ -118,13 +119,24 @@ def lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
     Lloyd-refined centroids are deterministic only up to floating-point
     summation order — reproducible to ~1 ulp across runs/partitionings, not
     bit-identical. The seed codebook path (lloyd_iters=0, the o16 oracle
-    path) embeds centroids as plan literals and IS bit-stable."""
+    path) embeds centroids as plan literals and IS bit-stable.
+
+    ``kernel="np"`` uses the BLAS argmin (_np_assigned) for the
+    per-iteration assignment — the production face once the codebook
+    follows the cells∝rows sizing law (the literal argmin is an
+    interpreted O(cells·dim)-per-row expression)."""
+    if kernel not in ("expr", "np"):
+        raise ValueError(f"unknown assignment kernel: {kernel!r}")
     dim = len(centroids[0][1])
     for _ in range(iters):
-        assigned = (df.select(_as_double(vec_col).alias("v"))
-                    .select("v", F.element_at(
-                        _dist_structs("v", centroids), 1)["cell"]
-                        .alias("cell")))
+        if kernel == "np":
+            assigned = _np_assigned(df, vec_col, id_col, centroids) \
+                .select("v", "cell")
+        else:
+            assigned = (df.select(_as_double(vec_col).alias("v"))
+                        .select("v", F.element_at(
+                            _dist_structs("v", centroids), 1)["cell"]
+                            .alias("cell")))
         means = (assigned
                  .select("cell", F.posexplode("v").alias("dim", "x"))
                  .groupBy("cell", "dim").agg(F.avg("x").alias("m"))

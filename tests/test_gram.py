@@ -279,3 +279,14 @@ def test_fingerprint_arrow_bit_identical(spark):
                          kernel="arrow").collect())
     assert e == g
     assert e[3] == -1 and e[4] == -1 and e[5] == -1
+
+
+def test_lloyd_refine_np_kernel_matches_expr(emb, sd_cents):
+    """lloyd_refine(kernel=\"np\"): same assignment → same per-cell means
+    up to the documented ~ulp summation tolerance."""
+    e = ivf.lloyd_refine(emb, "embedding", "vec_id", sd_cents, iters=1)
+    g = ivf.lloyd_refine(emb, "embedding", "vec_id", sd_cents, iters=1,
+                         kernel="np")
+    assert [c for c, _ in e] == [c for c, _ in g]
+    for (_, ve), (_, vg) in zip(e, g):
+        assert np.allclose(ve, vg, atol=1e-9)
