@@ -39,8 +39,6 @@ correctness rows; this kernel is the production scale path.
 
 from __future__ import annotations
 
-from typing import Iterable
-
 from pyspark.sql import DataFrame
 from pyspark.sql.types import DoubleType, StructField, StructType
 
