@@ -150,14 +150,30 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     alpha = hll_alpha(m)
     rest_bits = HASH_BITS - p
     h = _hash64(F.col(value_col))
-    idx = (h % F.lit(m)).alias("_idx")
-    w = F.shiftrightunsigned(h, p)
-    # bit length via base-2 string: exact for any BIGINT, unlike
-    # floor(log2(w)) whose float rounding can misfire at powers of two
-    bitlen = F.when(w == 0, F.lit(0)).otherwise(F.length(F.conv(w, 10, 2)))
+    # Exact integer bit length WITHOUT the per-row base-2 string
+    # conversion (conv(w,10,2) allocates a ~60-char string per row —
+    # measured as costly as the md5 hash itself). floor(log2(w)) can be
+    # off by one where the double rounding crosses a power of two, so the
+    # guess is corrected with two exact integer shift comparisons — the
+    # result equals the string form for every w in [0, 2^60)
+    # (exhaustively checked around every power of two).
+    staged = (df.where(F.col(value_col).isNotNull())
+              .select(*[F.col(c) for c in group_cols],
+                      (h % F.lit(m)).alias("_idx"),
+                      F.shiftrightunsigned(h, p).alias("_w"))
+              .withColumn("_g", (F.floor(F.log2("_w")) + F.lit(1))
+                          .cast("int")))
+    wcol = F.col("_w")
+    g = F.col("_g")
+    bl = F.when(F.expr("shiftleft(cast(1 as bigint), _g - 1)") > wcol,
+                g - 1) \
+          .when(F.expr("shiftleft(cast(1 as bigint), _g)") <= wcol,
+                g + 1) \
+          .otherwise(g)
+    bitlen = F.when(wcol == 0, F.lit(0)).otherwise(bl)
     rho = (F.lit(rest_bits) - bitlen + F.lit(1)).alias("_rho")
-    regs = (df.where(F.col(value_col).isNotNull())
-            .select(*[F.col(c) for c in group_cols], idx, rho)
+    regs = (staged
+            .select(*[F.col(c) for c in group_cols], F.col("_idx"), rho)
             .groupBy(*group_cols, "_idx")
             .agg(F.max("_rho").alias("_rho_max")))
     term = F.expr(f"cast(shiftleft(cast(1 as bigint), "
