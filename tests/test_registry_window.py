@@ -36,6 +36,14 @@ def _recent_green() -> set[str]:
     return green
 
 
+def _latest_round() -> int:
+    paths = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    if not paths:
+        return 0
+    return max(int(re.search(r"_r(\d+)", os.path.basename(p)).group(1))
+               for p in paths)
+
+
 def _latest_green() -> set[str]:
     """Green queries in the single highest-numbered round only."""
     paths = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
@@ -75,9 +83,27 @@ def test_unchecked_queries_inside_the_window():
 def test_rotation_debt_bounded():
     """Anything green ONLY in round r{N-1} (i.e. rotated out of r{N}) must
     be inside the current window, so the upcoming driver round re-verifies
-    it and no query's latest hard row ever ages past one round."""
-    from relationaldecomposition_spark.queries import QUERIES
+    it and no query's latest hard row ever ages past one round.
 
+    Round-aware (round-6 judge fix): the check is meaningful only while the
+    window constant is AHEAD of the latest CORRECTNESS file (mid-round,
+    after the round-start rotation). The moment the driver drops
+    CORRECTNESS_r{N}, the debt it creates belongs to the r{N+1} window,
+    which by definition does not exist until the next round starts — so the
+    assertion is skipped in that state. It instead goes red exactly when
+    the builder FORGETS to rotate: a window round number BEHIND the latest
+    CORRECTNESS round fails unconditionally."""
+    from relationaldecomposition_spark.queries import QUERIES, WINDOW_ROUND
+
+    latest = _latest_round()
+    assert WINDOW_ROUND >= latest, (
+        f"window constant targets round {WINDOW_ROUND} but "
+        f"CORRECTNESS_r{latest:02d}.json exists — rotate _WINDOW_ROUND"
+        f"{latest + 1} before doing anything else this round")
+    if WINDOW_ROUND == latest:
+        # Between-rounds state: the driver just recorded this window's own
+        # round. Rotation debt is owed to the not-yet-defined next window.
+        return
     stale = _recent_green() - _latest_green()
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     aging = sorted(stale - window)
