@@ -239,16 +239,23 @@ class DecompositionValidator:
 
 def _remove_orphan_table_location(spark, name: str) -> None:
     """Delete a local warehouse directory for `name` that no catalog entry
-    owns (leftover from another session). file:-scheme paths only."""
+    owns (leftover from another session). file:-scheme paths only. `name`
+    derives from a caller-supplied table prefix, so it is validated as a
+    plain identifier and the resolved path is required to stay inside the
+    warehouse dir — a prefix containing '/' or '..' must never escape."""
     import os
+    import re
     import shutil
     from urllib.parse import urlparse
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
-    if wh.scheme not in ("", "file"):
+    if not re.fullmatch(r"[A-Za-z0-9_]+", name):
         return
-    loc = os.path.join(wh.path, name.lower())
-    if wh.path and os.path.isdir(loc):
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme not in ("", "file") or not wh.path:
+        return
+    root = os.path.realpath(wh.path)
+    loc = os.path.realpath(os.path.join(root, name.lower()))
+    if os.path.dirname(loc) == root and os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
 
 

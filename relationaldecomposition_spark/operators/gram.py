@@ -54,6 +54,12 @@ def gram_group_pairs(base: DataFrame, keys: list[str], id_col: str,
     with id_a < id_b and cosine >= tau; id/key dtypes mirror the input
     schema. Zero-norm vectors divide to NaN/inf exactly like the
     expression path (NaN never passes tau; +inf does for both kernels).
+    Dirty data matches the expression path's null tolerance instead of
+    crashing the task: null vectors are dropped (their pairs' cosine is
+    null there), null ELEMENTS become NaN (null sum there — dropped both
+    ways), and pairs of different-length vectors are skipped (zip_with
+    yields null past the shorter vector) by scoring each vector length as
+    its own gram.
     """
     import numpy as np
     import pandas as pd
@@ -66,35 +72,42 @@ def gram_group_pairs(base: DataFrame, keys: list[str], id_col: str,
     key_cols = list(keys)
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        m = len(pdf)
-        if m < 2:
+        keys_row = pdf.iloc[0]
+        pdf = pdf[pdf[vec_col].notna()]
+        if len(pdf) < 2:
             return pd.DataFrame({f.name: pd.Series(dtype=object)
                                  for f in out.fields})
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        ids = pdf[id_col].to_numpy()
-        x = np.array([np.asarray(v, dtype=np.float64)
-                      for v in pdf[vec_col]])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+        lens = pdf[vec_col].map(len).to_numpy()
         frames = []
-        block = max(1, min(m, _BLOCK_ELEMS // m))
-        for i0 in range(0, m - 1, block):
-            i1 = min(i0 + block, m)
-            c = xn[i0:i1] @ xn.T                       # (i1-i0, m)
-            bi, bj = np.nonzero(c >= tau)
-            gi = bi + i0
-            keep = bj > gi                             # id_a < id_b only
-            bi, bj, gi = bi[keep], bj[keep], gi[keep]
-            if len(gi):
-                frames.append(pd.DataFrame({
-                    "id_a": ids[gi], "id_b": ids[bj],
-                    "cosine": c[bi, bj]}))
+        for length in np.unique(lens):
+            sub = pdf[lens == length]
+            m = len(sub)
+            if m < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in sub[vec_col]])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            block = max(1, min(m, _BLOCK_ELEMS // m))
+            for i0 in range(0, m - 1, block):
+                i1 = min(i0 + block, m)
+                c = xn[i0:i1] @ xn.T                   # (i1-i0, m)
+                bi, bj = np.nonzero(c >= tau)
+                gi = bi + i0
+                keep = bj > gi                         # id_a < id_b only
+                bi, bj, gi = bi[keep], bj[keep], gi[keep]
+                if len(gi):
+                    frames.append(pd.DataFrame({
+                        "id_a": ids[gi], "id_b": ids[bj],
+                        "cosine": c[bi, bj]}))
         if not frames:
             return pd.DataFrame({f.name: pd.Series(dtype=object)
                                  for f in out.fields})
         res = pd.concat(frames, ignore_index=True)
         for k in key_cols:
-            res[k] = pdf[k].iloc[0]
+            res[k] = keys_row[k]
         return res[[f.name for f in out.fields]]
 
     return base.groupBy(*key_cols).applyInPandas(score, out)
@@ -112,8 +125,9 @@ def gram_group_pairs_cross(base: DataFrame, keys: list[str], id_col: str,
     the new×new upper triangle — never index×index, so re-ingesting a
     batch against an N-row index costs O(|new| · |index ∩ cell|) per
     cell, not O(|index ∩ cell|²): the index corpus is probed, never
-    re-compared against itself. Same ordering/dtype/zero-norm contract as
-    gram_group_pairs; id_a < id_b over the global id order.
+    re-compared against itself. Same ordering/dtype/zero-norm/dirty-data
+    contract as gram_group_pairs (null vectors dropped, per-length
+    scoring); id_a < id_b over the global id order.
     """
     import numpy as np
     import pandas as pd
@@ -126,43 +140,52 @@ def gram_group_pairs_cross(base: DataFrame, keys: list[str], id_col: str,
     key_cols = list(keys)
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        new_mask = pdf[flag_col].to_numpy(dtype=bool)
-        if not new_mask.any() or len(pdf) < 2:
+        keys_row = pdf.iloc[0]
+        pdf = pdf[pdf[vec_col].notna()]
+        if len(pdf) < 2 or not pdf[flag_col].any():
             return pd.DataFrame({f.name: pd.Series(dtype=object)
                                  for f in out.fields})
         pdf = pdf.sort_values(id_col, kind="mergesort")
-        ids = pdf[id_col].to_numpy()
-        new_mask = pdf[flag_col].to_numpy(dtype=bool)
-        x = np.array([np.asarray(v, dtype=np.float64)
-                      for v in pdf[vec_col]])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
-        n_idx = np.nonzero(new_mask)[0]
+        lens = pdf[vec_col].map(len).to_numpy()
         frames = []
-        block = max(1, min(len(n_idx), _BLOCK_ELEMS // len(pdf)))
-        for b0 in range(0, len(n_idx), block):
-            rows = n_idx[b0:b0 + block]
-            c = xn[rows] @ xn.T                        # (block, m)
-            bi, bj = np.nonzero(c >= tau)
-            gi = rows[bi]
-            # keep each unordered pair once: always as (min id, max id);
-            # new×new pairs appear in both orientations — keep gi < bj;
-            # new×index pairs appear once — keep either orientation
-            other_new = new_mask[bj]
-            keep = np.where(other_new, bj > gi, bj != gi)
-            gi, bj, bi = gi[keep], bj[keep], bi[keep]
-            if len(gi):
-                lo = np.minimum(gi, bj)
-                hi = np.maximum(gi, bj)
-                frames.append(pd.DataFrame({
-                    "id_a": ids[lo], "id_b": ids[hi],
-                    "cosine": c[bi, bj]}))
+        for length in np.unique(lens):
+            sub = pdf[lens == length]
+            if len(sub) < 2:
+                continue
+            ids = sub[id_col].to_numpy()
+            new_mask = sub[flag_col].to_numpy(dtype=bool)
+            if not new_mask.any():
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in sub[vec_col]])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xn = x / np.sqrt((x * x).sum(axis=1, keepdims=True))
+            n_idx = np.nonzero(new_mask)[0]
+            block = max(1, min(len(n_idx), _BLOCK_ELEMS // len(sub)))
+            for b0 in range(0, len(n_idx), block):
+                rows = n_idx[b0:b0 + block]
+                c = xn[rows] @ xn.T                    # (block, m)
+                bi, bj = np.nonzero(c >= tau)
+                gi = rows[bi]
+                # keep each unordered pair once: always as (min id,
+                # max id); new×new pairs appear in both orientations —
+                # keep gi < bj; new×index pairs appear once — keep either
+                # orientation
+                other_new = new_mask[bj]
+                keep = np.where(other_new, bj > gi, bj != gi)
+                gi, bj, bi = gi[keep], bj[keep], bi[keep]
+                if len(gi):
+                    lo = np.minimum(gi, bj)
+                    hi = np.maximum(gi, bj)
+                    frames.append(pd.DataFrame({
+                        "id_a": ids[lo], "id_b": ids[hi],
+                        "cosine": c[bi, bj]}))
         if not frames:
             return pd.DataFrame({f.name: pd.Series(dtype=object)
                                  for f in out.fields})
         res = pd.concat(frames, ignore_index=True)
         for k in key_cols:
-            res[k] = pdf[k].iloc[0]
+            res[k] = keys_row[k]
         return res[[f.name for f in out.fields]]
 
     return base.groupBy(*key_cols).applyInPandas(score, out)

@@ -286,16 +286,19 @@ def _np_assigned(df: DataFrame, vec_col: str, id_col: str,
     size (codebooks of many MB), use the hierarchical route."""
     import numpy as np
 
-    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
 
     ordered = sorted(centroids)
     cids = np.array([c for c, _ in ordered], dtype=np.int64)
     cmat = np.array([v for _, v in ordered], dtype=np.float64)
     c2 = (cmat * cmat).sum(axis=1)
+    # cell ids are centroid ROW ids (bigint in every caller — e.g.
+    # seed_centroids reuses vec_id); LongType end-to-end so ids >= 2^31
+    # don't wrap, matching the expression face's auto-widened BIGINT.
     out = StructType([df.schema[id_col],
                       StructField("v", ArrayType(DoubleType())),
-                      StructField("cell", IntegerType())])
+                      StructField("cell", LongType())])
 
     def assign(batches):
         import pandas as pd
@@ -316,7 +319,7 @@ def _np_assigned(df: DataFrame, vec_col: str, id_col: str,
                 best_c[upd] = cids[k0 + j[upd]]
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "v": list(x),
-                                "cell": best_c.astype(np.int32)})
+                                "cell": best_c})
 
     return (df.select(F.col(id_col), _as_double(vec_col).alias(vec_col))
             .mapInPandas(assign, out))

@@ -290,3 +290,73 @@ def test_lloyd_refine_np_kernel_matches_expr(emb, sd_cents):
     assert [c for c, _ in e] == [c for c, _ in g]
     for (_, ve), (_, vg) in zip(e, g):
         assert np.allclose(ve, vg, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round-7 hardening: dirty data + 64-bit cell ids (advisor findings r6)
+# ---------------------------------------------------------------------------
+
+def test_gram_tolerates_null_and_ragged_vectors(spark):
+    """Null vectors and length-mismatched pairs must be DROPPED (the
+    expression kernel's zip_with/aggregate yields null cosine there), not
+    crash the task with a ragged-object-array matmul TypeError. Same-length
+    subgroups still pair among themselves."""
+    from relationaldecomposition_spark.operators.gram import gram_group_pairs
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]), (2, 0, [1.0, 0.001]),       # 2-dim near-dup
+         (3, 0, None),                                    # null vector
+         (4, 0, [1.0, 0.0, 0.0]), (5, 0, [1.0, 0.0, 0.001]),  # 3-dim pair
+         (6, 0, [0.0, 1.0])],                             # 2-dim, far
+        "id bigint, g int, v array<double>")
+    out = gram_group_pairs(df, ["g"], "id", "v", 0.9).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2), (4, 5)}
+
+
+def test_gram_cross_tolerates_null_and_ragged_vectors(spark):
+    from relationaldecomposition_spark.operators.gram import (
+        gram_group_pairs_cross)
+
+    df = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0], False), (2, 0, [1.0, 0.001], True),
+         (3, 0, None, True),
+         (4, 0, [1.0, 0.0, 0.0], False), (5, 0, [1.0, 0.0, 0.001], True)],
+        "id bigint, g int, v array<double>, is_new boolean")
+    out = gram_group_pairs_cross(df, ["g"], "id", "v", "is_new",
+                                 0.9).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2), (4, 5)}
+
+
+def test_np_assignment_cell_ids_are_long(spark):
+    """Centroid ids are row ids (bigint). Ids >= 2^31 must survive the
+    BLAS assignment un-wrapped, matching the expression face's BIGINT."""
+    from pyspark.sql.types import LongType
+
+    big = 2**31 + 5
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [10.0, 9.9])],
+        "vec_id bigint, embedding array<double>")
+    cents = [(big, [0.0, 0.0]), (big + 1, [10.0, 10.0])]
+    out = ivf._np_assigned(df, "embedding", "vec_id", cents)
+    assert isinstance(out.schema["cell"].dataType, LongType)
+    got = {r.vec_id: r.cell for r in out.collect()}
+    assert got == {1: big, 2: big + 1}
+
+
+def test_orphan_location_cleanup_rejects_escaping_names(spark, tmp_path):
+    """A table 'name' containing path separators or .. must never rmtree
+    outside the warehouse dir (names derive from caller table prefixes)."""
+    import os
+
+    from relationaldecomposition_spark.engine.decompose import (
+        _remove_orphan_table_location)
+
+    victim = tmp_path / "victim"
+    victim.mkdir()
+    (victim / "keep.txt").write_text("x")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    # names that must be no-ops
+    for name in (f"../{victim}", str(victim), "a/b", "..", "a;b"):
+        _remove_orphan_table_location(spark, name)
+    assert os.path.exists(victim / "keep.txt")
+    assert wh  # the session has a warehouse; the guard didn't need it gone
