@@ -306,9 +306,12 @@ def build_queries(spark, sf_dir: str):
         # structured corpora at sf>=3 land identical-direction vectors in
         # one bucket; uncapped, its pair join is quadratic — same hazard
         # class as unguarded lsh_dedup, same guard)
+        # kernel="auto": gram (BLAS) once rows x tables x dim outgrows the
+        # fixed Arrow tax, expression kernel below it — sf0.1-class inputs
+        # stopped paying the ~1 s applyInPandas overhead (r6 regression)
         pairs = srp_near_dup_pairs(emb, "embedding", "vec_id", 0.35,
                                    n_planes=planes, dim=64, n_tables=4,
-                                   max_bucket=2000, kernel="gram")
+                                   max_bucket=2000, kernel="auto")
         _force(apply_dedup(emb, connected_components(pairs), "vec_id"))
 
     def line_dedup_q():

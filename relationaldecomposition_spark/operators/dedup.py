@@ -476,7 +476,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
-                         id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+                         id_b: str = "id_b", max_iter: int = 25,
+                         driver_max_edges: int | None = 200_000) -> DataFrame:
     """Cluster candidate pairs into connected components: (id, rep) with
     rep = the minimum id reachable from `id` — the standard tail of a
     near-dup pipeline (LSH pairs -> clusters -> keep one survivor per
@@ -492,7 +493,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     localCheckpoint'ed per round so lineage (and thus plan size) stays
     constant — the loop is driver-side CONTROL only, all data stays
     distributed. Raises RuntimeError if max_iter rounds don't converge
-    (pathological graph, not a corpus shape)."""
+    (pathological graph, not a corpus shape).
+
+    Small-graph fast path: each pointer-jump round costs ~6 Spark jobs of
+    pure scheduling on a graph that fits in one task, so when the
+    (symmetrized, deduped) edge count — already materialized for the loop,
+    so the count is free of extra scans — is at most `driver_max_edges`,
+    the components are solved with one driver-side min-root union-find
+    over a BOUNDED collect (<= driver_max_edges slim (a, b) rows, a few
+    MB) and returned as a distributed frame. Identical (id, rep) output.
+    Near-dup survivor graphs are tiny relative to their corpora, so this
+    removes the per-round scheduling floor at every scale where the loop
+    isn't genuinely needed; pass None to force the distributed loop."""
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # NOTE on partitioning: pre-repartitioning edges on the join key does
     # let the per-round neighbor join skip its edges Exchange — but ONLY
@@ -504,6 +516,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = fwd.union(fwd.select(F.col("b").alias("a"),
                                  F.col("a").alias("b"))) \
                .distinct().localCheckpoint(eager=True)
+    if driver_max_edges is not None and edges.count() <= driver_max_edges:
+        return _driver_union_find(pairs.sparkSession, edges)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .select("id", F.col("id").alias("rep"))
               .localCheckpoint(eager=True))
@@ -529,6 +543,40 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             return labels
     raise RuntimeError(f"connected_components did not converge "
                        f"in {max_iter} rounds")
+
+
+def _driver_union_find(spark, edges: DataFrame) -> DataFrame:
+    """(id, rep) for a small symmetrized edge set via min-root union-find.
+
+    Bounded by construction: only called by connected_components under its
+    driver_max_edges guard. Union always keeps the SMALLER root as parent,
+    so every component's final root is its minimum id — the same rep the
+    pointer-jump loop converges to."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema["a"].dataType
+    out = StructType([StructField("id", id_type),
+                      StructField("rep", id_type)])
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while x != root:                       # path compression
+            parent[x], x = root, parent.get(x, x)
+        return root
+
+    for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    ids = sorted(set(pdf["a"].tolist()))
+    rows = [(i, find(i)) for i in ids]
+    return spark.createDataFrame(rows, out)
 
 
 def apply_dedup(df: DataFrame, clusters: DataFrame, id_col: str) -> DataFrame:

@@ -44,6 +44,35 @@ from pyspark.sql.types import DoubleType, StructField, StructType
 
 _BLOCK_ELEMS = 1 << 25  # ~256 MiB of float64 per gram block, worst case
 
+# kernel="auto" dispatch: below this input volume (rows × copies × dim,
+# i.e. float64 elements crossing into the pair stage) the expression
+# kernel wins — the gram kernel pays a fixed Arrow/applyInPandas tax
+# (~0.5-1 s of per-group scheduling + serialization) that small inputs
+# never amortize, while the expression join's per-pair CodegenFallback
+# cost only dominates once candidate counts grow with corpus size.
+# Calibrated on the embeddings table (dim 64): sf0.1 (2 k vectors,
+# ~0.5 M elements) runs ~1.2x faster on expr; by sf1 (20 k vectors,
+# ~5 M elements) gram wins >2x and the gap widens monotonically.
+AUTO_EXPR_MAX_VOLUME = 2_000_000
+
+
+def resolve_pair_kernel(df, vec_col: str, kernel: str,
+                        copies: int = 1) -> str:
+    """Resolve kernel="auto" to "expr" or "gram" by estimated volume.
+
+    `copies` = how many times each row enters the pair stage (e.g. the
+    number of OR-construction hash tables). Costs one slim aggregate job
+    (count + first vector length) on `df`; callers that already know the
+    input size should pick the kernel themselves."""
+    if kernel != "auto":
+        return kernel
+    from pyspark.sql import functions as F
+
+    n, dim = df.agg(F.count(F.lit(1)),
+                    F.first(F.size(vec_col), ignorenulls=True)).first()
+    volume = n * copies * (dim or 1)
+    return "expr" if volume <= AUTO_EXPR_MAX_VOLUME else "gram"
+
 
 def gram_group_pairs(base: DataFrame, keys: list[str], id_col: str,
                      vec_col: str, tau: float) -> DataFrame:

@@ -252,8 +252,12 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     ``kernel="gram"``, which has no self-join and therefore no
     checkpoint: fully lazy, fully recomputable, and ~10× faster
     (vectorized BLAS assignment + per-cell gram pair scoring; see
-    _np_assigned / operators/gram.py).
+    _np_assigned / operators/gram.py). ``kernel="auto"`` dispatches on
+    input volume (rows × dim) so small inputs skip the fixed Arrow tax
+    (gram.resolve_pair_kernel).
     """
+    from .gram import resolve_pair_kernel
+    kernel = resolve_pair_kernel(df, vec_col, kernel)
     if kernel == "gram":
         # fully vectorized production face: BLAS argmin assignment
         # (mapInPandas, no self-join → no checkpoint workaround needed)

@@ -102,7 +102,13 @@ def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
       filter on the ~100×-smaller survivor set (max(cosine) keeps the
       value deterministic should ulp-differing bucket layouts disagree).
       The production scale path; cosines agree with the expression path
-      to the last ~ulp."""
+      to the last ~ulp.
+    - ``kernel="auto"``: picks between them by input volume
+      (rows × n_tables × dim vs gram.AUTO_EXPR_MAX_VOLUME) so small
+      inputs skip the fixed Arrow/applyInPandas tax — costs one slim
+      count job up front."""
+    from .gram import resolve_pair_kernel
+    kernel = resolve_pair_kernel(df, vec_col, kernel, copies=n_tables)
     tables = table_planes(n_planes, dim, seed, n_tables)
     base = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
             .withColumn("n", _norm(F.col("v"))))

@@ -360,3 +360,22 @@ def test_orphan_location_cleanup_rejects_escaping_names(spark, tmp_path):
         _remove_orphan_table_location(spark, name)
     assert os.path.exists(victim / "keep.txt")
     assert wh  # the session has a warehouse; the guard didn't need it gone
+
+
+def test_auto_kernel_dispatch_by_volume(spark):
+    """kernel="auto" resolves by rows x copies x dim vs AUTO_EXPR_MAX_VOLUME;
+    explicit kernels pass through untouched."""
+    from relationaldecomposition_spark.operators.gram import (
+        AUTO_EXPR_MAX_VOLUME, resolve_pair_kernel)
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+                               "id bigint, v array<double>")
+    assert resolve_pair_kernel(df, "v", "auto") == "expr"      # 2*2 elems
+    big = AUTO_EXPR_MAX_VOLUME  # 2 rows * big copies * 2 dims > threshold
+    assert resolve_pair_kernel(df, "v", "auto", copies=big) == "gram"
+    assert resolve_pair_kernel(df, "v", "gram") == "gram"
+    assert resolve_pair_kernel(df, "v", "expr", copies=big) == "expr"
+    # auto faces produce the same pairs whichever kernel wins
+    out = similarity.srp_near_dup_pairs(df, "v", "id", 0.0, n_planes=2,
+                                        dim=2, kernel="auto")
+    assert out.count() == 0  # orthogonal vectors share no sign bucket

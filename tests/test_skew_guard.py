@@ -162,11 +162,16 @@ def test_connected_components_shapes(spark):
              (10, 11), (10, 12), (11, 12),
              (20, 21)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
-    got = {r["id"]: r["rep"] for r in
-           dedup.connected_components(df).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
-                   10: 10, 11: 10, 12: 10,
-                   20: 20, 21: 20}
+    expected = {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                10: 10, 11: 10, 12: 10,
+                20: 20, 21: 20}
+    # both faces: the small-graph driver union-find (default) and the
+    # distributed pointer-jump loop (driver_max_edges=None) must agree
+    for dme in (200_000, None):
+        got = {r["id"]: r["rep"] for r in
+               dedup.connected_components(df, driver_max_edges=dme)
+               .collect()}
+        assert got == expected, dme
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -175,7 +180,7 @@ def test_connected_components_long_chain_converges(spark):
     pairs = [(i, i + 1) for i in range(64)]
     df = spark.createDataFrame(pairs, ["id_a", "id_b"])
     got = {r["id"]: r["rep"] for r in
-           dedup.connected_components(df).collect()}
+           dedup.connected_components(df, driver_max_edges=None).collect()}
     assert set(got.values()) == {0}
     assert len(got) == 65
 
@@ -219,9 +224,11 @@ def test_connected_components_random_vs_union_find(spark):
         edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, ["id_a", "id_b"])
-        got = {r["id"]: r["rep"] for r in
-               dedup.connected_components(df).collect()}
-        assert got == union_find(edges), seed
+        for dme in (200_000, None):
+            got = {r["id"]: r["rep"] for r in
+                   dedup.connected_components(df, driver_max_edges=dme)
+                   .collect()}
+            assert got == union_find(edges), (seed, dme)
 
 
 def test_cluster_size_histogram(spark):
