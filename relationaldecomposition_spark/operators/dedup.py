@@ -264,20 +264,30 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
     bucket it occupies and none is already indexed). Shingle-less docs
     occupy no buckets and trivially survive.
 
-    Scale shape: the index probe is an equi-join on (band, sig) against
-    DISTINCT index buckets — bucket/partition the stored index on those
-    keys and the probe shuffles only the batch side; batch-internal hits
-    are a groupBy min + join back, never a self-join — no quadratic term
-    anywhere. The banded batch feeds three consumers and is recomputed per
-    consumer by default (the operator stays pure — no hidden persist to
-    leak); a pipeline that owns the lifecycle can pass ``banded`` — a
-    persisted `minhash_band_index(new_df, ...)` — to shingle once."""
+    Scale shape: the index side is first PRUNED to the batch's own bucket
+    keys with a broadcast semi-join (the batch bucket set is batch-sized,
+    the broadcastable side by construction) — a map-only filter over the
+    stored index with NO shuffle of the index and no full-index distinct;
+    only the surviving slice (at most batch buckets × their index
+    occupancy) is deduped and joined. Ingest cost is therefore one index
+    SCAN (storage-level pruning applies if the index is bucketed on
+    (band, sig)) plus batch-sized shuffles — previously the probe
+    shuffled the ENTIRE index through a distinct every ingest.
+    Batch-internal hits are a groupBy min + join back, never a self-join
+    — no quadratic term anywhere. The banded batch feeds three consumers
+    and is recomputed per consumer by default (the operator stays pure —
+    no hidden persist to leak); a pipeline that owns the lifecycle can
+    pass ``banded`` — a persisted `minhash_band_index(new_df, ...)` — to
+    shingle once."""
     assert n_hashes % bands == 0
     if banded is None:
         banded = minhash_band_index(new_df, text_col, id_col, n_hashes,
                                     bands, shingle_k, seed)
-    idx_hits = (banded.join(index.select("band", "sig").distinct(),
-                            ["band", "sig"])
+    probe_keys = banded.select("band", "sig").distinct()
+    idx_slice = (index.join(F.broadcast(probe_keys), ["band", "sig"],
+                            "left_semi")
+                 .select("band", "sig").distinct())
+    idx_hits = (banded.join(idx_slice, ["band", "sig"])
                 .groupBy(id_col)
                 .agg(F.count(F.lit(1)).alias("n_index_hits")))
     bmin = banded.groupBy("band", "sig").agg(F.min(id_col).alias("_bmin"))

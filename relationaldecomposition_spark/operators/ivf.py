@@ -650,19 +650,26 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
     Returns (id, n_index_hits, n_batch_hits, survives) for the new batch.
 
     Scale shape: the batch is assigned with the SAME codebook (BLAS
-    argmin, map-only), then ONE shuffle on cell co-locates it with the
-    index slice and the cross gram kernel computes only new×index and the
-    new×new triangle — never index×index (gram.gram_group_pairs_cross),
-    so ingest cost is O(|batch| · cell_occupancy), independent of corpus
-    size. Store the index partitioned by cell and Spark prunes the probe
-    to touched cells."""
+    argmin, map-only), the index is PRUNED to the batch's touched cells
+    with a broadcast semi-join (the touched-cell set is at most
+    batch-sized — the broadcastable side by construction; untouched cells
+    cannot contribute pairs, so the result is identical), then ONE shuffle
+    on cell co-locates the batch with the touched index slice and the
+    cross gram kernel computes only new×index and the new×new triangle —
+    never index×index (gram.gram_group_pairs_cross). Ingest cost is
+    therefore one index SCAN (a map-only broadcast-hash filter; store the
+    index sorted/partitioned by cell and parquet min/max pruning skips
+    untouched files) plus O(|batch| · cell_occupancy) scoring —
+    previously the whole index rode the cell shuffle every ingest."""
     from .gram import gram_group_pairs_cross
 
     assigned = (_np_assigned(new_df, vec_col, id_col, centroids)
                 .withColumn("_new", F.lit(True)))
+    touched = assigned.select("cell").distinct()
+    pruned = index.join(F.broadcast(touched), "cell", "left_semi")
     both = assigned.unionByName(
-        index.select(F.col(id_col), F.col("v"), F.col("cell"))
-             .withColumn("_new", F.lit(False)))
+        pruned.select(F.col(id_col), F.col("v"), F.col("cell"))
+              .withColumn("_new", F.lit(False)))
     both = _with_sub(both, id_col, max_cell)
     pairs = gram_group_pairs_cross(both, ["cell", "_sub"], id_col, "v",
                                    "_new", tau)

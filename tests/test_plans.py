@@ -216,3 +216,35 @@ def test_incremental_dedup_never_self_joins(spark):
     # feeding one join without an intermediate aggregate
     assert p.count("Generate explode") >= 2, p
     assert "partial_min" in p or "min(" in p, p
+
+
+def test_incremental_probes_broadcast_prune_the_index(spark):
+    """Both continuous-ingest probes must prune the stored index with a
+    BROADCAST semi-join on the batch's own keys — the index side is
+    scanned map-only, never shuffled and never global-distinct'ed (round-7
+    fix: previously incremental_dedup distinct'ed the ENTIRE index and
+    semdedup_incremental rode the whole index through the cell shuffle on
+    every ingest)."""
+    from relationaldecomposition_spark.operators import dedup, ivf
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i}") for i in range(30)],
+        ["doc_id", "text"])
+    index = dedup.minhash_band_index(docs, "text", "doc_id")
+    batch = spark.createDataFrame(
+        [(100 + i, f"alpha beta gamma delta epsilon {i}") for i in range(5)],
+        ["doc_id", "text"])
+    p = plan_of(dedup.incremental_dedup(batch, index, "text", "doc_id"))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p), p
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0]) for i in range(40)],
+        "vec_id bigint, embedding array<double>")
+    cents = [(c, [float(c), 1.0]) for c in range(7)]
+    idx = ivf.ivf_cell_index(emb, "embedding", "vec_id", cents)
+    newb = spark.createDataFrame(
+        [(100 + i, [float(i % 3), 1.0]) for i in range(6)],
+        "vec_id bigint, embedding array<double>")
+    p2 = plan_of(ivf.semdedup_incremental(newb, idx, "embedding", "vec_id",
+                                          cents, 0.9))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p2), p2
