@@ -637,7 +637,8 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                          id_col: str,
                          centroids: list[tuple[int, list[float]]],
                          tau: float,
-                         max_cell: int | None = None) -> DataFrame:
+                         max_cell: int | None = None,
+                         assigned: DataFrame | None = None) -> DataFrame:
     """Probe-only SemDeDup of a NEW ingest batch against a persisted cell
     index (`ivf_cell_index` output) — the continuous-ingestion pattern for
     EMBEDDING near-dups, mirroring dedup.incremental_dedup's contract: the
@@ -660,11 +661,19 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
     therefore one index SCAN (a map-only broadcast-hash filter; store the
     index sorted/partitioned by cell and parquet min/max pruning skips
     untouched files) plus O(|batch| · cell_occupancy) scoring —
-    previously the whole index rode the cell shuffle every ingest."""
+    previously the whole index rode the cell shuffle every ingest.
+
+    The batch assignment subtree feeds both the touched-cell probe and the
+    union and is recomputed per consumer by default (same purity rule as
+    incremental_dedup's ``banded``); a pipeline that owns the lifecycle
+    can pass ``assigned`` — a persisted ``ivf_cell_index(new_df, ...)``
+    output — to assign once (worth it when the codebook is large: the
+    argmin is O(|batch| · cells · dim))."""
     from .gram import gram_group_pairs_cross
 
-    assigned = (_np_assigned(new_df, vec_col, id_col, centroids)
-                .withColumn("_new", F.lit(True)))
+    if assigned is None:
+        assigned = _np_assigned(new_df, vec_col, id_col, centroids)
+    assigned = assigned.withColumn("_new", F.lit(True))
     touched = assigned.select("cell").distinct()
     pruned = index.join(F.broadcast(touched), "cell", "left_semi")
     both = assigned.unionByName(
