@@ -130,6 +130,11 @@ class SparkEntropyEngine:
         self.entropies_computed = 0
         self.scan_seconds = 0.0
         self.tuples_processed = 0
+        # grouping-sets pre-aggregation gate observability (round-7 ask:
+        # "how often does the gate fire?") — chunks that aggregated once on
+        # the union before the grouping sets vs chunks that ran direct
+        self.pre_agg_chunks = 0
+        self.direct_chunks = 0
         self._stats_lock = threading.Lock()
         if cache_input:
             # Iterative mining re-scans the relation constantly; persisting
@@ -383,6 +388,11 @@ class SparkEntropyEngine:
         est_union = self._est_log2_groups(frozenset(union_cols))
         pre_agg = (est_union is not None and n > 0
                    and (2.0 ** est_union) * 8.0 <= n)
+        with self._stats_lock:
+            if pre_agg:
+                self.pre_agg_chunks += 1
+            else:
+                self.direct_chunks += 1
         if pre_agg:
             cols_sql = ", ".join(f"`{c}`" for c in union_cols)
             src = (f"(SELECT {cols_sql}, count(1) AS __base_cnt "
