@@ -275,7 +275,12 @@ def sql_repetition_metrics(table: str, text_col: str, id_col: str,
 # -- fused per-document profile ---------------------------------------------
 
 
-def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+LID_PROFILE_MAX_CHARS = 256
+
+
+def document_profile(df: DataFrame, text_col: str, id_col: str,
+                     lid_max_chars: int | None = LID_PROFILE_MAX_CHARS
+                     ) -> DataFrame:
     """ONE fused scan computing every per-row corpus signal at once:
     token/char counts, quality score, content fingerprint, PII counts, and
     language ID — operator fusion for the 100 TB ingest pass, where five
@@ -290,7 +295,16 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     profile-on-ingest still runs append-mode with zero extra code.
 
     Returns (id, ws_tokens, bpe_tokens, n_chars, quality, fingerprint,
-    n_email, n_phone, n_ipv4, pred_lang)."""
+    n_email, n_phone, n_ipv4, pred_lang).
+
+    ``lid_max_chars`` (default 256): language ID scores only the first N
+    characters of the normalized text — the LID kernel is memory-
+    bandwidth-bound under executor concurrency and was the largest slice
+    of the fused scan at sf10 (68 s of 141 s); 256 normalized chars
+    decide 25-language trigram LID with held-out accuracy unchanged
+    (pinned in tests/test_langid.py). Pass None for full-text scoring.
+    The DuckDB twin (sql_document_profile) is generated with the same
+    value, so the faces stay value-identical."""
     from .text import (fingerprint_arrow_col, lang_id, quality_col,
                        token_count_cols)
     if not df.isStreaming:
@@ -307,7 +321,8 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                          fingerprint_arrow_col(c), *pii_count_cols(c))
         keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality",
                 "fingerprint"] + [f"n_{name}" for name, _, _ in PII_RULES]
-        return lang_id(sigs, text_col, id_col, keep=keep)
+        return lang_id(sigs, text_col, id_col, keep=keep,
+                       max_chars=lid_max_chars)
     # Batch: fingerprint and lang scoring ride their vectorized kernels
     # (bit-identical integers — py_fingerprint_batch / np_lang_pred; the
     # HOF fingerprint expression alone measured as expensive as every
@@ -328,7 +343,8 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         return pd.DataFrame({
             "fingerprint": pd.Series(py_fingerprint_batch(texts),
                                      dtype="int64"),
-            "pred_lang": pd.Series(np_lang_pred(texts.tolist()),
+            "pred_lang": pd.Series(np_lang_pred(texts.tolist(),
+                                                lid_max_chars),
                                    dtype="object"),
         })
 
@@ -341,10 +357,12 @@ def document_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      F.col("_fl.pred_lang").alias("pred_lang"))
 
 
-def sql_document_profile(table: str, text_col: str, id_col: str) -> str:
+def sql_document_profile(table: str, text_col: str, id_col: str,
+                         lid_max_chars: int | None = LID_PROFILE_MAX_CHARS
+                         ) -> str:
     """DuckDB twin: the individual operator twins joined on the id — the
     values are identical to the fused scan's, only the oracle pays the
-    joins."""
+    joins. ``lid_max_chars`` must match the Spark face's."""
     from .text import (sql_fingerprint, sql_lang_id, sql_quality_score,
                        sql_token_counts)
     pii = sql_pii_scan(table, text_col, id_col)
@@ -353,7 +371,8 @@ def sql_document_profile(table: str, text_col: str, id_col: str) -> str:
       qual AS ({sql_quality_score(table, text_col, id_col)}),
       fp AS ({sql_fingerprint(table, text_col, id_col)}),
       pii AS ({pii}),
-      lang AS ({sql_lang_id(table, text_col, id_col)})
+      lang AS ({sql_lang_id(table, text_col, id_col,
+                            max_chars=lid_max_chars)})
       SELECT t.{id_col}, t.ws_tokens, t.bpe_tokens, t.n_chars, q.quality,
              f.fingerprint, p.n_email, p.n_phone, p.n_ipv4, l.pred_lang
       FROM tok t

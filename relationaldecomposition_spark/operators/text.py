@@ -433,15 +433,18 @@ for _g, _l, _w, _p in GRAM_TABLE:
     PY_GRAM_LOOKUP.setdefault(_g, []).append((_p, _l, _w))
 
 
-def py_lang_score(text: str | None) -> str:
+def py_lang_score(text: str | None, max_chars: int | None = None) -> str:
     """Pure-Python twin of lang_id's per-document decision — same constants,
     same normalization, same all-positions window counting, same argmax
     tie-break. Serves two roles: the Arrow-batched scorer behind the
     STREAMING face of lang_id (per-row work, no aggregation, so append-mode
     streams stay legal), and an independent oracle for the declarative
     batch path (tests/test_langid.py pins batch == python on the held-out
-    fixture)."""
+    fixture). ``max_chars``: same normalized-prefix semantics as
+    np_lang_pred."""
     t = " " + _re.sub(r"\s+", " ", (text or "").lower().strip()) + " "
+    if max_chars is not None:
+        t = t[:max_chars]
     lat = 0
     sc = [0] * len(SCRIPT_INTERVALS)
     for ch in t:
@@ -545,7 +548,7 @@ def _np_lid_tables() -> dict:
 _NP_WS = _re.compile(r"\s+", _re.ASCII)  # Java \s == ASCII [ \t\n\x0B\f\r]
 
 
-def np_lang_pred(texts) -> "list[str]":
+def np_lang_pred(texts, max_chars: int | None = None) -> "list[str]":
     """Vectorized batch LID — exact integer twin of the declarative
     lang_id (same normalization order: lower → collapse ASCII \\s+ →
     trim SPACE → pad; same all-windows gram scoring with every
@@ -557,13 +560,24 @@ def np_lang_pred(texts) -> "list[str]":
     become uint64 keys via the 8-bit alphabet remap (8·7 = 56 bits), and
     matches resolve through one searchsorted against the ~1000-row gram
     table. ~200× the per-character Python twin's speed (py_lang_score:
-    94 s vs <0.5 s for sf1's 22M chars, single-core)."""
+    94 s vs <0.5 s for sf1's 22M chars, single-core).
+
+    ``max_chars`` scores only the first max_chars characters of the
+    NORMALIZED padded text (both the script decision and the gram
+    scoring): the kernel is memory-bandwidth-bound under executor
+    concurrency (solo 4.3 s vs 24 s/proc at 32-way on the same batch —
+    measured r7), so truncation is the direct lever on the fused-profile
+    scan cost. Same prefix semantics in every face: py twin t[:N], expr
+    face substring(_t, 1, N), DuckDB twin substr(t, 1, N) — all
+    code-point prefixes of the same normalized string."""
     import numpy as np
 
     t = _np_lid_tables()
     alpha = t["alpha"]
     norms = [" " + _NP_WS.sub(" ", (x or "").lower()).strip(" ") + " "
              for x in texts]
+    if max_chars is not None:
+        norms = [s[:max_chars] for s in norms]
     ndocs = len(norms)
     if ndocs == 0:
         return []
@@ -644,7 +658,8 @@ def np_lang_pred(texts) -> "list[str]":
 
 def lang_id(df: DataFrame, text_col: str, id_col: str,
             keep: list[str] | None = None,
-            kernel: str = "expr") -> DataFrame:
+            kernel: str = "expr",
+            max_chars: int | None = None) -> DataFrame:
     """Character-trigram + script-range language ID over 25 languages —
     single-scan formulation (round 5; the previous version issued ~58
     regexp_count full-text passes per document, ~24% of the whole bench).
@@ -687,7 +702,11 @@ def lang_id(df: DataFrame, text_col: str, id_col: str,
     declarative formulation expresses it as a groupBy that unwatermarked
     append streams reject. Identical semantics from the same constants —
     the batch/stream parity test in tests/test_corpus.py cross-checks the
-    two implementations."""
+    two implementations.
+
+    ``max_chars`` scores only that many characters of the NORMALIZED
+    padded text — identical prefix semantics in every kernel and in the
+    DuckDB twin (sql_lang_id must be generated with the same value)."""
     keep = keep or []
     if df.isStreaming:
         from pyspark.sql.functions import pandas_udf
@@ -699,7 +718,8 @@ def lang_id(df: DataFrame, text_col: str, id_col: str,
         # the per-character python loop's speed
         @pandas_udf("string")
         def _score(texts: pd.Series) -> pd.Series:
-            return pd.Series(np_lang_pred(texts.tolist()), dtype="object")
+            return pd.Series(np_lang_pred(texts.tolist(), max_chars),
+                             dtype="object")
 
         return df.select(F.col(id_col), *[F.col(k) for k in keep],
                          _score(F.col(text_col)).alias("pred_lang"))
@@ -708,7 +728,8 @@ def lang_id(df: DataFrame, text_col: str, id_col: str,
 
         @pandas_udf("string")
         def _np_score(texts: pd.Series) -> pd.Series:
-            return pd.Series(np_lang_pred(texts.tolist()), dtype="object")
+            return pd.Series(np_lang_pred(texts.tolist(), max_chars),
+                             dtype="object")
 
         return df.select(F.col(id_col), *[F.col(k) for k in keep],
                          _np_score(F.col(text_col)).alias("pred_lang"))
@@ -721,8 +742,11 @@ def lang_id(df: DataFrame, text_col: str, id_col: str,
     # regexp_replace expression re-normalized the text once per window
     # (~7 x n_chars times per document — measured 6x slower than the regex
     # fan it replaced). Reading a bound row field per element is free.
+    norm_expr = _lang_norm_col(text_col)
+    if max_chars is not None:
+        norm_expr = F.substring(norm_expr, 1, max_chars)
     norm = df.select(F.col(id_col), *[F.col(k) for k in keep],
-                     _lang_norm_col(text_col).alias("_t"))
+                     norm_expr.alias("_t"))
     withcps = norm.select(
         F.col(id_col), *[F.col(k) for k in keep],
         F.transform(F.split(F.col("_t"), ""),
@@ -773,16 +797,20 @@ def lang_id(df: DataFrame, text_col: str, id_col: str,
                       pred.alias("pred_lang"))
 
 
-def sql_lang_id(table: str, text_col: str, id_col: str) -> str:
+def sql_lang_id(table: str, text_col: str, id_col: str,
+                max_chars: int | None = None) -> str:
     """DuckDB twin of the single-scan lang_id, generated from the same
     constants: the same normalization, the same code-point interval script
     counts, the same window explode joined to the same profile VALUES
-    table, the same (score DESC, priority ASC) argmax."""
+    table, the same (score DESC, priority ASC) argmax. ``max_chars``: the
+    same normalized-prefix truncation as the Spark faces."""
     def q(s: str) -> str:
         return s.replace("'", "''")
 
     norm = (f"' ' || trim(regexp_replace(lower(coalesce({text_col}, '')), "
             f"'\\s+', ' ', 'g')) || ' '")
+    if max_chars is not None:
+        norm = f"substr({norm}, 1, {max_chars})"
 
     def cond(intervals: list[tuple[int, int]]) -> str:
         return " OR ".join(f"(cp >= {lo} AND cp <= {hi})"
@@ -835,12 +863,27 @@ def sql_lang_id(table: str, text_col: str, id_col: str) -> str:
       FROM lang_script s LEFT JOIN lang_best b USING (_id)"""
 
 
+_ASCII_LETTERS = ("ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+                  "abcdefghijklmnopqrstuvwxyz")
+_ASCII_ALNUM_WS = _ASCII_LETTERS + "0123456789" + " \t\n\x0b\x0c\r"
+
+
 def quality_col(c):
-    """The quality expression (see quality_score), reusable for fusion."""
+    """The quality expression (see quality_score), reusable for fusion.
+
+    The alpha/punct counts are `translate` char-map passes, not
+    regexp_count: the classes are literal ASCII sets ([A-Za-z] and
+    [^A-Za-z0-9\\s] with Java's ASCII \\s), so deleting the set's chars
+    and differencing lengths counts them EXACTLY (asserted equal to the
+    regex on the corpus) while skipping the per-match regex machinery —
+    punct alone measured 13x faster (3.1 s -> 0.24 s at sf1), and these
+    two counts were the heaviest slice of the fused document_profile
+    scan. The DuckDB twin keeps the regex formulation."""
     n_tok = F.size(tokens(c)).cast("double")
     n_chars = F.length(c).cast("double")
-    alpha = F.regexp_count(c, F.lit(r"[A-Za-z]")).cast("double")
-    punct = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
+    alpha = (F.length(c)
+             - F.length(F.translate(c, _ASCII_LETTERS, ""))).cast("double")
+    punct = F.length(F.translate(c, _ASCII_ALNUM_WS, "")).cast("double")
     stop = F.regexp_count(F.lower(c), F.lit(_marker_re(STOPWORDS))).cast("double")
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))

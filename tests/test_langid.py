@@ -158,3 +158,52 @@ def test_np_scorer_matches_python_twin_edges():
     got = T.np_lang_pred(cases)
     for s, g in zip(cases, got):
         assert g == T.py_lang_score(s), (s, g)
+
+
+# ---------------------------------------------------------------------------
+# round-7: normalized-prefix truncation (max_chars) — the doc_profile LID
+# cost lever. Accuracy must be UNCHANGED on the held-out fixture, the
+# prefix semantics identical across all four faces, and truncation must
+# demonstrably ignore content past the cut.
+# ---------------------------------------------------------------------------
+
+LID_N = 256
+
+
+def test_truncated_accuracy_unchanged(labeled_rows):
+    full = T.np_lang_pred([s for _, _, s in labeled_rows])
+    trunc = T.np_lang_pred([s for _, _, s in labeled_rows],
+                           max_chars=LID_N)
+    assert full == trunc
+    labels = [lang for _, lang, _ in labeled_rows]
+    assert trunc == labels  # held-out accuracy: still exact
+
+
+def test_truncated_faces_agree(spark, labeled_rows):
+    """expr / np / python / DuckDB faces with the same max_chars produce
+    identical predictions — including on texts LONGER than the cut whose
+    tail would change the answer."""
+    long_mix = ("the cat and the dog and the house " * 10          # ~340 en
+                + " le chat et le chien et la maison " * 20)       # fr tail
+    ru_tail = ("the quick brown fox jumps over the lazy dog " * 8  # ~360 en
+               + " привет мир " * 40)                              # ru tail
+    rows = list(labeled_rows) + [(9001, "mix", long_mix),
+                                 (9002, "mix", ru_tail)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    e = dict(T.lang_id(df, "text", "doc_id", max_chars=LID_N).collect())
+    g = dict(T.lang_id(df, "text", "doc_id", kernel="np",
+                       max_chars=LID_N).collect())
+    assert e == g
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+    s = dict(con.execute(
+        T.sql_lang_id("t", "text", "doc_id", max_chars=LID_N)).fetchall())
+    assert e == s
+    for i, _, txt in rows:
+        assert T.py_lang_score(txt, max_chars=LID_N) == e[i], i
+    # truncation is REAL: the full-text scorer sees the dominant tail,
+    # the truncated one answers from the prefix
+    assert T.np_lang_pred([long_mix, ru_tail]) != \
+        T.np_lang_pred([long_mix, ru_tail], max_chars=LID_N)
+    assert e[9001] == "en" and e[9002] == "en"
