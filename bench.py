@@ -22,9 +22,11 @@ beyond-reference pipeline operators:
   - doc_profile:     fused one-scan per-document profile (o32)
   - tfidf_topk:      TF-IDF top-k keywords per document (o30)
   - sketch_distinct: KMV + HLL cardinality sketches over lineitem (o42/o43)
-  - semdedup:        embedding near-dup dedup, SRP-bucketed linear path
-                     with the gram pair kernel (one BLAS matmul per
-                     bucket; see the query comment and operators/gram.py)
+  - semdedup:        embedding near-dup dedup, SRP-bucketed linear path,
+                     kernel="auto" (expression below the volume threshold,
+                     BLAS gram above; see operators/gram.py)
+  - semdedup_gram:   the forced-gram twin, measured at every sf (and the
+                     face the skew suite exercises)
   - line_dedup:      corpus-frequency boilerplate line removal (o46)
   - bloom_semi:      auto-sized Bloom bitmap build + map-only probe (o47)
   - bloom_semi_bc:   Bloom semi-join forced onto the broadcast-variable +
@@ -314,6 +316,26 @@ def build_queries(spark, sf_dir: str):
                                    max_bucket=2000, kernel="auto")
         _force(apply_dedup(emb, connected_components(pairs), "vec_id"))
 
+    def semdedup_gram_q():
+        # the forced-gram twin of semdedup (kernel="auto" picks the
+        # expression kernel at sub-threshold inputs, so this row keeps the
+        # BLAS pair kernel measured at EVERY sf — and is the face the skew
+        # suite runs so the hot-bucket cap + per-bucket gram is exercised
+        # under adversarial data)
+        import math as _m
+
+        from relationaldecomposition_spark.operators.dedup import (
+            apply_dedup, connected_components)
+        from relationaldecomposition_spark.operators.similarity import (
+            srp_near_dup_pairs)
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        planes = max(8, _m.ceil(_m.log2(max(n, 1) / 200)))
+        pairs = srp_near_dup_pairs(emb, "embedding", "vec_id", 0.35,
+                                   n_planes=planes, dim=64, n_tables=4,
+                                   max_bucket=2000, kernel="gram")
+        _force(apply_dedup(emb, connected_components(pairs), "vec_id"))
+
     def line_dedup_q():
         # corpus-frequency boilerplate line removal (o46) over documents
         # wrapped at 4 tokens/line (the driver-query configuration)
@@ -473,6 +495,8 @@ def build_queries(spark, sf_dir: str):
         "bloom_semi_bc": bloom_semi_bc,
         "decompose_e2e": decompose_e2e,
         "semdedup_incr": semdedup_incr,
+        # round-7 addition
+        "semdedup_gram": semdedup_gram_q,
     }
 
 
