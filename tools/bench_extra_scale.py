@@ -35,7 +35,9 @@ from relationaldecomposition_spark.session import get_spark  # noqa: E402
 SF10_QUERIES = ["entropy_batch32", "lsh_dedup", "dedup_pipeline",
                 "sketch_distinct", "bloom_semi", "ivf_topk", "tfidf_topk",
                 "unigram_xent", "incremental_dedup", "semdedup",
-                "pack_sequences", "doc_profile", "curation_e2e"]
+                "pack_sequences", "doc_profile", "curation_e2e",
+                # r7: the forced-gram face and the incremental probe
+                "semdedup_gram", "semdedup_incr"]
 
 SEMDEDUP_TAU = 0.35
 TARGET_CELL = 500  # the documented sizing law: one cell per ~500 vectors
@@ -94,8 +96,10 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
                  "join) cost more than the O(n*cells*dim)->O(n*(K1+k2)*"
                  "dim) assignment saving, which BLAS made ~free. The "
                  "hierarchical face is retained for codebooks past "
-                 "broadcast size (>~1M cells), not as a same-size "
-                 "speedup. Pair counts differ between faces because the "
+                 "broadcast size — MEASURED in round 7 "
+                 "(semdedup_hier_bigbook: hier 14.6x at 1M cells), not as "
+                 "a same-size speedup. Pair counts differ between faces "
+                 "because the "
                  "partitions differ; both are the within-cell subset of "
                  "the exact pair set (tests/test_ivf.py, test_gram.py)."),
     }
