@@ -296,3 +296,36 @@ def test_ngram_jaccard_max_df_validates(spark):
     with pytest.raises(ValueError):
         ngram_jaccard_pairs(load(spark, "documents"), "text", "doc_id",
                             max_df=1)
+
+
+def test_driver_union_find_vectorized_large_random(spark):
+    """The numpy min-hooking union-find (r7: replaces the dict loop,
+    threshold raised to 2M edges) must agree with a reference union-find
+    on a larger random graph with long chains and string-sortable shapes."""
+    import random
+
+    rng = random.Random(1234)
+    edges = [(i, i + 1) for i in range(500)]               # long chain
+    nodes = rng.sample(range(100_000), 3000)
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(4000)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["rep"] for r in
+           dedup.connected_components(df).collect()}
+    assert got == expected
