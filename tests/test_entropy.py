@@ -273,3 +273,41 @@ def test_preaggregated_grouping_sets_values(spark):
                                            abs=1e-9), s
     finally:
         eng.unpersist()
+
+
+def test_subsequence_chunking_skips_union_wideners(spark):
+    """r7 chunker rework: once the chunk-so-far qualifies for the pre-agg
+    gate (union perplexity <= N/8), a subset that would blow the union
+    past the threshold is SKIPPED (lands in a later chunk), not
+    chunk-terminating — so compact chunks pre-aggregate and wide subsets
+    congregate. Values must be oracle-identical either way."""
+    import math
+
+    rows = [(i % 2, (i // 2) % 2, (i // 4) % 2, i % 512)
+            for i in range(1024)]
+    df = spark.createDataFrame(rows, ["u", "v", "t", "w"])
+    eng = SparkEntropyEngine(df)
+    try:
+        # seed the singleton estimates (the cold chunk — always direct)
+        eng.entropies([frozenset((c,)) for c in df.columns])
+        uv, ut, vt = (frozenset(("u", "v")), frozenset(("u", "t")),
+                      frozenset(("v", "t")))
+        uw, vw = frozenset(("u", "w")), frozenset(("v", "w"))
+        # head {u,v} is compact (union {u,v,t} est ~3 bits <=
+        # log2(1024/8)=7); the interleaved w-subsets would push the union
+        # past the threshold and must be SKIPPED, not chunk-terminating
+        assert eng._next_chunk([uv, uw, ut, vw, vt]) == [uv, ut, vt]
+        # the wide subsets then chunk together (head already past the
+        # threshold -> the compactness rule is inactive, mass budget rules)
+        assert eng._next_chunk([uw, vw]) == [uw, vw]
+        before_pre, before_dir = eng.pre_agg_chunks, eng.direct_chunks
+        got = eng.entropies([uv, uw, ut, vw, vt])
+        assert eng.pre_agg_chunks == before_pre + 1   # the compact chunk
+        assert eng.direct_chunks == before_dir + 1    # the wide pair chunk
+        # values identical to the brute-force oracle
+        for s in (uv, uw, ut, vw, vt):
+            idxs = [df.columns.index(c) for c in sorted(s)]
+            assert got[s] == pytest.approx(oracle_entropy(rows, idxs),
+                                           abs=1e-9)
+    finally:
+        eng.unpersist()
