@@ -81,25 +81,63 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     exact count (all hashes are retained); otherwise (k-1) * 2^60 / h_(k).
     NULL values are ignored (COUNT DISTINCT semantics).
 
-    Plan: groupBy-dedup on (group, hash) -> row_number window ordered by
-    hash -> per-group aggregate. The rn <= k filter triggers Spark's
-    WindowGroupLimit pushdown (per-partition top-k before the exchange).
+    Plan (round-7 rework): KMV is a MERGEABLE sketch, so the k smallest
+    distinct hashes are found with a per-partition partial sketch first —
+    one Arrow pass accumulating, per (partition, group), the k smallest
+    unique hashes (state O(groups * k), emitted once per partition) —
+    then the tiny partials (partitions * groups * k rows) shuffle for the
+    exact global merge (dedup + rank <= k) and the estimate. The previous
+    plan hash-agg-deduped the FULL distinct set before ranking, shuffling
+    O(distinct) rows — 45M at sf10, 10^11-class at 100 TB — where the
+    partial sketch shuffles O(partitions * groups * k) regardless of
+    corpus size. The k smallest distinct hashes (and therefore every
+    output value) are identical: a group's global top-k is contained in
+    the union of its per-partition top-ks.
+
+    (Historical shape note, round-6 measurement: ranking the RAW rows so
+    WindowGroupLimit's partial mode prunes pre-exchange measured 1.8x
+    SLOWER than hash-dedup-then-rank at sf3 — the partial group-limit
+    needs a full local sort. The Arrow partial sketch replaces both.)
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
     gcols = [F.col(c) for c in group_cols]
-    # Shape note (round-6 measurement): dedup-by-hash-aggregate FIRST,
-    # window rank second. The tempting alternative — dense_rank directly
-    # over the raw rows so WindowGroupLimit's partial mode prunes before
-    # the exchange — measured 1.8× SLOWER at sf3 (64 s vs 37 s): the
-    # partial group-limit needs a full LOCAL SORT of every input
-    # partition, and sorting 18M rows costs more than hash-deduping them
-    # and shuffling the distinct set. Keep the hash-aggregate dedup.
     hashed = (df.where(F.col(value_col).isNotNull())
-              .select(*gcols, _hash64(F.col(value_col)).alias("_h"))
-              .groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one")))
+              .select(*gcols, _hash64(F.col(value_col)).alias("_h")))
+    part_schema = StructType(
+        [hashed.schema[c] for c in group_cols]
+        + [StructField("_h", LongType())])
+
+    def partial_sketch(batches):
+        import pandas as pd
+        acc: dict[tuple, "np.ndarray"] = {}
+        keys_seen: dict[tuple, tuple] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for key, sub in pdf.groupby(group_cols, dropna=False,
+                                        sort=False):
+                key_t = key if isinstance(key, tuple) else (key,)
+                hs = np.unique(sub["_h"].to_numpy())[:k]
+                prev = acc.get(key_t)
+                acc[key_t] = hs if prev is None else \
+                    np.unique(np.concatenate([prev, hs]))[:k]
+                keys_seen[key_t] = key_t
+        for key_t, hs in acc.items():
+            out = pd.DataFrame({"_h": hs})
+            for c, v in zip(group_cols, key_t):
+                out[c] = None if pd.isna(v) else v
+            yield out[list(group_cols) + ["_h"]]
+
+    partials = hashed.mapInPandas(partial_sketch, part_schema)
+    # exact global merge over the bounded partials: dedup + rank <= k
+    merged = partials.groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one"))
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    kept = (hashed.withColumn("_rn", F.row_number().over(w))
+    kept = (merged.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= k))
     kth = F.max("_h")  # only the k smallest survive, so max is h_(k)
     n = F.count(F.lit(1))
