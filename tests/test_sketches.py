@@ -96,13 +96,40 @@ def test_duckdb_twins_bit_identical(spark, lineitem):
         == sorted(tuple(r) for r in con.sql(hq).fetchall())
 
 
-def test_kmv_plan_has_rank_limit_pushdown(spark, lineitem):
+def test_kmv_plan_partial_sketch_before_merge(spark, lineitem):
     plan = sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64) \
         ._jdf.queryExecution().executedPlan().toString()
-    # the rn <= k filter must rewrite to WindowGroupLimit so each input
-    # partition keeps only k rows per group BEFORE the window exchange —
-    # the property that makes KMV state O(groups * k) at 100 TB
+    # r7 shape: the per-partition Arrow partial sketch (MapInPandas) must
+    # sit before the merge, so only partitions*groups*k rows shuffle —
+    # never the O(distinct) dedup set; the merge's rn <= k still rewrites
+    # to WindowGroupLimit
+    assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_partial_sketch_null_groups_and_multicol(spark):
+    """The pandas-side partial sketch must preserve exact groupBy
+    semantics for NULL group values (a group of their own, as in Spark
+    and DuckDB) and multi-column group keys — pinned against the DuckDB
+    twin."""
+    rows = [(None, "x", i % 37) for i in range(300)]
+    rows += [("a", "x", i % 11) for i in range(200)]
+    rows += [("a", None, i) for i in range(500)]
+    rows += [("b", "y", 5)] * 50
+    rows += [("b", "y", None)]  # NULL value: ignored, group still exists
+    df = spark.createDataFrame(rows, "g1 string, g2 string, v int")
+    got = {tuple(r) for r in
+           sk.kmv_distinct(df, ["g1", "g2"], "v", 16).collect()}
+    con = duckdb.connect()
+    pdf = df.toPandas()
+    # keep v integral: plain toPandas() widens nullable int to float64,
+    # and CAST(5.0 AS VARCHAR) would hash differently from Spark's '5'
+    pdf["v"] = pdf["v"].astype("Int64")
+    con.register("t", pdf)
+    exp = {tuple(r) for r in con.execute(
+        sk.sql_kmv_distinct("t", ["g1", "g2"], "v", 16)).fetchall()}
+    assert got == exp
+    assert len(got) == 4  # (None,x), (a,x), (a,None), (b,y)
 
 
 def test_hll_register_count_bounded(spark, lineitem):
