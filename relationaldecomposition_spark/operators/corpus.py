@@ -213,7 +213,8 @@ REP_TOP_FRAC_MAX = 0.18  # Gopher's top-2-gram threshold family
 
 def repetition_metrics(df: DataFrame, text_col: str, id_col: str,
                        n: int = REP_NGRAM_N,
-                       top_frac_max: float = REP_TOP_FRAC_MAX) -> DataFrame:
+                       top_frac_max: float = REP_TOP_FRAC_MAX,
+                       kernel: str = "expr") -> DataFrame:
     """Per-document repetition signals (the Gopher / MassiveText quality
     rule family): duplicate-token fraction (1 - distinct/total) and the
     fraction of all n-grams taken by the single most frequent n-gram.
@@ -221,7 +222,21 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str,
     threshold — the standard boilerplate/template detector.
 
     Returns (id, n_tokens, dup_token_frac, top_ngram_frac, repetitive),
-    one row per document (token-less documents report zeros)."""
+    one row per document (token-less documents report zeros).
+
+    Two kernels, identical values (pinned in tests/test_corpus.py):
+
+    - ``kernel="expr"`` (default): shingle explode -> groupBy(id, gram)
+      -> groupBy(id) — the DuckDB-twin oracle form. Shuffles ~one row
+      per TOKEN of the corpus, twice (42M rows at sf10).
+    - ``kernel="arrow"``: every signal is a function of ONE document, so
+      one Arrow batch pass computes them with zero shuffles (the same
+      ASCII-\\s tokenizer parity recipe as py_fingerprint_batch) — the
+      production scale path, used by curate_corpus's quality gate."""
+    if kernel == "arrow":
+        return _repetition_arrow(df, text_col, id_col, n, top_frac_max)
+    if kernel != "expr":
+        raise ValueError(f"unknown repetition kernel: {kernel!r}")
     toks = tokens(F.col(text_col))
     base = df.select(F.col(id_col),
                      F.size(toks).cast("bigint").alias("n_tokens"),
@@ -243,6 +258,66 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str,
                     round6(dup).alias("dup_token_frac"),
                     round6(top).alias("top_ngram_frac"),
                     (top > F.lit(top_frac_max)).cast("int").alias("repetitive"))
+
+
+def _repetition_arrow(df: DataFrame, text_col: str, id_col: str,
+                      n: int, top_frac_max: float) -> DataFrame:
+    """Map-only Arrow twin of repetition_metrics (see its docstring).
+
+    Parity notes: tokens follow the Spark expression exactly — trim
+    strips SPACE only, the split regex \\s is ASCII (same recipe
+    py_fingerprint_batch proved bit-identical); a null text yields NULL
+    n_tokens (size(null) is null) with zero fractions, matching the
+    expression face's when/otherwise fallthrough."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    import math
+
+    from .text import _NP_WS
+
+    def _round6(x: float) -> float:
+        # the repo-wide portable rounding (text.round6): floor(x*1e6+0.5)
+        # — same double ops as the Spark/DuckDB faces, NOT Python round()
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    @pandas_udf("struct<n_tokens:bigint,dup_token_frac:double,"
+                "top_ngram_frac:double,repetitive:int>")
+    def _rep(texts):
+        import pandas as pd
+        nt_out, dup_out, top_out, rep_out = [], [], [], []
+        for text in texts:
+            if text is None:
+                nt_out.append(None)
+                dup_out.append(0.0)
+                top_out.append(0.0)
+                rep_out.append(0)
+                continue
+            toks = [t for t in _NP_WS.split(text.strip(" ")) if t]
+            nt = len(toks)
+            dup = 1.0 - len(set(toks)) / nt if nt > 0 else 0.0
+            if nt >= n:
+                counts = Counter(
+                    " ".join(toks[i:i + n]) for i in range(nt - n + 1))
+                top = max(counts.values()) / (nt - n + 1)
+            else:
+                top = 0.0
+            nt_out.append(nt)
+            dup_out.append(_round6(dup))
+            top_out.append(_round6(top))
+            # the expression face compares the UNROUNDED share
+            rep_out.append(int(top > top_frac_max))
+        return pd.DataFrame({
+            "n_tokens": pd.Series(nt_out, dtype="Int64"),
+            "dup_token_frac": dup_out, "top_ngram_frac": top_out,
+            "repetitive": pd.Series(rep_out, dtype="int32")})
+
+    return (df.select(F.col(id_col), _rep(F.col(text_col)).alias("_r"))
+            .select(F.col(id_col), F.col("_r.n_tokens").alias("n_tokens"),
+                    F.col("_r.dup_token_frac").alias("dup_token_frac"),
+                    F.col("_r.top_ngram_frac").alias("top_ngram_frac"),
+                    F.col("_r.repetitive").alias("repetitive")))
 
 
 def sql_repetition_metrics(table: str, text_col: str, id_col: str,

@@ -82,7 +82,9 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
 
     keep_q = (quality_score(cur, text_col, id_col)
               .where(F.col("quality") >= quality_min).select(id_col))
-    keep_r = (repetition_metrics(cur, text_col, id_col)
+    # arrow kernel: per-document signals, zero shuffles (value-identical
+    # to the expr oracle face — pinned in tests/test_corpus.py)
+    keep_r = (repetition_metrics(cur, text_col, id_col, kernel="arrow")
               .where(F.col("repetitive") == 0).select(id_col))
     cur = cur.join(keep_q, id_col).join(keep_r, id_col)
     if xent_max is not None:

@@ -560,3 +560,35 @@ class TestBandIndexMerge:
                     batch.withColumn("doc_id", F.col("doc_id") + 100),
                     merged, "text", "doc_id").collect()}
         assert not any(inc2.values())
+
+
+def test_repetition_arrow_kernel_matches_expr(spark):
+    """r7: the map-only Arrow repetition kernel must equal the expression
+    face EXACTLY on gate data plus tokenizer edge cases (SPACE-only trim,
+    ASCII-\\s split, null/empty/NBSP/short docs, threshold boundaries)."""
+    from relationaldecomposition_spark.operators.corpus import (
+        repetition_metrics)
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    e = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_metrics(docs, "text", "doc_id").collect()}
+    g = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_metrics(docs, "text", "doc_id",
+                            kernel="arrow").collect()}
+    assert e == g and len(e) == docs.count()
+
+    nasty = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   "), (4, "one"),
+         (5, "a b a b a b a b a b"),          # dominant bigram
+         (6, "x y z"),                   # NBSP is NOT a Java \s split
+         (7, " lead\ttab\nnl trail "),
+         (8, "w " * 300)],                    # all-identical bigrams
+        "doc_id bigint, text string")
+    e = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_metrics(nasty, "text", "doc_id").collect()}
+    g = {r["doc_id"]: tuple(r)[1:] for r in
+         repetition_metrics(nasty, "text", "doc_id",
+                            kernel="arrow").collect()}
+    assert e == g
+    assert e[5][3] == 1 and e[8][3] == 1      # repetitive flags fire
