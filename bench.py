@@ -249,9 +249,14 @@ def build_queries(spark, sf_dir: str):
                           max_bucket=ANN_MAX_BUCKET))
 
     def ivf_topk_q():
+        # kernel="np": BLAS argmin assignment (the production face; the
+        # literal-codebook expression face is the oracle form and pays
+        # O(cells*dim) interpreted HOF visits per row — value parity
+        # pinned in tests/test_gram.py)
         emb = load_table(spark, sf_dir, "embeddings")
         _force(ivf_topk(emb, "embedding", "vec_id", ANN_QUERY_IDS, 5,
-                 centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES))
+                 centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES,
+                 kernel="np"))
 
     def decontaminate_q():
         # benchmark n-gram overlap (o27): broadcast benchmark shingle set,
