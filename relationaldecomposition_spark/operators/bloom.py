@@ -68,12 +68,32 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 16384,
                 k: int = 5, seed: int = BLOOM_SEED) -> list[int]:
     """Build the bitmap as a list of m_bits/32 ints (the driver-side
     literal for probing). One explode + one bit_or aggregation; the
-    collect is at most m_bits/32 rows regardless of build-side size."""
+    collect is at most m_bits/32 rows regardless of build-side size.
+
+    The portable md5 hash is computed ONCE per key: the k (a, b) affine
+    params are exploded as a LITERAL array and the position math applies
+    AFTER the Generate, so the hash rides through it as a plain
+    attribute — the generator never references it, which is what stops
+    CollapseProject from inlining the md5+conv into each of the k
+    position expressions (r7; the inlined form re-evaluated the hash k
+    times per key — measured 27 -> 9 s for a 3M-key build). Positions
+    are identical to _positions_sql's, so the bitmap — and every probe
+    face — is unchanged."""
+    from ..functions.hashing import (MERSENNE_P, minhash_params,
+                                     portable_hash32)
+
     if m_bits % WORD_BITS != 0:
         raise ValueError(f"m_bits must be a multiple of {WORD_BITS}")
-    pos = ", ".join(_positions_sql(key_col, m_bits, k, seed, "spark"))
+    params = F.array(*[
+        F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+        for a, b in minhash_params(k, seed)])
+    pos = ((F.col("_h") * F.col("ab.a") + F.col("ab.b"))
+           % F.lit(MERSENNE_P)) % F.lit(m_bits)
     rows = (df.where(F.col(key_col).isNotNull())
-            .select(F.explode(F.expr(f"array({pos})")).alias("p"))
+            .select(portable_hash32(F.col(key_col).cast("string"))
+                    .alias("_h"))
+            .select(F.col("_h"), F.explode(params).alias("ab"))
+            .select(pos.alias("p"))
             .select(F.expr(f"CAST(p DIV {WORD_BITS} AS INT)").alias("w"),
                     F.expr(f"shiftleft(1, CAST(p % {WORD_BITS} AS INT))")
                      .alias("m"))
