@@ -119,3 +119,15 @@ def test_oracles_subset_and_aligned():
     # oracle order follows query order for the shared keys
     q_order = [k for k in QUERIES if k in ORACLES]
     assert list(ORACLES) == q_order
+
+
+def test_window_list_is_exactly_fifty_unique():
+    """A duplicate in the window constant would silently shrink the
+    first-50 head (dict reorder dedups), letting an unintended query
+    into the driver's checked slice."""
+    from relationaldecomposition_spark import queries as q
+
+    window = getattr(q, f"_WINDOW_ROUND{q.WINDOW_ROUND}")
+    assert len(window) == DRIVER_WINDOW
+    assert len(set(window)) == DRIVER_WINDOW
+    assert list(q.QUERIES)[:DRIVER_WINDOW] == window
