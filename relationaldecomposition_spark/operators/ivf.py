@@ -486,22 +486,58 @@ def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
     return joined.select(F.col(id_col), "v", "route", best.alias("cell"))
 
 
-def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
-                      coarse: list[tuple[int, list[float]]],
-                      k2: int) -> DataFrame:
-    """(id, v, route, cell): lambda-free two-level assignment — the
-    vectorized twin of route_sub_codebook + assign_cells_hier. Coarse
-    routing is the BLAS argmin (_np_assigned); each route's k2 smallest-id
-    members become its sub-centroids (identical construction to
-    route_sub_codebook, but over the routed frame — plain window/agg
-    columns, no HOF lambdas); the second-level argmin runs in ONE
-    mapInPandas over the routed⋈sub-codebook join, vectorized per route
-    within each Arrow batch. No lambda expression anywhere in the plan, so
-    the Spark 4.1 DeduplicateRelations/LambdaFunction binding bug (see
-    _flat_base) cannot trigger — this face needs no checkpoint and stays
-    fully lazy. Same (distance, cell) tie-break as the expression path
-    modulo last-ulp BLAS summation (pinned on gate data in
-    tests/test_gram.py)."""
+def hier_codebook(df: DataFrame, vec_col: str, id_col: str,
+                  coarse: list[tuple[int, list[float]]], k2: int,
+                  kernel: str = "gram") -> DataFrame:
+    """(route, cb: array<struct<cell, cv>>): the PERSISTABLE two-level
+    codebook — route every row to its nearest coarse centroid, take each
+    route's k2 smallest-id members as that route's sub-centroids (the
+    seed-row idiom of route_sub_codebook). Write this once at index-build
+    time (partitioned by route) and every later consumer — batch probes,
+    re-assignments, semdedup_incremental — assigns against the SAME cells
+    the index was built with; re-deriving it from a new batch would yield
+    different sub-centroids and silently incompatible cell ids.
+
+    kernel="gram" routes with the BLAS argmin (production, identical to
+    _np_assigned_hier's internal derivation); "expr" is the
+    literal-expression face (route_sub_codebook, the DuckDB-twin path)."""
+    if kernel == "expr":
+        return route_sub_codebook(df, vec_col, id_col, coarse, k2)
+    if kernel != "gram":
+        raise ValueError(f"unknown assignment kernel: {kernel!r}")
+    routed = (_np_assigned(df, vec_col, id_col, coarse)
+              .withColumnRenamed("cell", "route"))
+    w = Window.partitionBy("route").orderBy(F.col(id_col).asc())
+    return (routed.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= k2)
+            .groupBy("route")
+            .agg(F.array_sort(F.collect_list(F.struct(
+                F.col(id_col).cast("long").alias("cell"),
+                F.col("v").alias("cv")))).alias("cb")))
+
+
+def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
+                         coarse: list[tuple[int, list[float]]],
+                         subs: DataFrame,
+                         prune_subs: bool = False) -> DataFrame:
+    """(id, v, route, cell): lambda-free two-level assignment against a
+    GIVEN (route, cb) sub-codebook table. Coarse routing is the BLAS
+    argmin (_np_assigned); the second-level argmin runs in ONE mapInPandas
+    over the routed⋈sub-codebook join, vectorized per route within each
+    Arrow batch. No lambda expression anywhere in the plan, so the Spark
+    4.1 DeduplicateRelations/LambdaFunction binding bug (see _flat_base)
+    cannot trigger — this face needs no checkpoint and stays fully lazy.
+    Same (distance, cell) tie-break as the expression path modulo last-ulp
+    BLAS summation (pinned on gate data in tests/test_gram.py).
+
+    prune_subs=True first broadcast-semi-joins the codebook down to the
+    routes the input actually touches — the incremental-batch shape, where
+    df is a small ingest batch and subs is a persisted K1-row codebook
+    whose total payload (K1·k2·dim doubles) is the WHOLE cell space:
+    shipping it per batch would re-introduce the O(total cells) ingest
+    term the hierarchy exists to remove. The touched-route set is at most
+    batch-sized (broadcastable by construction), and untouched routes
+    cannot affect the result."""
     import numpy as np
 
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
@@ -509,13 +545,9 @@ def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
 
     routed = (_np_assigned(df, vec_col, id_col, coarse)
               .withColumnRenamed("cell", "route"))
-    w = Window.partitionBy("route").orderBy(F.col(id_col).asc())
-    subs = (routed.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") <= k2)
-            .groupBy("route")
-            .agg(F.array_sort(F.collect_list(F.struct(
-                F.col(id_col).cast("long").alias("cell"),
-                F.col("v").alias("cv")))).alias("cb")))
+    if prune_subs:
+        touched = routed.select("route").distinct()
+        subs = subs.join(F.broadcast(touched), "route", "left_semi")
     joined = routed.join(subs, "route")
     out = StructType([df.schema[id_col],
                       StructField("v", ArrayType(DoubleType())),
@@ -544,6 +576,20 @@ def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
                                 "route": pdf["route"], "cell": cells})
 
     return joined.mapInPandas(assign, out)
+
+
+def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
+                      coarse: list[tuple[int, list[float]]],
+                      k2: int) -> DataFrame:
+    """(id, v, route, cell): the self-contained face — derive the
+    sub-codebook from df itself (hier_codebook) and assign df against it
+    (_np_assign_with_subs). The vectorized twin of route_sub_codebook +
+    assign_cells_hier; build-time path, where codebook and corpus are the
+    same frame. Continuous-ingest callers persist hier_codebook once and
+    call _np_assign_with_subs per batch instead (semdedup_incremental
+    does this when given ``subs``)."""
+    subs = hier_codebook(df, vec_col, id_col, coarse, k2, kernel="gram")
+    return _np_assign_with_subs(df, vec_col, id_col, coarse, subs)
 
 
 def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
@@ -633,12 +679,27 @@ def ivf_cell_index(df: DataFrame, vec_col: str, id_col: str,
         F.col(id_col), "v", "cell")
 
 
+def ivf_cell_index_hier(df: DataFrame, vec_col: str, id_col: str,
+                        coarse: list[tuple[int, list[float]]],
+                        subs: DataFrame) -> DataFrame:
+    """(id, v, cell): the persistable HIERARCHICAL SemDeDup cell index —
+    two-level assignment against a persisted (route, cb) codebook
+    (hier_codebook output). The continuous-ingest counterpart of
+    ivf_cell_index: build the codebook once, assign the corpus once,
+    write both partitioned by cell/route, then probe forever with
+    semdedup_incremental(..., subs=subs) — per-batch assignment cost
+    O(|batch|·(K1 + k2)·dim) instead of the flat O(|batch|·K1·k2·dim)."""
+    return (_np_assign_with_subs(df, vec_col, id_col, coarse, subs)
+            .select(F.col(id_col), "v", "cell"))
+
+
 def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                          id_col: str,
                          centroids: list[tuple[int, list[float]]],
                          tau: float,
                          max_cell: int | None = None,
-                         assigned: DataFrame | None = None) -> DataFrame:
+                         assigned: DataFrame | None = None,
+                         subs: DataFrame | None = None) -> DataFrame:
     """Probe-only SemDeDup of a NEW ingest batch against a persisted cell
     index (`ivf_cell_index` output) — the continuous-ingestion pattern for
     EMBEDDING near-dups, mirroring dedup.incremental_dedup's contract: the
@@ -668,11 +729,33 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
     incremental_dedup's ``banded``); a pipeline that owns the lifecycle
     can pass ``assigned`` — a persisted ``ivf_cell_index(new_df, ...)``
     output — to assign once (worth it when the codebook is large: the
-    argmin is O(|batch| · cells · dim))."""
+    argmin is O(|batch| · cells · dim)).
+
+    HIERARCHICAL codebooks (the past-broadcast regime): when the cell
+    space is two-level — index built with ``ivf_cell_index_hier`` against
+    a persisted ``hier_codebook`` — pass that same codebook as ``subs``
+    and ``centroids`` = the COARSE level only. The batch is then assigned
+    with the two-level route (BLAS coarse argmin over K1, broadcast-prune
+    the codebook to the batch's touched routes, one mapInPandas sub-argmin
+    over ≤|batch| routes' cb arrays), so per-batch assignment cost is
+    O(|batch|·(K1 + k2)·dim) — independent of the total cell count K1·k2.
+    The flat driver-list face ships the ENTIRE codebook in the task
+    closure and scores every cell per row (measured 0.96→15.16 s for a
+    fixed 5k batch at 1k→100k cells, SCALING.json
+    semdedup_incremental_scale; the hier regime measured 14.6× at 1M
+    cells, semdedup_hier_bigbook). ``subs`` MUST be the codebook the
+    index was built with — a codebook re-derived from any other frame has
+    different sub-centroids and silently incompatible cell ids."""
     from .gram import gram_group_pairs_cross
 
     if assigned is None:
-        assigned = _np_assigned(new_df, vec_col, id_col, centroids)
+        if subs is not None:
+            assigned = (_np_assign_with_subs(new_df, vec_col, id_col,
+                                             centroids, subs,
+                                             prune_subs=True)
+                        .select(F.col(id_col), "v", "cell"))
+        else:
+            assigned = _np_assigned(new_df, vec_col, id_col, centroids)
     assigned = assigned.withColumn("_new", F.lit(True))
     touched = assigned.select("cell").distinct()
     pruned = index.join(F.broadcast(touched), "cell", "left_semi")

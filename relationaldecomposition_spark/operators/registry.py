@@ -1533,6 +1533,90 @@ def _oracle_semdedup_incremental() -> str:
       WHERE e.vec_id % 2 = 1"""
 
 
+def q_o64_semdedup_incr_hier(spark, sf_dir):
+    """Probe-only incremental SemDeDup against a HIERARCHICAL cell index
+    (ivf.ivf_cell_index_hier + semdedup_incremental(subs=...)): even
+    vec_ids are the persisted corpus — their hier_codebook (coarse seed
+    routes, k2 smallest even ids per route as sub-centroids) is the
+    persisted codebook — and odd vec_ids the ingest batch, assigned with
+    the SAME codebook via the two-level route (O(K1 + k2) per row, the
+    past-broadcast-regime fix for the flat O(cells) driver-list argmin).
+    Same hits/survives contract as o63."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    coarse = ivf.seed_centroids(corpus, "embedding", "vec_id",
+                                HIER_COARSE_IDS)
+    subs = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse,
+                             HIER_SUB_K)
+    idx = ivf.ivf_cell_index_hier(corpus, "embedding", "vec_id", coarse,
+                                  subs)
+    return ivf.semdedup_incremental(emb.where(F.col("vec_id") % 2 == 1),
+                                    idx, "embedding", "vec_id", coarse,
+                                    SEMDEDUP_TAU, subs=subs)
+
+
+def _oracle_semdedup_incr_hier() -> str:
+    """Twin: the o56 two-level assignment CTE with sub-seeds drawn from
+    EVEN (corpus) rows only — the persisted-codebook semantics: a batch
+    row is assigned against the codebook the index was built with, never
+    one re-derived from the batch — then the o63 hits contract (within-
+    cell within-tau even partners = index hits, smaller odd partners =
+    batch hits). Odd rows whose route has no even member have no cell and
+    trivially survive (both faces agree: the engine's inner join on route
+    drops them from the pair stage, the left join restores 0/0)."""
+    cids = ", ".join(map(str, HIER_COARSE_IDS))
+    diffc = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqdc = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> {diffc} * {diffc}))")
+    diffs = "(CAST(e.embedding[i] AS DOUBLE) - CAST(cs.embedding[i] AS DOUBLE))"
+    sqds = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> {diffs} * {diffs}))")
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    return f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      dr AS (SELECT e.vec_id, c.cid, {sqdc} AS sd FROM embeddings e, cent c),
+      route AS (SELECT vec_id, cid AS route
+                FROM (SELECT vec_id, cid, row_number() OVER
+                        (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                      FROM dr) WHERE rn = 1),
+      sub_seed AS (SELECT route, vec_id AS scid
+                   FROM (SELECT route, vec_id, row_number() OVER
+                           (PARTITION BY route ORDER BY vec_id ASC) AS rn
+                         FROM route WHERE vec_id % 2 = 0)
+                   WHERE rn <= {HIER_SUB_K}),
+      d2 AS (SELECT r.vec_id, s.scid, {sqds} AS sd
+             FROM route r
+             JOIN embeddings e ON e.vec_id = r.vec_id
+             JOIN sub_seed s ON s.route = r.route
+             JOIN embeddings cs ON cs.vec_id = s.scid),
+      assign AS (SELECT vec_id, scid::BIGINT AS cell
+                 FROM (SELECT vec_id, scid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY sd ASC, scid ASC) AS rn
+                       FROM d2) WHERE rn = 1),
+      hits AS (
+        SELECT a.vec_id AS vec_id,
+               SUM(CASE WHEN b.vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                 AS n_index_hits,
+               SUM(CASE WHEN b.vec_id % 2 = 1 AND b.vec_id < a.vec_id
+                        THEN 1 ELSE 0 END)::BIGINT AS n_batch_hits
+        FROM embeddings a JOIN assign la ON la.vec_id = a.vec_id
+             JOIN assign lb ON lb.cell = la.cell
+             JOIN embeddings b ON b.vec_id = lb.vec_id
+        WHERE a.vec_id % 2 = 1 AND b.vec_id <> a.vec_id
+          AND {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU}
+        GROUP BY a.vec_id)
+      SELECT e.vec_id,
+             coalesce(h.n_index_hits, 0) AS n_index_hits,
+             coalesce(h.n_batch_hits, 0) AS n_batch_hits,
+             (coalesce(h.n_index_hits, 0) = 0
+              AND coalesce(h.n_batch_hits, 0) = 0) AS survives
+      FROM embeddings e LEFT JOIN hits h ON h.vec_id = e.vec_id
+      WHERE e.vec_id % 2 = 1"""
+
+
 def q_o57_semdedup_hier_apply(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
@@ -1669,6 +1753,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o61_semdedup_hier_gram_pairs": q_o61_semdedup_hier_gram_pairs,
     "o62_shard_shuffle": q_o62_shard_shuffle,
     "o63_semdedup_incremental": q_o63_semdedup_incremental,
+    "o64_semdedup_incr_hier": q_o64_semdedup_incr_hier,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1773,4 +1858,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o61_semdedup_hier_gram_pairs": _oracle_semdedup_hier("pairs"),
     "o62_shard_shuffle": _sql_shard_shuffle_oracle(),
     "o63_semdedup_incremental": _oracle_semdedup_incremental(),
+    "o64_semdedup_incr_hier": _oracle_semdedup_incr_hier(),
 }

@@ -810,7 +810,7 @@ _WINDOW_ROUND8: list[str] = [
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas", "s01_windowed_counts",
     "o63_semdedup_incremental",
-    "o60_semdedup_gram_pairs",
+    "o64_semdedup_incr_hier",
     "o42_kmv_distinct",
 ]
 

@@ -250,6 +250,89 @@ def test_semdedup_incremental_never_compares_index_to_index(spark):
     assert got == {(2, 3)}  # no (0,1) index-index pair, no cross hits
 
 
+H_CIDS = list(range(0, 480, 120))  # 4 coarse routes
+H_K2 = 4
+
+
+def test_semdedup_incremental_hier_matches_batch_semantics(emb):
+    """Hier incremental face (semdedup_incremental(subs=...)): with the
+    codebook and index both derived from the EVEN corpus, the result must
+    equal the numpy re-derivation from the all-rows assignment against
+    that SAME persisted codebook — per odd id, index hits = within-tau
+    even partners sharing its cell, batch hits = within-tau smaller odd
+    partners. Pins that the batch rides the persisted codebook (not one
+    re-derived from the batch) and that the broadcast route-prune does
+    not change values."""
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    coarse = ivf.seed_centroids(corpus, "embedding", "vec_id", H_CIDS)
+    subs = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2)
+    idx_df = ivf.ivf_cell_index_hier(corpus, "embedding", "vec_id",
+                                     coarse, subs)
+    new_df = emb.where(F.col("vec_id") % 2 == 1)
+    out = ivf.semdedup_incremental(new_df, idx_df, "embedding", "vec_id",
+                                   coarse, SD_TAU, subs=subs).toPandas()
+
+    # expected: assign ALL rows with the persisted codebook, then count
+    # within-cell within-tau partners numpy-side
+    allpd = (ivf.ivf_cell_index_hier(emb, "embedding", "vec_id",
+                                     coarse, subs).toPandas())
+    vecs = {int(r.vec_id): np.asarray(r.v, dtype=np.float64)
+            for r in allpd.itertuples()}
+    cell = {int(r.vec_id): int(r.cell) for r in allpd.itertuples()}
+    import collections
+    ih = collections.Counter()
+    bh = collections.Counter()
+    ids = sorted(cell)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if cell[a] != cell[b]:
+                continue
+            va, vb = vecs[a], vecs[b]
+            cos = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            if cos < SD_TAU:
+                continue
+            for odd, other in ((a, b), (b, a)):
+                if odd % 2 == 1:
+                    if other % 2 == 0:
+                        ih[odd] += 1
+                    elif other < odd:
+                        bh[odd] += 1
+    got = {r.vec_id: (r.n_index_hits, r.n_batch_hits, r.survives)
+           for r in out.itertuples()}
+    assert len(got) == new_df.count()  # route-less odd rows still present
+    for vid, (gih, gbh, gs) in got.items():
+        assert (gih, gbh) == (ih[vid], bh[vid]), vid
+        assert gs == (gih == 0 and gbh == 0)
+    assert any(not s for _, _, s in got.values())
+
+
+def test_semdedup_incremental_hier_prune_plan_and_parity(emb):
+    """The per-batch assignment must (a) prune the persisted codebook with
+    a broadcast semi-join on the batch's touched routes — the plan carries
+    a broadcast LeftSemi — and (b) equal the unpruned assignment delivered
+    via the ``assigned=`` escape hatch."""
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    coarse = ivf.seed_centroids(corpus, "embedding", "vec_id", H_CIDS)
+    subs = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2)
+    idx_df = ivf.ivf_cell_index_hier(corpus, "embedding", "vec_id",
+                                     coarse, subs)
+    new_df = emb.where(F.col("vec_id") % 2 == 1)
+
+    pruned = ivf.semdedup_incremental(new_df, idx_df, "embedding",
+                                      "vec_id", coarse, SD_TAU, subs=subs)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+    unpruned_assigned = ivf.ivf_cell_index_hier(new_df, "embedding",
+                                                "vec_id", coarse, subs)
+    viaassigned = ivf.semdedup_incremental(new_df, idx_df, "embedding",
+                                           "vec_id", coarse, SD_TAU,
+                                           assigned=unpruned_assigned)
+    a = pruned.toPandas().sort_values("vec_id").reset_index(drop=True)
+    b = viaassigned.toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
 # ---------------------------------------------------------------------------
 # Arrow fingerprint kernel (round 6)
 # ---------------------------------------------------------------------------
