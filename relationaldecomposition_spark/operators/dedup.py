@@ -518,7 +518,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     the sf10 SemDeDup pair set is 3.4M symmetrized edges — so this
     removes the per-round scheduling floor at every scale where the loop
     isn't genuinely needed; pass None to force the distributed loop,
-    which remains the path for genuinely huge pair sets."""
+    which remains the path for genuinely huge pair sets.
+
+    The guard is BYTE-aware, not just a row count: `driver_max_edges`
+    rows are admitted only up to the byte budget they imply for numeric
+    ids (16 bytes/row — ~80 MB at the 5M default). String ids cost their
+    character bytes plus ~57 bytes/cell of CPython object overhead in the
+    collected pandas frame, so wide ids (URLs, long doc keys) admit
+    proportionally fewer rows instead of silently collecting GBs
+    (round-7 advisor finding; the estimate costs no extra job — it rides
+    the same aggregate that was already counting the edges)."""
     fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     # NOTE on partitioning: pre-repartitioning edges on the join key does
     # let the per-round neighbor join skip its edges Exchange — but ONLY
@@ -530,7 +539,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = fwd.union(fwd.select(F.col("b").alias("a"),
                                  F.col("a").alias("b"))) \
                .distinct().localCheckpoint(eager=True)
-    if driver_max_edges is not None and edges.count() <= driver_max_edges:
+    if driver_max_edges is not None and _edges_fit_driver(edges,
+                                                          driver_max_edges):
         return _driver_union_find(pairs.sparkSession, edges)
     labels = (edges.select(F.col("a").alias("id")).distinct()
               .select("id", F.col("id").alias("rep"))
@@ -557,6 +567,34 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             return labels
     raise RuntimeError(f"connected_components did not converge "
                        f"in {max_iter} rounds")
+
+
+_DRIVER_BYTES_PER_EDGE = 16      # two int64 cells — what the 5M default
+                                 # (~80 MB) was calibrated against
+_STR_CELL_OVERHEAD = 57          # CPython str header + object pointer per
+                                 # pandas object-column cell (CPython 3.12
+                                 # sys.getsizeof('') == 49, + 8-byte ref)
+
+
+def _edges_fit_driver(edges: DataFrame, max_edges: int) -> bool:
+    """True when the symmetrized edge set fits the driver fast path: row
+    count <= max_edges AND estimated collected size within the byte budget
+    those rows imply for numeric ids (max_edges x 16 bytes). Numeric ids
+    are exactly 16 bytes/row; string ids are estimated as character bytes
+    (F.length — an undercount for multi-byte UTF-8, already dwarfed by the
+    per-cell overhead term) plus _STR_CELL_OVERHEAD per cell. One
+    aggregate job either way."""
+    from pyspark.sql.types import NumericType
+
+    if isinstance(edges.schema["a"].dataType, NumericType):
+        return edges.count() <= max_edges
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.length("a") + F.length("b")),
+                   F.lit(0)).alias("chars")).first()
+    est_bytes = stats.n * 2 * _STR_CELL_OVERHEAD + stats.chars
+    return (stats.n <= max_edges
+            and est_bytes <= max_edges * _DRIVER_BYTES_PER_EDGE)
 
 
 def _driver_union_find(spark, edges: DataFrame) -> DataFrame:

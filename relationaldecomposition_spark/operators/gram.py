@@ -61,11 +61,19 @@ def resolve_pair_kernel(df, vec_col: str, kernel: str,
     """Resolve kernel="auto" to "expr" or "gram" by estimated volume.
 
     `copies` = how many times each row enters the pair stage (e.g. the
-    number of OR-construction hash tables). Costs one slim aggregate job
-    (count + first vector length) on `df`; callers that already know the
-    input size should pick the kernel themselves."""
+    number of OR-construction hash tables). Costs one EAGER slim aggregate
+    job (count + first vector length) on `df` at plan-construction time;
+    callers that already know the input size should pick the kernel
+    themselves. The dim estimate reads an arbitrary row, so mixed-dim
+    inputs get a nondeterministic kernel choice (both kernels return
+    identical values either way — only the speed differs). Streaming
+    DataFrames cannot run the aggregate (no first() on an unbounded
+    plan): they resolve straight to "gram", the kernel whose cost does
+    not grow with candidate volume."""
     if kernel != "auto":
         return kernel
+    if df.isStreaming:
+        return "gram"
     from pyspark.sql import functions as F
 
     n, dim = df.agg(F.count(F.lit(1)),

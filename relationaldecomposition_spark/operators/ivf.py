@@ -253,8 +253,9 @@ def semdedup_pairs(df: DataFrame, vec_col: str, id_col: str,
     checkpoint: fully lazy, fully recomputable, and ~10× faster
     (vectorized BLAS assignment + per-cell gram pair scoring; see
     _np_assigned / operators/gram.py). ``kernel="auto"`` dispatches on
-    input volume (rows × dim) so small inputs skip the fixed Arrow tax
-    (gram.resolve_pair_kernel).
+    input volume (rows × dim) so small inputs skip the fixed Arrow tax —
+    one slim EAGER count job at plan-construction time; streaming inputs
+    skip it and resolve to "gram" (gram.resolve_pair_kernel).
     """
     from .gram import resolve_pair_kernel
     kernel = resolve_pair_kernel(df, vec_col, kernel)
@@ -530,14 +531,27 @@ def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
     Same (distance, cell) tie-break as the expression path modulo last-ulp
     BLAS summation (pinned on gate data in tests/test_gram.py).
 
-    prune_subs=True first broadcast-semi-joins the codebook down to the
-    routes the input actually touches — the incremental-batch shape, where
-    df is a small ingest batch and subs is a persisted K1-row codebook
-    whose total payload (K1·k2·dim doubles) is the WHOLE cell space:
-    shipping it per batch would re-introduce the O(total cells) ingest
-    term the hierarchy exists to remove. The touched-route set is at most
-    batch-sized (broadcastable by construction), and untouched routes
-    cannot affect the result."""
+    prune_subs=True is the INCREMENTAL-BATCH shape — df is a small ingest
+    batch, subs a persisted K1-row codebook whose total payload
+    (K1·k2·dim doubles) is the WHOLE cell space — and changes two things:
+
+    - the codebook is first broadcast-semi-joined down to the routes the
+      batch actually touches (the touched-route set is at most
+      batch-sized — broadcastable by construction; untouched routes
+      cannot affect the result), so an ingest never ships cells it
+      doesn't probe;
+    - the second-level argmin is delivered by COGROUP on route
+      (FlatMapCoGroupsInPandas) instead of the equi-join: the join form
+      replicates a route's whole cb array (k2·dim doubles, ~80 KB at
+      k2=316) onto EVERY row, which Arrow then rebuilds as per-row lists
+      of structs — measured 25 s for a 5k batch at 100k cells, WORSE
+      than the flat argmin it replaces — while the cogroup ships each
+      touched route's cb exactly once (measured 1.8 s, flat in the
+      codebook size; SCALING.json semdedup_incremental_hier_scale).
+
+    The default (join + mapInPandas) remains the BUILD-time face, where
+    k2 is sized small-constant, the corpus is large, and the broadcast
+    equi-join keeps the corpus un-shuffled."""
     import numpy as np
 
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
@@ -545,14 +559,38 @@ def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
 
     routed = (_np_assigned(df, vec_col, id_col, coarse)
               .withColumnRenamed("cell", "route"))
-    if prune_subs:
-        touched = routed.select("route").distinct()
-        subs = subs.join(F.broadcast(touched), "route", "left_semi")
-    joined = routed.join(subs, "route")
     out = StructType([df.schema[id_col],
                       StructField("v", ArrayType(DoubleType())),
-                      joined.schema["route"],
+                      routed.schema["route"],
                       StructField("cell", LongType())])
+
+    def _route_argmin(x: "np.ndarray", cb) -> "np.ndarray":
+        cids = np.array([e["cell"] for e in cb], dtype=np.int64)
+        cmat = np.array([e["cv"] for e in cb], dtype=np.float64)
+        order = np.argsort(cids, kind="stable")
+        cids, cmat = cids[order], cmat[order]
+        s = (cmat * cmat).sum(axis=1)[None, :] - 2.0 * (x @ cmat.T)
+        return cids[np.argmin(s, axis=1)]
+
+    if prune_subs:
+        touched = routed.select("route").distinct()
+        pruned = subs.join(F.broadcast(touched), "route", "left_semi")
+
+        def assign_group(left, right):
+            import pandas as pd
+            if not len(left) or not len(right):
+                return pd.DataFrame(
+                    {c.name: pd.Series(dtype=object) for c in out})
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in left["v"]])
+            cells = _route_argmin(x, right["cb"].iloc[0])
+            return pd.DataFrame({id_col: left[id_col], "v": list(x),
+                                 "route": left["route"], "cell": cells})
+
+        return (routed.groupBy("route").cogroup(pruned.groupBy("route"))
+                .applyInPandas(assign_group, out))
+
+    joined = routed.join(subs, "route")
 
     def assign(batches):
         import pandas as pd
@@ -565,13 +603,7 @@ def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
             for r in np.unique(routes):
                 m = routes == r
                 cb = pdf["cb"].iloc[int(np.nonzero(m)[0][0])]
-                cids = np.array([e["cell"] for e in cb], dtype=np.int64)
-                cmat = np.array([e["cv"] for e in cb], dtype=np.float64)
-                order = np.argsort(cids, kind="stable")
-                cids, cmat = cids[order], cmat[order]
-                s = ((cmat * cmat).sum(axis=1)[None, :]
-                     - 2.0 * (x[m] @ cmat.T))
-                cells[m] = cids[np.argmin(s, axis=1)]
+                cells[m] = _route_argmin(x[m], cb)
             yield pd.DataFrame({id_col: pdf[id_col], "v": list(x),
                                 "route": pdf["route"], "cell": cells})
 

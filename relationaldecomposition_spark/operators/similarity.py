@@ -106,7 +106,8 @@ def srp_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     - ``kernel="auto"``: picks between them by input volume
       (rows × n_tables × dim vs gram.AUTO_EXPR_MAX_VOLUME) so small
       inputs skip the fixed Arrow/applyInPandas tax — costs one slim
-      count job up front."""
+      EAGER count job at plan-construction time (not lazy; streaming
+      inputs skip it and resolve to "gram")."""
     from .gram import resolve_pair_kernel
     kernel = resolve_pair_kernel(df, vec_col, kernel, copies=n_tables)
     tables = table_planes(n_planes, dim, seed, n_tables)

@@ -98,6 +98,19 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     WindowGroupLimit's partial mode prunes pre-exchange measured 1.8x
     SLOWER than hash-dedup-then-rank at sf3 — the partial group-limit
     needs a full local sort. The Arrow partial sketch replaces both.)
+
+    Group-key hygiene (round-7 advisor): rows with a NULL — or, for
+    float/double keys, a real NaN — in ANY group column never enter the
+    pandas closure. The Arrow boundary is lossy in both directions there:
+    inbound, SQL NULL becomes float NaN (conflating NULL groups with
+    real-NaN groups) and nullable integral keys promote through float64
+    (silently rounding beyond 2^53); outbound, a NaN key in a float
+    column converts back to null. Such rows ride the exact merge
+    instead: correctness is unconditional, and the extra shuffled volume
+    is O(distinct values within null/NaN-keyed groups) — the null-keyed
+    slice of a real corpus, not its bulk. Empty group_cols = ONE global
+    sketch (single accumulator, no pandas groupby, a single-partition
+    rank over <= partitions * k rows).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
@@ -112,28 +125,53 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
         [hashed.schema[c] for c in group_cols]
         + [StructField("_h", LongType())])
 
+    if group_cols:
+        from pyspark.sql.types import DoubleType, FloatType
+
+        null_key = F.lit(False)
+        for c in group_cols:
+            null_key = null_key | F.col(c).isNull()
+            if isinstance(hashed.schema[c].dataType,
+                          (FloatType, DoubleType)):
+                # real-NaN keys also bypass pandas: the closure's RETURN
+                # conversion (pandas -> Arrow) treats NaN in a float
+                # column as null, silently merging the NaN group into
+                # the NULL group
+                null_key = null_key | F.isnan(F.col(c))
+        clean, nulled = hashed.where(~null_key), hashed.where(null_key)
+    else:
+        clean, nulled = hashed, None
+
     def partial_sketch(batches):
         import pandas as pd
         acc: dict[tuple, "np.ndarray"] = {}
-        keys_seen: dict[tuple, tuple] = {}
         for pdf in batches:
             if not len(pdf):
                 continue
-            for key, sub in pdf.groupby(group_cols, dropna=False,
-                                        sort=False):
-                key_t = key if isinstance(key, tuple) else (key,)
+            if not group_cols:
+                groups = [((), pdf)]
+            else:
+                groups = [(key if isinstance(key, tuple) else (key,), sub)
+                          for key, sub in pdf.groupby(group_cols,
+                                                      dropna=False,
+                                                      sort=False)]
+            for key_t, sub in groups:
                 hs = np.unique(sub["_h"].to_numpy())[:k]
                 prev = acc.get(key_t)
                 acc[key_t] = hs if prev is None else \
                     np.unique(np.concatenate([prev, hs]))[:k]
-                keys_seen[key_t] = key_t
         for key_t, hs in acc.items():
             out = pd.DataFrame({"_h": hs})
             for c, v in zip(group_cols, key_t):
-                out[c] = None if pd.isna(v) else v
+                out[c] = v  # no null/NaN keys reach this closure
             yield out[list(group_cols) + ["_h"]]
 
-    partials = hashed.mapInPandas(partial_sketch, part_schema)
+    partials = clean.mapInPandas(partial_sketch, part_schema)
+    if nulled is not None:
+        # null-keyed rows skip the sketch: their raw (group, hash) rows
+        # join the exact merge below, which dedups and ranks them the
+        # same way (a partial sketch with k = infinity)
+        partials = partials.unionByName(nulled)
     # exact global merge over the bounded partials: dedup + rank <= k
     merged = partials.groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one"))
     w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())

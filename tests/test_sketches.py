@@ -132,6 +132,70 @@ def test_kmv_partial_sketch_null_groups_and_multicol(spark):
     assert len(got) == 4  # (None,x), (a,x), (a,None), (b,y)
 
 
+def test_kmv_numeric_null_vs_nan_groups(spark):
+    """Numeric group columns: SQL NULL and real NaN are DISTINCT groups
+    (round-7 advisor: the old pandas groupby conflated them after the
+    Arrow NULL->NaN conversion, then rewrote real-NaN keys to NULL).
+    Null-keyed rows now bypass the pandas closure entirely."""
+    rows = ([(None, i) for i in range(40)]
+            + [(float("nan"), i) for i in range(25)]
+            + [(1.5, i) for i in range(10)])
+    df = spark.createDataFrame(rows, "g double, v int")
+    out = sk.kmv_distinct(df, ["g"], "v", 64).collect()
+    assert len(out) == 3
+    by_kind = {}
+    for r in out:
+        kind = ("null" if r["g"] is None
+                else "nan" if r["g"] != r["g"] else "num")
+        by_kind[kind] = (r["n_kept"], r["est_distinct"])
+    assert by_kind == {"null": (40, 40.0), "nan": (25, 25.0),
+                       "num": (10, 10.0)}
+
+
+def test_kmv_nullable_bigint_group_keys_exact(spark):
+    """Nullable BIGINT group keys beyond 2^53 must round-trip exactly:
+    the old closure emitted them through pandas float64 (2^60+1 and
+    2^60+2 collide there); now null-keyed rows take the exact merge and
+    non-null keys never leave int64."""
+    a, b = (1 << 60) + 1, (1 << 60) + 2
+    rows = ([(a, i) for i in range(20)] + [(b, i) for i in range(30)]
+            + [(None, i) for i in range(5)])
+    df = spark.createDataFrame(rows, "g bigint, v int")
+    got = {r["g"]: r["n_kept"] for r in
+           sk.kmv_distinct(df, ["g"], "v", 64).collect()}
+    assert got == {a: 20, b: 30, None: 5}
+
+
+def test_kmv_global_sketch_empty_group_cols(spark, lineitem):
+    """group_cols=[] = ONE global sketch (round-7 advisor: the old
+    pdf.groupby([]) raised ValueError at runtime). Exact below k,
+    estimator above it — identical to a constant-group sketch."""
+    df = spark.createDataFrame([(i % 123,) for i in range(2000)], "v int")
+    out = sk.kmv_distinct(df, [], "v", 64).collect()
+    assert len(out) == 1 and out[0]["n_kept"] == 64
+    one_group = sk.kmv_distinct(
+        df.withColumn("g", F.lit(1)), ["g"], "v", 64).collect()
+    assert out[0]["est_distinct"] == one_group[0]["est_distinct"]
+
+    small = spark.createDataFrame([(i,) for i in range(7)], "v int")
+    row = sk.kmv_distinct(small, [], "v", 64).collect()[0]
+    assert (row["n_kept"], row["est_distinct"]) == (7, 7.0)
+
+
+def test_resolve_pair_kernel_streaming_resolves_gram(spark):
+    """kernel='auto' on a streaming DataFrame must not run the eager
+    volume aggregate (first() throws on streaming plans) — it resolves
+    straight to 'gram' (round-7 advisor)."""
+    from relationaldecomposition_spark.operators.gram import (
+        resolve_pair_kernel)
+
+    stream = (spark.readStream.format("rate").load()
+              .select(F.array(F.col("value").cast("double")).alias("vec")))
+    assert stream.isStreaming
+    assert resolve_pair_kernel(stream, "vec", "auto") == "gram"
+    assert resolve_pair_kernel(stream, "vec", "expr") == "expr"
+
+
 def test_hll_register_count_bounded(spark, lineitem):
     p = 6
     out = sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", p)

@@ -231,6 +231,46 @@ def test_connected_components_random_vs_union_find(spark):
             assert got == union_find(edges), (seed, dme)
 
 
+def test_edges_fit_driver_byte_gate(spark):
+    """The driver fast path admits rows only up to the byte budget they
+    imply for numeric ids (16 bytes/row): numeric edges gate on row count
+    alone; string edges charge character bytes + per-cell object overhead,
+    so wide ids (URLs, long doc keys) fall back to the distributed loop
+    even when the row count is under the limit (round-7 advisor
+    finding)."""
+    num = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    num_edges = num.selectExpr("id_a as a", "id_b as b")
+    assert dedup._edges_fit_driver(num_edges, 10)
+    assert not dedup._edges_fit_driver(num_edges, 1)
+
+    wide = "u" * 200
+    s = spark.createDataFrame(
+        [(f"{wide}{i}", f"{wide}{i + 1}") for i in range(4)],
+        ["id_a", "id_b"])
+    s_edges = s.selectExpr("id_a as a", "id_b as b")
+    # 4 rows but ~4*(2*57+400) bytes >> 10*16: bytes veto the row budget
+    assert not dedup._edges_fit_driver(s_edges, 10)
+    # generous budget: short overhead fits
+    assert dedup._edges_fit_driver(s_edges, 100_000)
+
+
+def test_connected_components_string_ids_both_paths(spark):
+    """String-id graphs produce identical (id, rep) through the driver
+    union-find (string codes sort lexicographically, min code = min id)
+    and the distributed loop — including when the byte gate forces the
+    distributed loop despite a driver_max_edges that would admit the row
+    count."""
+    pairs = [("doc-b", "doc-c"), ("doc-a", "doc-b"), ("doc-x", "doc-y")]
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    expected = {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a",
+                "doc-x": "doc-x", "doc-y": "doc-x"}
+    for dme in (200_000, 7, None):  # 7 rows admitted, bytes veto -> loop
+        got = {r["id"]: r["rep"] for r in
+               dedup.connected_components(df, driver_max_edges=dme)
+               .collect()}
+        assert got == expected, dme
+
+
 def test_cluster_size_histogram(spark):
     """o40's histogram equals a Python union-find re-derivation."""
     from pyspark.sql import Row

@@ -15,6 +15,20 @@ Timed phases per point:
     index scan + broadcast-prune + touched-slice pair scoring only.
 The o63 claim under test is that probe_sec is ~flat in index size.
 
+semdedup_incremental_hier — the round-8 counterpart for the o64 face: the
+SAME fixed 5k batch probed against hier-structured indexes (coarse routes
+far apart, k2 sub-cells per route, cell = route*k2+sub) of ~0.2M / 2M /
+20M rows at fixed occupancy 200 — cells 1k / 10k / 100k with K1 = k2 =
+sqrt(cells). Timed phases per point:
+  - assign_sec: the TWO-LEVEL assignment (_np_assign_with_subs with the
+    broadcast route-prune) of the batch against the persisted codebook —
+    O(|batch| * (K1 + k2) * dim); the claim is this stays ~flat where the
+    flat face's assign_sec grows linearly in cells
+  - probe_sec: semdedup_incremental(..., subs=) end-to-end (assignment
+    included — the production ingest call shape)
+The geometry makes the two-level argmin exact (inter-route separation >>
+intra-route spread), so hits match the flat semantics at each size.
+
 band_index_merge / incremental_dedup — FIXED batch of 2k documents (half
 of them near-dups of indexed docs) probed against minhash band indexes
 built from 20k / 200k / 1M synthetic documents. Timed phases:
@@ -139,6 +153,139 @@ def bench_semdedup(spark) -> dict:
     return rows
 
 
+HIER_LEVELS = [(32, 32), (100, 100), (316, 316)]  # (K1, k2): 1k/10k/100k
+
+
+def _hier_centroids(cells: np.ndarray, k2: int) -> np.ndarray:
+    """Hier-structured centroid per cell id: a large per-route term plus a
+    small per-sub offset, so the coarse argmin is exact (route separation
+    ~10 >> intra-route spread ~0.5 + batch noise 0.02)."""
+    d = np.arange(DIM)[None, :]
+    route = (cells // k2).astype(np.float64)[:, None]
+    sub = (cells % k2).astype(np.float64)[:, None]
+    return (10.0 * np.sin(0.9 * route + 1.7 * d)
+            + 0.5 * np.sin(1.3 * sub + 0.7 * d))
+
+
+def _gen_hier_index(spark, cells: int, k2: int, path: str) -> None:
+    n = cells * OCCUPANCY
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            cell = ids % cells
+            rng = np.random.default_rng(int(ids[0]) + 1)
+            vecs = (_hier_centroids(cell, k2)
+                    + rng.normal(0.0, 0.02, (len(ids), DIM)))
+            yield pd.DataFrame({"vec_id": ids, "v": list(vecs),
+                                "cell": cell.astype(np.int64)})
+
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+    out = StructType([StructField("vec_id", LongType()),
+                      StructField("v", ArrayType(DoubleType())),
+                      StructField("cell", LongType())])
+    (spark.range(n).mapInPandas(gen, out)
+     .repartition(64, "cell").sortWithinPartitions("cell")
+     .write.mode("overwrite").parquet(path))
+
+
+def bench_semdedup_hier(spark) -> dict:
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (ArrayType, DoubleType, LongType,
+                                   StructField, StructType)
+
+    from relationaldecomposition_spark.operators import ivf
+
+    sub_schema = StructType([
+        StructField("route", LongType()),
+        StructField("cb", ArrayType(StructType([
+            StructField("cell", LongType()),
+            StructField("cv", ArrayType(DoubleType()))])))])
+
+    # warm the Python workers / Arrow path once so the first timed row
+    # isn't charged the session's worker spin-up
+    warm = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(64, dtype=np.int64),
+                      "embedding": list(np.ones((64, DIM)))}))
+    ivf._np_assigned(warm, "embedding", "vec_id",
+                     [(0, [0.0] * DIM)]).count()
+
+    rows = {}
+    for k1, k2 in HIER_LEVELS:
+        cells = k1 * k2
+        path = os.path.join(DATA, f"semdedup_hier_idx_{cells}")
+        if not os.path.exists(path):
+            t0 = time.time()
+            _gen_hier_index(spark, cells, k2, path)
+            print(f"generated {path} in {time.time()-t0:.0f}s", flush=True)
+        index = spark.read.parquet(path)
+
+        # persisted codebook: coarse = per-route mean-free large term
+        # (fine offsets average out by construction), subs = the exact
+        # per-route sub-centroid table
+        d = np.arange(DIM)[None, :]
+        r = np.arange(k1, dtype=np.float64)[:, None]
+        coarse_mat = 10.0 * np.sin(0.9 * r + 1.7 * d)
+        coarse = [(int(i), coarse_mat[i].tolist()) for i in range(k1)]
+        all_cells = np.arange(cells, dtype=np.int64)
+        cents = _hier_centroids(all_cells, k2)
+        subs_pdf = pd.DataFrame({
+            "route": np.arange(k1, dtype=np.int64),
+            "cb": [[{"cell": int(c), "cv": cents[c].tolist()}
+                    for c in range(rt * k2, (rt + 1) * k2)]
+                   for rt in range(k1)]})
+        subs = spark.createDataFrame(subs_pdf, sub_schema).persist()
+        subs.count()
+
+        # fixed batch clustered on 100 cells of THIS index's cell space
+        rng = np.random.default_rng(99)
+        pick = rng.integers(0, cells, BATCH_CELLS)
+        bcells = pick[rng.integers(0, BATCH_CELLS, BATCH_VECS)]
+        bvecs = (_hier_centroids(bcells, k2)
+                 + rng.normal(0.0, 0.02, (BATCH_VECS, DIM)))
+        batch = spark.createDataFrame(pd.DataFrame({
+            "vec_id": np.arange(BATCH_VECS, dtype=np.int64) + 10**12,
+            "embedding": list(bvecs)})).persist()
+        batch.count()
+
+        t0 = time.time()
+        assigned = ivf._np_assign_with_subs(
+            batch, "embedding", "vec_id", coarse, subs,
+            prune_subs=True).select(F.col("vec_id"), "v", "cell").persist()
+        assigned.count()
+        assign_sec = time.time() - t0
+        assigned.unpersist()
+
+        t0 = time.time()
+        out = ivf.semdedup_incremental(batch, index, "embedding", "vec_id",
+                                       coarse, TAU, subs=subs)
+        n_dups = out.where(~F.col("survives")).count()
+        probe_sec = time.time() - t0
+        batch.unpersist()
+        subs.unpersist()
+
+        key = f"cells_{cells}"
+        rows[key] = {"index_rows": cells * OCCUPANCY, "cells": cells,
+                     "k1": k1, "k2": k2,
+                     "batch": BATCH_VECS, "dim": DIM,
+                     "occupancy": OCCUPANCY,
+                     "assign_sec": round(assign_sec, 2),
+                     "probe_sec": round(probe_sec, 2),
+                     "batch_dups": n_dups}
+        print(json.dumps({key: rows[key]}), flush=True)
+    keys = [f"cells_{k1 * k2}" for k1, k2 in HIER_LEVELS]
+    xs = np.log([rows[k]["cells"] for k in keys])
+    for phase in ("assign_sec", "probe_sec"):
+        ys = np.log([max(rows[k][phase], 1e-3) for k in keys])
+        rows[f"{phase.split('_')[0]}_fitted_exponent"] = round(
+            float(np.polyfit(xs, ys, 1)[0]), 3)
+    return rows
+
+
 def _docs_pdf(ids: np.ndarray, dup_src: np.ndarray | None = None):
     """Deterministic 40-token docs; token vocab keyed off the doc id so
     near-dup structure is controlled: doc content is a function of
@@ -228,6 +375,17 @@ def main() -> None:
             "reported separately (grows with cells by design — the "
             "hierarchical-codebook question, see semdedup_hier_bigbook).")
         sc["semdedup_incremental_scale"] = rows
+    if which in ("hier", "all"):
+        rows = bench_semdedup_hier(spark)
+        rows["note"] = (
+            "o64 scale row: the SAME fixed 5k-vector batch assigned with "
+            "the persisted two-level codebook (K1=k2=sqrt(cells), "
+            "broadcast route-prune) vs 100x cell growth at fixed "
+            "occupancy 200. assign_sec is the flat face's growing term "
+            "(semdedup_incremental_scale: 0.96->15.16 s over the same "
+            "span) replaced by the O(K1+k2) route; probe_sec is the "
+            "end-to-end ingest call including assignment.")
+        sc["semdedup_incremental_hier_scale"] = rows
     if which in ("band", "all"):
         rows = bench_band(spark)
         rows["note"] = (
