@@ -725,13 +725,33 @@ def ivf_cell_index_hier(df: DataFrame, vec_col: str, id_col: str,
             .select(F.col(id_col), "v", "cell"))
 
 
+# Below this Catalyst size estimate of the stored index, the touched-cell
+# broadcast prune is skipped: the prune is one extra job (batch-cell
+# distinct + broadcast build) measured at a ~0.4-0.8 s constant on this
+# host, which a small index never pays back (sf0.1 A/B: pruned 1.4-2.0 s
+# vs unpruned 1.06 s end-to-end) while a parquet index past this size
+# amortizes it immediately (sf10: the r7 prune took the probe exponent to
+# 0.29). The estimate is driver-side plan stats — no job.
+PRUNE_MIN_INDEX_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for the optimized plan — exact for
+    parquet scans (file footers), an overestimate for derived plans (the
+    safe direction here: over-pruning costs a small constant, skipping
+    the prune on a big index costs a full index shuffle)."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats()
+               .sizeInBytes())
+
+
 def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                          id_col: str,
                          centroids: list[tuple[int, list[float]]],
                          tau: float,
                          max_cell: int | None = None,
                          assigned: DataFrame | None = None,
-                         subs: DataFrame | None = None) -> DataFrame:
+                         subs: DataFrame | None = None,
+                         prune_index: bool | None = None) -> DataFrame:
     """Probe-only SemDeDup of a NEW ingest batch against a persisted cell
     index (`ivf_cell_index` output) — the continuous-ingestion pattern for
     EMBEDDING near-dups, mirroring dedup.incremental_dedup's contract: the
@@ -755,6 +775,14 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
     index sorted/partitioned by cell and parquet min/max pruning skips
     untouched files) plus O(|batch| · cell_occupancy) scoring —
     previously the whole index rode the cell shuffle every ingest.
+
+    ``prune_index`` gates that semi-join the way ``kernel="auto"`` gates
+    the gram kernel: None (default) prunes only when Catalyst's size
+    estimate for the index is at least PRUNE_MIN_INDEX_BYTES — the prune
+    is a measured ~0.4-0.8 s constant (extra distinct + broadcast job)
+    that a small index never pays back (the round-7 always-prune default
+    cost sf0.1 ~+0.5 s/probe while its sf10 win stood). True/False force
+    either face.
 
     The batch assignment subtree feeds both the touched-cell probe and the
     union and is recomputed per consumer by default (same purity rule as
@@ -789,8 +817,13 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
         else:
             assigned = _np_assigned(new_df, vec_col, id_col, centroids)
     assigned = assigned.withColumn("_new", F.lit(True))
-    touched = assigned.select("cell").distinct()
-    pruned = index.join(F.broadcast(touched), "cell", "left_semi")
+    if prune_index is None:
+        prune_index = _plan_size_bytes(index) >= PRUNE_MIN_INDEX_BYTES
+    if prune_index:
+        touched = assigned.select("cell").distinct()
+        pruned = index.join(F.broadcast(touched), "cell", "left_semi")
+    else:
+        pruned = index
     both = assigned.unionByName(
         pruned.select(F.col(id_col), F.col("v"), F.col("cell"))
               .withColumn("_new", F.lit(False)))

@@ -246,5 +246,15 @@ def test_incremental_probes_broadcast_prune_the_index(spark):
         [(100 + i, [float(i % 3), 1.0]) for i in range(6)],
         "vec_id bigint, embedding array<double>")
     p2 = plan_of(ivf.semdedup_incremental(newb, idx, "embedding", "vec_id",
-                                          cents, 0.9))
+                                          cents, 0.9, prune_index=True))
     assert re.search(r"BroadcastHashJoin .*LeftSemi", p2), p2
+    # the prune is size-gated (round-8): a small index with KNOWN stats
+    # skips the extra distinct+broadcast job by default. A derived
+    # (mapInPandas) index has no stats — Catalyst's default estimate is
+    # huge, so it still prunes: the safe direction.
+    small_idx = spark.createDataFrame(idx.toPandas())
+    assert ivf._plan_size_bytes(small_idx) < ivf.PRUNE_MIN_INDEX_BYTES
+    p3 = plan_of(ivf.semdedup_incremental(newb, small_idx, "embedding",
+                                          "vec_id", cents, 0.9))
+    assert not re.search(r"LeftSemi", p3), p3
+    assert ivf._plan_size_bytes(idx) >= ivf.PRUNE_MIN_INDEX_BYTES

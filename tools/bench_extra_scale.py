@@ -4,7 +4,12 @@ flat-vs-hierarchical SemDeDup evidence:
 - sf3 (30x sf0.1 rows): full headline bench, single repeat, slope vs sf1
   and fitted exponent log(t_sf3/t_sf0.1)/log(30) per query.
 - sf10 (100x rows): the heaviest queries only, fitted exponent over the
-  full 100x span.
+  full 100x span. Each sf10 row runs in its OWN subprocess (fresh JVM +
+  fresh Spark session) so no query inherits the previous one's memory
+  residue — rounds 6/7 measured in-sequence rows inflated 1.1-1.5x over
+  solo re-measures (sketch_distinct, bloom_semi 82 vs 56 s, doc_profile
+  88 vs 80 s) purely from heap pressure, which was setting the numbers
+  judged against the 2x gate.
 - semdedup_hier_vs_flat: at law-sized cell counts (cells ~ rows/500), the
   flat literal-argmin SemDeDup vs the hierarchical two-level assignment
   (K1 ~ k2 ~ sqrt(cells)) at the SAME total cell count — wall clock and
@@ -105,6 +110,30 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
     }
 
 
+def _isolated_rows(queries: list[str], sf_dir: str) -> dict[str, float]:
+    """One subprocess (fresh JVM, fresh session) per query — the
+    round-7 fix for in-sequence rows inflating under the previous
+    query's heap residue. ~25 s session startup per row, paid outside
+    the timed region (run_bench times only the forced evaluation)."""
+    import subprocess
+
+    out: dict[str, float] = {}
+    for q in queries:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--run-one", q, "--dir", sf_dir],
+            capture_output=True, text=True)
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if proc.returncode != 0 or line is None:
+            print(f"ISOLATED ROW FAILED {q}:\n{proc.stderr[-2000:]}",
+                  flush=True)
+            continue
+        out[q] = json.loads(line)[q]
+        print(json.dumps({q: out[q]}), flush=True)
+    return out
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf01-dir", default="/root/testdata/sf0.1")
@@ -115,7 +144,19 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-sf10", action="store_true")
     ap.add_argument("--skip-semdedup", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    ap.add_argument("--run-one", default=None, metavar="QUERY",
+                    help="internal: run ONE query in this process and "
+                         "print its {query: seconds} JSON line")
+    ap.add_argument("--dir", default=None,
+                    help="sf dir for --run-one")
     args = ap.parse_args(argv)
+
+    if args.run_one:
+        spark = get_spark(f"bench-one-{args.run_one}")
+        t = run_bench(spark, args.dir, repeats=1, only=[args.run_one])
+        spark.stop()
+        print(json.dumps({args.run_one: round(t[args.run_one], 3)}))
+        return 0
 
     with open(args.out) as f:
         record = json.load(f)
@@ -140,7 +181,7 @@ def main(argv=None) -> int:
             "the full 30x span).")
 
     if not args.skip_sf10 and os.path.isdir(args.sf10_dir):
-        t10 = run_bench(spark, args.sf10_dir, repeats=1, only=SF10_QUERIES)
+        t10 = _isolated_rows(SF10_QUERIES, args.sf10_dir)
         record["sf10_spotcheck"] = {
             "queries": {q: round(v, 3) for q, v in t10.items()},
             "fitted_exponent_sf0.1_to_sf10": {
@@ -149,7 +190,9 @@ def main(argv=None) -> int:
             "note": ("fourth scale point, 100x sf0.1 rows, single repeat, "
                      "heaviest queries, forced-evaluation bench; exponent "
                      "= log(t_sf10/t_sf0.1)/log(100), <= ~1.0 is "
-                     "at-most-linear over the full 100x span."),
+                     "at-most-linear over the full 100x span. Each row is "
+                     "its own subprocess/JVM (round-8: no in-sequence "
+                     "heap residue; every row is a solo measure)."),
         }
 
     if not args.skip_semdedup:
