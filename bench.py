@@ -103,7 +103,8 @@ def build_queries(spark, sf_dir: str):
     from relationaldecomposition_spark.operators.dedup import lsh_candidate_pairs
     from relationaldecomposition_spark.operators.ivf import ivf_topk
     from relationaldecomposition_spark.operators.registry import (
-        ANN_PLANES, ANN_PROBES, ANN_TABLES, IVF_CENTROID_IDS, IVF_PROBES)
+        ANN_PLANES, ANN_PROBES, ANN_TABLES, HIER_COARSE_IDS, HIER_SUB_K,
+        IVF_CENTROID_IDS, IVF_PROBES)
     from relationaldecomposition_spark.operators.similarity import (
         cosine_topk, lsh_bucketed_topk)
 
@@ -210,6 +211,27 @@ def build_queries(spark, sf_dir: str):
         _force(semdedup_incremental(emb.where(F.col("vec_id") % 2 == 1),
                                     idx, "embedding", "vec_id", cents,
                                     0.35, max_cell=2000))
+
+    def semdedup_incr_hier():
+        # o64: the same probe against a HIERARCHICAL cell index — batch
+        # assignment rides the persisted two-level codebook (coarse BLAS
+        # argmin + cogrouped sub-argmin, O(K1+k2) per row instead of
+        # O(cells)); the continuous-ingest face for past-broadcast
+        # codebooks
+        from relationaldecomposition_spark.operators.ivf import (
+            hier_codebook, ivf_cell_index_hier, seed_centroids,
+            semdedup_incremental)
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.where(F.col("vec_id") % 2 == 0)
+        coarse = seed_centroids(corpus, "embedding", "vec_id",
+                                HIER_COARSE_IDS)
+        subs = hier_codebook(corpus, "embedding", "vec_id", coarse,
+                             HIER_SUB_K)
+        idx = ivf_cell_index_hier(corpus, "embedding", "vec_id", coarse,
+                                  subs)
+        _force(semdedup_incremental(emb.where(F.col("vec_id") % 2 == 1),
+                                    idx, "embedding", "vec_id", coarse,
+                                    0.35, max_cell=2000, subs=subs))
 
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
@@ -502,6 +524,8 @@ def build_queries(spark, sf_dir: str):
         "semdedup_incr": semdedup_incr,
         # round-7 addition
         "semdedup_gram": semdedup_gram_q,
+        # round-8 addition
+        "semdedup_incr_hier": semdedup_incr_hier,
     }
 
 
