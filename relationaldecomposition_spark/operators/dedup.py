@@ -443,6 +443,124 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 32) -> DataFr
     return bitsums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  bits: int = 32, max_hamming: int = 3,
+                  n_blocks: int | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming): every pair whose SimHash signatures differ
+    in at most ``max_hamming`` bits, found by the PIGEONHOLE block join
+    (Manku/Jain/Das Sarma, "Detecting near-duplicates for web crawling",
+    WWW 2007): split the signature into ``n_blocks >= max_hamming + 1``
+    contiguous blocks — a pair within max_hamming flips bits in at most
+    max_hamming blocks, so it agrees EXACTLY on at least one block — then
+    equi-join on (block index, block value) and verify candidates with
+    the exact bit_count(xor). 100% recall given the signatures; never an
+    all-pairs comparison.
+
+    Scale shape: the signature aggregate is computed ONCE (the block
+    parameters ride an exploded LITERAL array — the generator never
+    references the signature column, so CollapseProject cannot clone the
+    32 bit-sums per block; see bloom.py's round-7 note for the pattern),
+    candidates come from one shuffle on (block, value), and the verify is
+    a map-side bit op on the already-joined signatures. ``max_bucket``
+    drops (block, value) buckets larger than the cap — boilerplate
+    corpora concentrate one block value and its join term is quadratic in
+    the hottest bucket, the same economics as the MinHash guard
+    (dedup.py:40); None keeps exact semantics (the oracle face).
+
+    Identical signatures (including the all-zero signature of token-less
+    documents) always share every block: a corpus with m exact dups of
+    one text yields m^2/2 pairs BY DEFINITION of the operator — cap or
+    pre-dedup exact duplicates (exact_dedup) upstream at scale."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if n_blocks < max_hamming + 1:
+        raise ValueError(
+            f"pigeonhole needs n_blocks >= max_hamming + 1 "
+            f"(got {n_blocks} < {max_hamming + 1})")
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks {n_blocks} > bits {bits}")
+    base, rem = divmod(bits, n_blocks)
+    widths = [base + 1 if i < rem else base for i in range(n_blocks)]
+    starts = [sum(widths[:i]) for i in range(n_blocks)]
+    sigs = simhash(df, text_col, id_col, bits)
+    params = F.array(*[
+        F.struct(F.lit(i).alias("bi"), F.lit(starts[i]).alias("st"),
+                 F.lit((1 << widths[i]) - 1).alias("mask"))
+        for i in range(n_blocks)])
+    blocks = (sigs.select(F.col(id_col), "simhash",
+                          F.explode(params).alias("p"))
+              .select(F.col(id_col), "simhash",
+                      F.col("p.bi").alias("bi"),
+                      F.expr("shiftrightunsigned(simhash, p.st) & p.mask")
+                       .alias("bv")))
+    if max_bucket is not None:
+        bsz = (blocks.groupBy("bi", "bv")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") <= max_bucket)
+               .select("bi", "bv"))
+        blocks = blocks.join(bsz, ["bi", "bv"])
+    a = blocks.select(F.col(id_col).alias("id_a"),
+                      F.col("simhash").alias("sig_a"), "bi", "bv")
+    b = blocks.select(F.col(id_col).alias("id_b"),
+                      F.col("simhash").alias("sig_b"), "bi", "bv")
+    cand = (a.join(b, ["bi", "bv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "sig_a", "sig_b")
+            .distinct())
+    ham = F.bit_count(F.expr("sig_a ^ sig_b"))
+    return (cand.where(ham <= max_hamming)
+            .select("id_a", "id_b", ham.cast("bigint").alias("hamming")))
+
+
+def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                    shingle_k: int = 8,
+                    min_count: int = 2) -> DataFrame:
+    """Per-document duplicated-span profile: (id, n_spans, n_dup_spans,
+    dup_ratio) where a span is one k-token shingle OCCURRENCE and a span
+    is duplicated iff its exact text occurs >= min_count times
+    CORPUS-WIDE (every occurrence counts, including repeats inside one
+    document). This is exact-substring duplication located at k-token
+    resolution — the shingle-granular, join-friendly form of the
+    suffix-array dedup of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022): instead of a distributed suffix
+    array, duplicated regions resolve through two hash shuffles
+    (occurrence counts on the shingle hash, then the per-document
+    rollup) and one equi-join against the >= min_count hash set — the
+    join's build side holds only REPEATED shingles, not the corpus.
+
+    Spans are keyed by portable_hash64 of the shingle text (the shuffle
+    moves 8-byte keys, not k-token strings); the DuckDB twin hashes
+    identically, so any 64-bit collision conflates the same spans in
+    both engines. Documents with fewer than k tokens have n_spans = 0
+    and dup_ratio 0.0."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would flag every span)")
+    occ = (exploded_shingles(df, text_col, id_col, shingle_k)
+           .where(F.col("shingle").isNotNull())
+           .select(F.col(id_col), portable_hash64(F.col("shingle"))
+                   .alias("_h")))
+    hot = (occ.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+           .where(F.col("_n") >= min_count)
+           .select("_h", F.lit(True).alias("_dup")))
+    per = (occ.join(hot, "_h", "left")
+           .groupBy(id_col)
+           .agg(F.count(F.lit(1)).alias("n_spans"),
+                F.sum(F.when(F.col("_dup"), 1).otherwise(0))
+                 .cast("bigint").alias("n_dup_spans")))
+    zero = F.lit(0).cast("bigint")
+    return (df.select(id_col)
+            .join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_spans", zero).alias("n_spans"),
+                    F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+                    F.round(F.when(F.coalesce("n_spans", zero) == 0,
+                                   F.lit(0.0))
+                            .otherwise(F.coalesce("n_dup_spans", zero)
+                                       / F.col("n_spans")), 6)
+                    .alias("dup_ratio")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_k: int = DEFAULT_SHINGLE_K,
                         tau: float = 0.2,

@@ -886,6 +886,74 @@ def _oracle_simhash() -> str:
       FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id"""
 
 
+SIMHASH_MAX_HAMMING = 3   # pigeonhole blocks = max_hamming + 1
+SPAN_K = 8                # duplicate-span shingle width (tokens)
+
+
+def q_o65_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (dedup.simhash_pairs): pigeonhole block
+    equi-join (4 blocks of the 32-bit signature; any pair within hamming
+    3 agrees exactly on >= 1 block) + exact bit_count verify — 100%
+    recall vs the all-pairs oracle, never an all-pairs plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "text", "doc_id", bits=32,
+                               max_hamming=SIMHASH_MAX_HAMMING)
+
+
+def _oracle_simhash_pairs() -> str:
+    """Twin: the o04 signature CTE + the EXACT all-pairs hamming filter
+    (the pigeonhole join is lossless, so the sets must match)."""
+    h = sql_hash64("tok")
+    return f"""
+      WITH tk AS (SELECT doc_id, unnest({sql_tokens('text')}) AS tok
+                  FROM documents),
+      bits AS (SELECT doc_id, b,
+                      sum(CASE WHEN ({h} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+               FROM tk, (SELECT unnest(range(0, 32)) AS b)
+               GROUP BY doc_id, b),
+      sig AS (SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS sh
+              FROM bits GROUP BY doc_id),
+      s AS (SELECT d.doc_id, coalesce(sig.sh, 0)::BIGINT AS sh
+            FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.sh, b.sh))::BIGINT AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= {SIMHASH_MAX_HAMMING}"""
+
+
+def q_o66_duplicate_spans(spark, sf_dir):
+    """Per-document duplicated-span profile (dedup.duplicate_spans):
+    exact-substring duplication at {SPAN_K}-token shingle resolution —
+    the join-friendly form of Lee et al.'s suffix-array dedup. Two hash
+    shuffles + one equi-join whose build side holds only repeated
+    shingle hashes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, "text", "doc_id",
+                                 shingle_k=SPAN_K)
+
+
+def _oracle_duplicate_spans() -> str:
+    sh = sql_word_shingles("text", SPAN_K)
+    h = sql_hash64("s")
+    return f"""
+      WITH sh AS (SELECT doc_id, unnest({sh}) AS s FROM documents),
+      occ AS (SELECT doc_id, {h} AS h FROM sh),
+      hot AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+      per AS (SELECT o.doc_id, count(*) AS n_spans,
+                     sum(CASE WHEN hot.h IS NOT NULL THEN 1 ELSE 0 END)
+                       AS n_dup
+              FROM occ o LEFT JOIN hot ON o.h = hot.h
+              GROUP BY o.doc_id)
+      SELECT d.doc_id,
+             coalesce(per.n_spans, 0)::BIGINT AS n_spans,
+             coalesce(per.n_dup, 0)::BIGINT AS n_dup_spans,
+             round(CASE WHEN coalesce(per.n_spans, 0) = 0 THEN 0.0
+                   ELSE coalesce(per.n_dup, 0) / per.n_spans::DOUBLE
+                   END, 6) AS dup_ratio
+      FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
+
+
 def _oracle_ngram_jaccard() -> str:
     sh = sql_word_shingles("text", SHINGLE_K)
     return f"""
@@ -1754,6 +1822,8 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o62_shard_shuffle": q_o62_shard_shuffle,
     "o63_semdedup_incremental": q_o63_semdedup_incremental,
     "o64_semdedup_incr_hier": q_o64_semdedup_incr_hier,
+    "o65_simhash_pairs": q_o65_simhash_pairs,
+    "o66_duplicate_spans": q_o66_duplicate_spans,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1859,4 +1929,6 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o62_shard_shuffle": _sql_shard_shuffle_oracle(),
     "o63_semdedup_incremental": _oracle_semdedup_incremental(),
     "o64_semdedup_incr_hier": _oracle_semdedup_incr_hier(),
+    "o65_simhash_pairs": _oracle_simhash_pairs(),
+    "o66_duplicate_spans": _oracle_duplicate_spans(),
 }

@@ -766,7 +766,7 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 89
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 91
 # registered queries the window rotates each round so that the union of the
 # two most recent CORRECTNESS files always covers every query: each round
 # heads the window with every query whose only green row is the previous
@@ -803,14 +803,17 @@ _WINDOW_ROUND8: list[str] = [
     # core anchors (kept in-window so the regression baseline stays
     # comparable across CORRECTNESS files) + the round-8 flagships whose
     # kernels this round touches (incremental hierarchical assignment,
-    # kmv null-group handling). NOTE: exactly 50 entries — adding a query
-    # here means removing one that is green in the LATEST round.
+    # kmv null-group handling) + the two NEW round-8 queries (o65/o66 —
+    # new queries MUST be in-window; a13/a19 rotate out, green in r07).
+    # NOTE: exactly 50 entries — adding a query here means removing one
+    # that is green in the LATEST round.
     "a07_entropy_single", "a08_entropy_batch",
-    "a13_spurious_fold", "a19_mvd_measures",
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas", "s01_windowed_counts",
     "o63_semdedup_incremental",
     "o64_semdedup_incr_hier",
+    "o65_simhash_pairs",
+    "o66_duplicate_spans",
     "o42_kmv_distinct",
 ]
 

@@ -62,6 +62,85 @@ def test_simhash_properties(docs):
     assert ham(out[1], out[3]) < ham(out[1], out[4])
 
 
+def test_simhash_pairs_matches_all_pairs_oracle(spark, docs):
+    """Pigeonhole block join must return EXACTLY the all-pairs hamming
+    filter (lossless by the pigeonhole bound), across several
+    max_hamming/n_blocks shapes, including uneven block widths."""
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(docs, "text", "doc_id").collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    ids = sorted(sigs)
+    for max_h, n_blocks in ((3, None), (3, 5), (6, 7), (0, None)):
+        expected = {(a, b, ham(sigs[a], sigs[b]))
+                    for i, a in enumerate(ids) for b in ids[i + 1:]
+                    if ham(sigs[a], sigs[b]) <= max_h}
+        got = {(r["id_a"], r["id_b"], r["hamming"])
+               for r in dedup.simhash_pairs(
+                   docs, "text", "doc_id", max_hamming=max_h,
+                   n_blocks=n_blocks).collect()}
+        assert got == expected, (max_h, n_blocks)
+    # identical docs pair at hamming 0
+    got3 = {(r["id_a"], r["id_b"]): r["hamming"]
+            for r in dedup.simhash_pairs(docs, "text", "doc_id").collect()}
+    assert got3[(1, 2)] == 0
+
+
+def test_simhash_pairs_validation_guard_and_plan(spark, docs):
+    import re
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dedup.simhash_pairs(docs, "text", "doc_id", max_hamming=3,
+                            n_blocks=3)
+    with pytest.raises(ValueError, match="n_blocks"):
+        dedup.simhash_pairs(docs, "text", "doc_id", bits=4,
+                            max_hamming=5)
+    # hot-bucket guard: cap 1 drops every shared bucket -> no pairs
+    assert dedup.simhash_pairs(docs, "text", "doc_id",
+                               max_bucket=1).count() == 0
+    # plan: equi-join on (block, value), no cartesian product, and the
+    # signature aggregate appears ONCE per join side (the literal-param
+    # explode keeps CollapseProject from cloning the 32 bit-sums)
+    plan = (dedup.simhash_pairs(docs, "text", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_brute_force(spark):
+    """duplicate_spans equals a per-doc python re-derivation, including
+    within-doc repeats, short docs, and null text."""
+    rows = [
+        (1, "a b c d a b c d"),       # shingle "a b c d" occurs twice IN-DOC
+        (2, "a b c d x y z w"),       # shares "a b c d" with doc 1
+        (3, "p q r s t u v"),         # unique spans
+        (4, "one two three"),         # < k tokens -> 0 spans
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k = 4
+    import collections
+    occ = collections.Counter()
+    per_doc: dict[int, list[str]] = {}
+    for did, txt in rows:
+        toks = (txt or "").split()
+        spans = [" ".join(toks[i:i + k])
+                 for i in range(len(toks) - k + 1)]
+        per_doc[did] = spans
+        occ.update(spans)
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_ratio"])
+           for r in dedup.duplicate_spans(df, "text", "doc_id",
+                                          shingle_k=k).collect()}
+    for did, spans in per_doc.items():
+        n_dup = sum(1 for s in spans if occ[s] >= 2)
+        exp_ratio = round(n_dup / len(spans), 6) if spans else 0.0
+        assert got[did] == (len(spans), n_dup, exp_ratio), did
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.duplicate_spans(df, "text", "doc_id", min_count=1)
+
+
 def test_ngram_jaccard_exact_value(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
