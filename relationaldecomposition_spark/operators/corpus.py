@@ -858,6 +858,74 @@ def unigram_xent_score(df: DataFrame, text_col: str, id_col: str,
                        .alias("xent")))
 
 
+def xent_quality_buckets(df: DataFrame, text_col: str, id_col: str,
+                         lang_col: str, n_buckets: int = 3,
+                         smooth_k: float = 0.5) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    Extracting high quality monolingual datasets from web crawl data",
+    LREC 2020): score every document with the self-trained unigram LM
+    cross-entropy (unigram_xent_score) and split each LANGUAGE into
+    n_buckets quality tiers (1 = head/lowest xent ... n = tail). Returns
+    (id, lang, xent, bucket); token-less documents (xent NULL) get
+    bucket NULL.
+
+    Bucket contract — VALUE-based, not row-ntile: a document's bucket is
+    ceil(n_buckets * cum / tot) where cum counts the language's documents
+    with xent <= this document's xent and tot the language's scored
+    documents. Ties therefore share a bucket (sizes are ~equal rather
+    than exactly equal) — that is what makes the operator scale: the
+    cumulative sums run over the (lang, xent) HISTOGRAM (one hash
+    shuffle, rows = distinct rounded xent values per language), never a
+    per-language total sort of the documents themselves, and documents
+    get their bucket back through a hash join on (lang, xent). The
+    arithmetic is integer-exact on both engines (ceil(a/b) =
+    (a-1) div b + 1), so the DuckDB twin is bit-identical."""
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    xs = unigram_xent_score(df, text_col, id_col)
+    base = (df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+            .join(xs.select(id_col, "xent"), id_col))
+    hist = (base.where(F.col("xent").isNotNull())
+            .groupBy("lang", "xent").agg(F.count(F.lit(1)).alias("_c")))
+    w = Window.partitionBy("lang").orderBy(F.col("xent").asc())
+    cum = F.sum("_c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tot = F.sum("_c").over(Window.partitionBy("lang"))
+    kb = F.lit(n_buckets).cast("bigint")
+    bucket = F.least(kb, F.expr(f"(cum * {n_buckets} - 1) div tot") + 1)
+    vals = (hist.select("lang", "xent", cum.alias("cum"),
+                        tot.alias("tot"))
+            .select("lang", "xent", bucket.cast("bigint").alias("bucket")))
+    return (base.join(vals, ["lang", "xent"], "left")
+            .select(F.col(id_col), "lang", "xent", "bucket"))
+
+
+def sql_xent_quality_buckets(table: str, text_col: str, id_col: str,
+                             lang_col: str, n_buckets: int = 3,
+                             smooth_k: float = 0.5) -> str:
+    """DuckDB twin of xent_quality_buckets — same histogram CDF, same
+    integer ceil arithmetic."""
+    k = n_buckets
+    xent_sql = sql_unigram_xent(table, text_col, id_col, smooth_k)
+    return f"""
+      WITH xs AS ({xent_sql}),
+      base AS (SELECT d.{id_col}, d.{lang_col} AS lang, xs.xent
+               FROM {table} d JOIN xs ON d.{id_col} = xs.{id_col}),
+      hist AS (SELECT lang, xent, count(*)::BIGINT AS c
+               FROM base WHERE xent IS NOT NULL GROUP BY 1, 2),
+      cdf AS (SELECT lang, xent,
+                     sum(c) OVER (PARTITION BY lang ORDER BY xent
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                     sum(c) OVER (PARTITION BY lang) AS tot
+              FROM hist),
+      b AS (SELECT lang, xent,
+                   least({k}, ((cum * {k} - 1) // tot) + 1)::BIGINT
+                     AS bucket
+            FROM cdf)
+      SELECT base.{id_col}, base.lang, base.xent, b.bucket
+      FROM base LEFT JOIN b USING (lang, xent)"""
+
+
 def sql_unigram_xent(table: str, text_col: str, id_col: str,
                      smooth_k: float = 0.5) -> str:
     """DuckDB twin: identical smoothing arithmetic (same operation order),

@@ -954,6 +954,28 @@ def _oracle_duplicate_spans() -> str:
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
 
 
+XENT_BUCKETS = 3
+
+
+def q_o67_xent_buckets(spark, sf_dir):
+    """CCNet-style per-language perplexity bucketing
+    (corpus.xent_quality_buckets): head/middle/tail tiers from the
+    (lang, xent) histogram CDF — no per-language document sort, integer
+    ceil arithmetic shared bit-exactly with the twin."""
+    from . import corpus as C
+
+    docs = load_table(spark, sf_dir, "documents")
+    return C.xent_quality_buckets(docs, "text", "doc_id", "lang",
+                                  XENT_BUCKETS)
+
+
+def _oracle_xent_buckets() -> str:
+    from .corpus import sql_xent_quality_buckets
+
+    return sql_xent_quality_buckets("documents", "text", "doc_id",
+                                    "lang", XENT_BUCKETS)
+
+
 def _oracle_ngram_jaccard() -> str:
     sh = sql_word_shingles("text", SHINGLE_K)
     return f"""
@@ -1824,6 +1846,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o64_semdedup_incr_hier": q_o64_semdedup_incr_hier,
     "o65_simhash_pairs": q_o65_simhash_pairs,
     "o66_duplicate_spans": q_o66_duplicate_spans,
+    "o67_xent_buckets": q_o67_xent_buckets,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1931,4 +1954,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o64_semdedup_incr_hier": _oracle_semdedup_incr_hier(),
     "o65_simhash_pairs": _oracle_simhash_pairs(),
     "o66_duplicate_spans": _oracle_duplicate_spans(),
+    "o67_xent_buckets": _oracle_xent_buckets(),
 }

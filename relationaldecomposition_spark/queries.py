@@ -766,7 +766,7 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 91
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 92
 # registered queries the window rotates each round so that the union of the
 # two most recent CORRECTNESS files always covers every query: each round
 # heads the window with every query whose only green row is the previous
@@ -809,11 +809,12 @@ _WINDOW_ROUND8: list[str] = [
     # that is green in the LATEST round.
     "a07_entropy_single", "a08_entropy_batch",
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
-    "b15_enumerate_schemas", "s01_windowed_counts",
+    "b15_enumerate_schemas",
     "o63_semdedup_incremental",
     "o64_semdedup_incr_hier",
     "o65_simhash_pairs",
     "o66_duplicate_spans",
+    "o67_xent_buckets",
     "o42_kmv_distinct",
 ]
 

@@ -495,6 +495,49 @@ def test_unigram_xent_orders_rarity(spark):
         assert out[did]["n_tokens"] == len(ts)
 
 
+def test_xent_quality_buckets_contract(spark):
+    """Value-based CCNet bucketing: per language, bucket =
+    ceil(k * cum / tot) over the xent CDF — verified against a Python
+    re-derivation; ties share a bucket; token-less docs bucket NULL;
+    languages are bucketed independently."""
+    import math
+    from collections import Counter
+
+    from relationaldecomposition_spark.operators.corpus import (
+        unigram_xent_score, xent_quality_buckets)
+
+    rows = [(i, f"w{i} w{i} common common", "en") for i in range(9)]
+    rows += [(100, "common common common common", "en")]  # lowest xent
+    rows += [(200 + i, "uno dos tres", "es") for i in range(4)]
+    rows += [(300, "", "es")]                             # no tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    k = 3
+    out = {r["doc_id"]: (r["lang"], r["xent"], r["bucket"])
+           for r in xent_quality_buckets(df, "text", "doc_id", "lang",
+                                         k).collect()}
+    xs = {r["doc_id"]: r["xent"]
+          for r in unigram_xent_score(df, "text", "doc_id").collect()}
+    by_lang: dict[str, list[float]] = {}
+    for did, _, lang in rows:
+        if xs[did] is not None:
+            by_lang.setdefault(lang, []).append(xs[did])
+    for did, _, lang in rows:
+        x = xs[did]
+        if x is None:
+            assert out[did] == (lang, None, None)
+            continue
+        vals = by_lang[lang]
+        cum = sum(1 for v in vals if v <= x)
+        exp = min(k, (cum * k - 1) // len(vals) + 1)
+        assert out[did] == (lang, x, exp), did
+    # the es docs are four identical ties -> cum = tot -> all bucket k
+    assert {out[200 + i][2] for i in range(4)} == {k}
+    # the en head doc (all-common tokens) sits in bucket 1
+    assert out[100][2] == 1
+    with pytest.raises(ValueError, match="n_buckets"):
+        xent_quality_buckets(df, "text", "doc_id", "lang", 1)
+
+
 class TestBigramPMI:
     def test_matches_python_rederivation(self, spark):
         import math
