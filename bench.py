@@ -174,20 +174,26 @@ def build_queries(spark, sf_dir: str):
         # schema on the join key, so downstream rejoins of the normalized
         # tables are exchange-free sort-merge joins. Re-join equality of
         # the written tables is pinned in tests/test_decompose_e2e.py.
+        import itertools
+
         from relationaldecomposition_spark.engine.decompose import (
             write_decomposition_bucketed)
         from relationaldecomposition_spark.schema.acyclic import (
-            AcyclicSchemaEnumerator, validate_schema)
+            AcyclicSchemaEnumerator, validate_schemas_concurrent)
         miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)),
                         epsilon=0.0)
         miner.mine_all_min_seps()
         v = DecompositionValidator(denorm)
+        # candidate validations are independent short-job chains — run
+        # them concurrently (sequential 3x ~4.6 s of per-action
+        # scheduling vs ~5 s total overlapped; see
+        # acyclic.validate_schemas_concurrent)
+        candidates = list(itertools.islice(
+            AcyclicSchemaEnumerator(tuple(denorm.columns),
+                                    sorted(miner.mined_jds, key=str)), 3))
+        infos = validate_schemas_concurrent(v, candidates)
         best, best_key = None, None
-        for i, schema in enumerate(AcyclicSchemaEnumerator(
-                tuple(denorm.columns), sorted(miner.mined_jds, key=str))):
-            if i >= 3:
-                break
-            info = validate_schema(v, schema)
+        for schema, info in zip(candidates, infos):
             key = (int(info.spurious_tuples), -len(schema.clusters))
             if best_key is None or key < best_key:
                 best, best_key = schema, key

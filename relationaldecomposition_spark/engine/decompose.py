@@ -269,27 +269,49 @@ def write_decomposition_bucketed(df: DataFrame, clusters, join_key: str,
     once at write time.
 
     Only clusters containing ``join_key`` are bucketed; others are written
-    unbucketed. Returns the created table names.
-    """
+    unbucketed. Returns the created table names (input order).
+
+    The per-cluster writes run CONCURRENTLY (round-8): each is an
+    independent distinct+shuffle+write over the shared persisted base
+    whose wall-clock is dominated by job scheduling and the write
+    barrier, not executor saturation — three sf0.1 cluster writes
+    measure ~5 s sequential vs ~2 s overlapped. Table names are disjoint
+    per worker, so the DROP/orphan-cleanup prologue never races on the
+    same location; PySpark job groups are per-thread, so the caller's
+    group is re-applied inside each worker (cancellation would otherwise
+    miss these jobs)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     base = df.distinct().persist()
-    names: list[str] = []
     spark = df.sparkSession
+    sc = spark.sparkContext
+    group = sc.getLocalProperty("spark.jobGroup.id")
+    desc = sc.getLocalProperty("spark.job.description")
+    clusters = list(clusters)
+
+    def write_one(item):
+        i, cluster = item
+        if group is not None:
+            sc.setJobGroup(group, desc, interruptOnCancel=True)
+        cols = sorted_cols(attrset(cluster), df.columns)
+        name = f"{table_prefix}_cluster_{i:03d}"
+        # mode("overwrite") only replaces tables THIS catalog knows;
+        # a managed-table directory left by a previous session (local
+        # in-memory catalog, surviving warehouse dir) fails CTAS with
+        # LOCATION_ALREADY_EXISTS — drop the entry and any orphaned
+        # local location first. Real metastores never orphan.
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        _remove_orphan_table_location(spark, name)
+        writer = base.select(*cols).distinct().write.mode("overwrite")
+        if join_key in cols:
+            writer = writer.bucketBy(num_buckets, join_key).sortBy(join_key)
+        writer.saveAsTable(name)
+        return name
+
     try:
-        for i, cluster in enumerate(clusters):
-            cols = sorted_cols(attrset(cluster), df.columns)
-            name = f"{table_prefix}_cluster_{i:03d}"
-            # mode("overwrite") only replaces tables THIS catalog knows;
-            # a managed-table directory left by a previous session (local
-            # in-memory catalog, surviving warehouse dir) fails CTAS with
-            # LOCATION_ALREADY_EXISTS — drop the entry and any orphaned
-            # local location first. Real metastores never orphan.
-            spark.sql(f"DROP TABLE IF EXISTS `{name}`")
-            _remove_orphan_table_location(spark, name)
-            writer = base.select(*cols).distinct().write.mode("overwrite")
-            if join_key in cols:
-                writer = writer.bucketBy(num_buckets, join_key).sortBy(join_key)
-            writer.saveAsTable(name)
-            names.append(name)
+        with ThreadPoolExecutor(
+                max_workers=min(4, max(1, len(clusters)))) as pool:
+            names = list(pool.map(write_one, enumerate(clusters)))
     finally:
         base.unpersist()
     return names

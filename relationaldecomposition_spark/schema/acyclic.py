@@ -221,3 +221,38 @@ def validate_schema(validator, schema: AcyclicSchema):
     if not schema.clusters:
         schema.build_join_tree()
     return validator.process_decomposition(schema.clusters)
+
+
+def validate_schemas_concurrent(validator, schemas,
+                                max_workers: int = 4) -> list:
+    """validate_schema over several CANDIDATE schemas concurrently,
+    preserving input order in the returned DecompositionInfo list.
+
+    A single validation is ~8 short Spark jobs whose steady-state cost is
+    per-action scheduling latency, not cluster load (the spurious_fold
+    floor note in bench.py), so independent candidates overlap almost
+    perfectly — 3 sequential validations of the sf0.1 denorm measure
+    ~14 s vs ~5 s concurrent. Thread-safety: the validator's shared state
+    is the immutable persisted base plus a lazily-counted num_tuples
+    (concurrent first reads both run the same count and store the same
+    int — benign). PySpark job groups are PER-THREAD, so the caller's
+    group is re-applied inside each worker — without this a cancellation
+    would miss every job these threads launch (same pattern as
+    process_decomposition's concurrent projection counts)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    schemas = list(schemas)
+    if not schemas:
+        return []
+    sc = validator.base.sparkSession.sparkContext
+    group = sc.getLocalProperty("spark.jobGroup.id")
+    desc = sc.getLocalProperty("spark.job.description")
+
+    def one(schema):
+        if group is not None:
+            sc.setJobGroup(group, desc, interruptOnCancel=True)
+        return validate_schema(validator, schema)
+
+    with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(schemas))) as pool:
+        return list(pool.map(one, schemas))

@@ -72,6 +72,34 @@ def denorm6(spark):
              .select(*COLS))
 
 
+def test_validate_schemas_concurrent_matches_sequential(denorm6):
+    """The thread-pooled candidate validation must return the same
+    DecompositionInfo values, in input order, as sequential
+    validate_schema calls — including a deliberately LOSSY candidate so
+    the spurious counts differ across schemas."""
+    from relationaldecomposition_spark.schema.acyclic import (
+        validate_schemas_concurrent)
+
+    miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm6)), epsilon=0.0)
+    miner.mine_all_min_seps()
+    schemas = []
+    for i, s in enumerate(AcyclicSchemaEnumerator(
+            COLS, sorted(miner.mined_jds, key=str))):
+        schemas.append(s)
+        if i >= 2:
+            break
+    v = DecompositionValidator(denorm6)
+    seq = [validate_schema(v, s) for s in schemas]
+    conc = validate_schemas_concurrent(v, schemas, max_workers=3)
+    assert [
+        (i.spurious_tuples, i.largest_relation, i.total_tuples,
+         i.total_cells) for i in conc] == [
+        (i.spurious_tuples, i.largest_relation, i.total_tuples,
+         i.total_cells) for i in seq]
+    assert validate_schemas_concurrent(v, []) == []
+    v.close()
+
+
 def test_mine_enumerate_validate_pipeline(denorm6):
     """End-to-end: mine JDs -> enumerate acyclic schemas -> every schema's
     decomposition is lossless (measure 0 JDs => 0 spurious tuples)."""
