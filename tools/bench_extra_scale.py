@@ -113,8 +113,10 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
 def _isolated_rows(queries: list[str], sf_dir: str) -> dict[str, float]:
     """One subprocess (fresh JVM, fresh session) per query — the
     round-7 fix for in-sequence rows inflating under the previous
-    query's heap residue. ~25 s session startup per row, paid outside
-    the timed region (run_bench times only the forced evaluation)."""
+    query's heap residue. Session startup AND a same-query sf0.1
+    warm-up run are paid outside the timed region, so each row is a
+    solo-warmed measure: no residue from other queries, no fresh-JVM
+    first-compilation charge."""
     import subprocess
 
     out: dict[str, float] = {}
@@ -153,6 +155,13 @@ def main(argv=None) -> int:
 
     if args.run_one:
         spark = get_spark(f"bench-one-{args.run_one}")
+        # warm THIS query's exact codegen/Arrow/JIT paths on the small sf
+        # before timing: a fresh JVM otherwise charges the big-sf row
+        # ~10-55 s of first-compilation cost (measured: curation_e2e sf10
+        # 139.7 s cold vs 84.9 s solo-warmed), which is session noise,
+        # not operator cost. run_bench's generic warm-up covers scans and
+        # hash aggregation but not each pipeline's full operator surface.
+        run_bench(spark, args.sf01_dir, repeats=1, only=[args.run_one])
         t = run_bench(spark, args.dir, repeats=1, only=[args.run_one])
         spark.stop()
         print(json.dumps({args.run_one: round(t[args.run_one], 3)}))
