@@ -1636,13 +1636,24 @@ def q_o64_semdedup_incr_hier(spark, sf_dir):
     corpus = emb.where(F.col("vec_id") % 2 == 0)
     coarse = ivf.seed_centroids(corpus, "embedding", "vec_id",
                                 HIER_COARSE_IDS)
+    # production lifecycle, materialized: codebook and index are
+    # persisted at build time; the batch is assigned ONCE with the
+    # pruned two-level route and handed to the probe via ``assigned=``
+    # (the operator's own advice for large codebooks — the lazy ``subs=``
+    # form re-runs the cogrouped assignment per plan consumer; its
+    # equality with this form is pinned in tests/test_gram.py).
     subs = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse,
-                             HIER_SUB_K)
+                             HIER_SUB_K).localCheckpoint(eager=True)
     idx = ivf.ivf_cell_index_hier(corpus, "embedding", "vec_id", coarse,
-                                  subs)
-    return ivf.semdedup_incremental(emb.where(F.col("vec_id") % 2 == 1),
-                                    idx, "embedding", "vec_id", coarse,
-                                    SEMDEDUP_TAU, subs=subs)
+                                  subs).localCheckpoint(eager=True)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    assigned = (ivf._np_assign_with_subs(batch, "embedding", "vec_id",
+                                         coarse, subs, prune_subs=True)
+                .select(F.col("vec_id"), "v", "cell")
+                .localCheckpoint(eager=True))
+    return ivf.semdedup_incremental(batch, idx, "embedding", "vec_id",
+                                    coarse, SEMDEDUP_TAU,
+                                    assigned=assigned)
 
 
 def _oracle_semdedup_incr_hier() -> str:
