@@ -169,3 +169,95 @@ def test_rebalance_mixture_converges_to_targets(spark):
              rebalance_to_mixture(df, "doc_id", "source", targets)
              .groupBy("source").agg(F.count("*").alias("n")).collect()}
     assert got == again
+
+
+def test_simhash_pairs_pigeonhole_exact_random_corpora(spark):
+    """Round-8: on random word-salad corpora (dense near-dup structure
+    from a small vocab), the pigeonhole join equals the exact all-pairs
+    hamming filter for every (max_hamming, n_blocks) shape tried —
+    including n_blocks > max_hamming + 1 (extra blocks stay lossless,
+    only candidate counts change)."""
+    from relationaldecomposition_spark.operators import dedup
+
+    rng = random.Random(SEED + 8)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [Row(doc_id=i,
+                text=" ".join(rng.choice(vocab)
+                              for _ in range(rng.randrange(0, 14))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows)
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df, "text", "doc_id").collect()}
+    ids = sorted(sigs)
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    for max_h, nb in ((2, None), (4, None), (4, 8), (1, 16)):
+        expected = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+                    if ham(sigs[a], sigs[b]) <= max_h}
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.simhash_pairs(df, "text", "doc_id", max_hamming=max_h,
+                                   n_blocks=nb).collect()}
+        assert got == expected, (max_h, nb)
+
+
+def test_duplicate_spans_structural_invariants(spark):
+    """Round-8: for random token documents, 0 <= n_dup_spans <= n_spans,
+    n_spans = max(0, n_tokens - k + 1), dup_ratio = n_dup/n_spans, and
+    duplicating a DOCUMENT wholesale flags every span of both copies."""
+    from relationaldecomposition_spark.operators import dedup
+
+    rng = random.Random(SEED + 9)
+    k = 5
+    rows = [(i, " ".join(f"t{rng.randrange(200)}"
+                         for _ in range(rng.randrange(0, 30))))
+            for i in range(40)]
+    rows += [(100 + i, rows[i][1]) for i in range(5)]  # exact doc copies
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_spans(df, "text", "doc_id",
+                                 shingle_k=k).collect()}
+    for did, txt in rows:
+        n_tok = len(txt.split())
+        r = out[did]
+        assert r["n_spans"] == max(0, n_tok - k + 1), did
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"], did
+        if r["n_spans"]:
+            assert r["dup_ratio"] == round(
+                r["n_dup_spans"] / r["n_spans"], 6), did
+        else:
+            assert r["dup_ratio"] == 0.0
+    for i in range(5):
+        if out[i]["n_spans"]:
+            assert out[i]["n_dup_spans"] == out[i]["n_spans"], i
+            assert out[100 + i]["n_dup_spans"] == out[100 + i]["n_spans"]
+
+
+def test_xent_buckets_partition_properties(spark):
+    """Round-8: buckets partition each language's scored docs; bucket is
+    monotone in xent within a language; sizes are within one histogram
+    bin of n/k; languages never mix."""
+    from relationaldecomposition_spark.operators.corpus import (
+        xent_quality_buckets)
+
+    rng = random.Random(SEED + 10)
+    rows = []
+    for i in range(120):
+        lang = rng.choice(["aa", "bb", "cc"])
+        toks = [f"{lang}{rng.randrange(30)}"
+                for _ in range(rng.randrange(1, 12))]
+        rows.append((i, " ".join(toks), lang))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    k = 4
+    out = [r for r in xent_quality_buckets(df, "text", "doc_id", "lang",
+                                           k).collect()]
+    assert len(out) == len(rows)
+    by_lang: dict[str, list] = {}
+    for r in out:
+        assert r["bucket"] is not None and 1 <= r["bucket"] <= k
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: (r["xent"], r["doc_id"]))
+        buckets = [r["bucket"] for r in rs]
+        assert buckets == sorted(buckets), lang  # monotone in xent
