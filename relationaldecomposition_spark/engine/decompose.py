@@ -311,7 +311,18 @@ def write_decomposition_bucketed(df: DataFrame, clusters, join_key: str,
     try:
         with ThreadPoolExecutor(
                 max_workers=min(4, max(1, len(clusters)))) as pool:
-            names = list(pool.map(write_one, enumerate(clusters)))
+            # submit (not map) so the first failure cancels every
+            # not-yet-started write — pool.map would let already-queued
+            # writes run to completion during shutdown, leaving an
+            # unreported mix of created tables (advisor, round 8).
+            futures = [pool.submit(write_one, item)
+                       for item in enumerate(clusters)]
+            try:
+                names = [f.result() for f in futures]
+            except BaseException:
+                for f in futures:
+                    f.cancel()
+                raise
     finally:
         base.unpersist()
     return names

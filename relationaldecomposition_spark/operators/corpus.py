@@ -882,7 +882,7 @@ def xent_quality_buckets(df: DataFrame, text_col: str, id_col: str,
     (a-1) div b + 1), so the DuckDB twin is bit-identical."""
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    xs = unigram_xent_score(df, text_col, id_col)
+    xs = unigram_xent_score(df, text_col, id_col, smooth_k)
     base = (df.select(F.col(id_col), F.col(lang_col).alias("lang"))
             .join(xs.select(id_col, "xent"), id_col))
     hist = (base.where(F.col("xent").isNotNull())

@@ -739,9 +739,17 @@ def _plan_size_bytes(df: DataFrame) -> int:
     """Catalyst's sizeInBytes estimate for the optimized plan — exact for
     parquet scans (file footers), an overestimate for derived plans (the
     safe direction here: over-pruning costs a small constant, skipping
-    the prune on a big index costs a full index shuffle)."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats()
-               .sizeInBytes())
+    the prune on a big index costs a full index shuffle).
+
+    ``_jdf`` is the classic-PySpark JVM handle — absent under Spark
+    Connect. When plan stats are unreachable, report "huge" so the
+    caller defaults to pruning (the pre-round-8 always-prune behavior:
+    a bounded constant, never a wrong answer)."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats()
+                   .sizeInBytes())
+    except Exception:
+        return 1 << 62
 
 
 def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,

@@ -536,6 +536,17 @@ def test_xent_quality_buckets_contract(spark):
     assert out[100][2] == 1
     with pytest.raises(ValueError, match="n_buckets"):
         xent_quality_buckets(df, "text", "doc_id", "lang", 1)
+    # non-default smooth_k reaches the scorer (advisor, round 8: it was
+    # silently dropped) — xent must equal the scorer's at the same k and
+    # differ from the default-k values
+    out2 = {r["doc_id"]: r["xent"]
+            for r in xent_quality_buckets(df, "text", "doc_id", "lang",
+                                          k, smooth_k=2.0).collect()}
+    xs2 = {r["doc_id"]: r["xent"]
+           for r in unigram_xent_score(df, "text", "doc_id",
+                                       smooth_k=2.0).collect()}
+    assert out2 == xs2
+    assert any(out2[d] != xs[d] for d in out2 if out2[d] is not None)
 
 
 class TestBigramPMI:
