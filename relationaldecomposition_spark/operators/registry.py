@@ -827,11 +827,15 @@ def _oracle_minhash() -> str:
     return f"WITH {_sql_minhash_sig_cte()} SELECT * FROM sig"
 
 
-def _oracle_lsh_pairs(max_bucket: int | None = None) -> str:
+def _oracle_lsh_pairs(max_bucket: int | None = None,
+                      src: str = "documents",
+                      min_est: float = LSH_MIN_EST) -> str:
     """LSH candidate pairs; with max_bucket set, mirrors the split-mode
     hot-bucket guard (dedup._bucket_guard): oversize buckets are split into
     ceil(n/max_bucket) sub-buckets by the portable id-hash and pairs only
-    form within a sub-bucket."""
+    form within a sub-bucket. `src` is the (doc_id, text) source — a table
+    or an earlier CTE (the curation-funnel twin runs it over the
+    exact-dedup survivors)."""
     rows_per_band = N_HASHES // BANDS
     band_selects = []
     for b in range(BANDS):
@@ -857,7 +861,7 @@ def _oracle_lsh_pairs(max_bucket: int | None = None) -> str:
         FROM band b JOIN bsz z ON b.band = z.band AND b.bsig = z.bsig)"""
         pair_src, sub_eq = "gband", " AND a.sub = b.sub"
     return f"""
-      WITH {_sql_minhash_sig_cte()},
+      WITH {_sql_minhash_sig_cte(src=src)},
       band AS ({' UNION ALL '.join(band_selects)}){guard_ctes},
       pairs AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -867,7 +871,7 @@ def _oracle_lsh_pairs(max_bucket: int | None = None) -> str:
         GROUP BY 1, 2)
       SELECT id_a, id_b, round(({eq_sum}) / {float(N_HASHES)}, {ROUND}) AS est_jaccard
       FROM pairs JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b
-      WHERE ({eq_sum}) / {float(N_HASHES)} >= {LSH_MIN_EST}"""
+      WHERE ({eq_sum}) / {float(N_HASHES)} >= {min_est}"""
 
 
 def _oracle_simhash() -> str:
@@ -974,6 +978,119 @@ def _oracle_xent_buckets() -> str:
 
     return sql_xent_quality_buckets("documents", "text", "doc_id",
                                     "lang", XENT_BUCKETS)
+
+
+# o68 curation funnel config — every stage of pipeline.curate_corpus
+# engaged with deterministic parameters so the DuckDB twin composes the
+# stage twins 1:1. xent_max sits at the sf0.01 corpus's ~p90 (values
+# cluster at 4.89-5.10), so the cross-entropy gate drops real rows.
+FUNNEL_QUALITY_MIN = 0.25
+FUNNEL_XENT_MAX = 4.94
+FUNNEL_LSH_MIN_EST = 0.7
+
+
+def q_o68_curation_funnel(spark, sf_dir):
+    """The corpus-curation pipeline END-TO-END under the hard gate
+    (pipeline.curate_corpus with every optional stage on): exact dedup →
+    MinHash-LSH near-dedup (connected components) → quality + Gopher
+    repetition + unigram-xent gates → benchmark decontamination →
+    mixture rebalance. Returns the funnel report (stage, n_docs) — the
+    deliverable a corpus owner actually reads. The oracle recomputes
+    every stage in DuckDB from the same parquet (recursive-CTE
+    transitive closure for the components), so the COMPOSITION — stage
+    order, survivor flow between stages, each gate's semantics — is
+    value-checked end-to-end, not just per stage."""
+    from ..pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(
+        F.col("doc_id") % DECON_BENCH_MOD == DECON_BENCH_REM)
+    held: list = []
+    _, funnel = curate_corpus(
+        docs, "text", "doc_id",
+        source_col="source", mixture=MIXTURE_TARGETS,
+        benchmark=bench,
+        quality_min=FUNNEL_QUALITY_MIN,
+        xent_max=FUNNEL_XENT_MAX,
+        lsh_min_est=FUNNEL_LSH_MIN_EST,
+        persist_stages=True, persisted_out=held)
+    # evaluate the funnel ONCE against the persisted stages, then release
+    # them — the lazy default would re-derive each stage's prefix (incl.
+    # the CC loop) once per funnel row AND once per downstream stage
+    rows = [(r["stage"], int(r["n_docs"])) for r in funnel.collect()]
+    for f in held:
+        f.unpersist()
+    return spark.createDataFrame(rows, "stage string, n_docs bigint")
+
+
+def _oracle_curation_funnel() -> str:
+    """Stage-twin composition for q_o68_curation_funnel. Each CTE is the
+    published DuckDB twin of its stage (nested WITHs are legal CTE
+    bodies), re-pointed at the previous stage's survivor CTE — exactly
+    how curate_corpus chains the Spark faces."""
+    from .corpus import (DECON_SHINGLE_K, DECON_TAU, sql_repetition_metrics,
+                         sql_unigram_xent)
+    from .sampling import sql_rebalance_to_mixture
+    from .text import sql_quality_score
+
+    lshp = _oracle_lsh_pairs(src="s1", min_est=FUNNEL_LSH_MIN_EST)
+    q_sql = sql_quality_score("s2", "text", "doc_id")
+    r_sql = sql_repetition_metrics("s2", "text", "doc_id")
+    x_sql = sql_unigram_xent("s3a", "text", "doc_id")
+    reb_sql = sql_rebalance_to_mixture("s4", "doc_id", "source",
+                                       MIXTURE_TARGETS, "d.doc_id")
+    dsh = sql_word_shingles("text", DECON_SHINGLE_K)
+    dh = sql_hash32("s")
+    dfrac = ("CASE WHEN a.n_shingles > 0 THEN a.n_hits "
+             "/ CAST(a.n_shingles AS DOUBLE) ELSE 0.0 END")
+    return f"""
+      WITH RECURSIVE
+      s1 AS MATERIALIZED (
+        SELECT d.* FROM documents d
+        JOIN (SELECT min(doc_id) AS doc_id FROM documents
+              GROUP BY {sql_hash64('text')}) k USING (doc_id)),
+      cand AS MATERIALIZED ({lshp}),
+      edges AS (SELECT id_a AS a, id_b AS b FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+      walk(id, r) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT w.id, e.b FROM walk w JOIN edges e ON w.r = e.a),
+      comp AS MATERIALIZED (SELECT id, min(r) AS rep FROM walk GROUP BY id),
+      s2 AS MATERIALIZED (SELECT * FROM s1 WHERE doc_id NOT IN
+               (SELECT id FROM comp WHERE rep != id)),
+      q AS MATERIALIZED ({q_sql}),
+      r AS MATERIALIZED ({r_sql}),
+      s3a AS MATERIALIZED (SELECT s2.* FROM s2 JOIN q USING (doc_id)
+              JOIN r USING (doc_id)
+              WHERE q.quality >= {FUNNEL_QUALITY_MIN}
+                AND r.repetitive = 0),
+      x AS MATERIALIZED ({x_sql}),
+      s3 AS MATERIALIZED (SELECT s3a.* FROM s3a JOIN x USING (doc_id)
+             WHERE x.xent IS NULL OR x.xent <= {FUNNEL_XENT_MAX}),
+      dex AS (SELECT doc_id,
+                     unnest(list_transform(list_distinct({dsh}),
+                                           s -> {dh})) AS h
+              FROM s3),
+      dbench AS (SELECT DISTINCT
+                     unnest(list_transform(list_distinct({dsh}),
+                                           s -> {dh})) AS h
+                 FROM documents
+                 WHERE doc_id % {DECON_BENCH_MOD} = {DECON_BENCH_REM}),
+      dagg AS MATERIALIZED (SELECT e.doc_id, count(*) AS n_shingles,
+                      count(b.h) AS n_hits
+               FROM dex e LEFT JOIN dbench b ON e.h = b.h
+               GROUP BY e.doc_id),
+      s4 AS MATERIALIZED (SELECT s3.* FROM s3 LEFT JOIN dagg a USING (doc_id)
+             WHERE coalesce({dfrac}, 0.0) < {DECON_TAU}),
+      s5 AS MATERIALIZED ({reb_sql})
+      SELECT 'input' AS stage,
+             (SELECT count(*) FROM documents)::BIGINT AS n_docs
+      UNION ALL SELECT 'exact_dedup', (SELECT count(*) FROM s1)::BIGINT
+      UNION ALL SELECT 'near_dedup', (SELECT count(*) FROM s2)::BIGINT
+      UNION ALL SELECT 'quality', (SELECT count(*) FROM s3)::BIGINT
+      UNION ALL SELECT 'decontaminated', (SELECT count(*) FROM s4)::BIGINT
+      UNION ALL SELECT 'rebalanced', (SELECT count(*) FROM s5)::BIGINT"""
 
 
 def _oracle_ngram_jaccard() -> str:
@@ -1858,6 +1975,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o65_simhash_pairs": q_o65_simhash_pairs,
     "o66_duplicate_spans": q_o66_duplicate_spans,
     "o67_xent_buckets": q_o67_xent_buckets,
+    "o68_curation_funnel": q_o68_curation_funnel,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -1966,4 +2084,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o65_simhash_pairs": _oracle_simhash_pairs(),
     "o66_duplicate_spans": _oracle_duplicate_spans(),
     "o67_xent_buckets": _oracle_xent_buckets(),
+    "o68_curation_funnel": _oracle_curation_funnel(),
 }

@@ -357,3 +357,100 @@ def oracle_b15(denorm_sql: str, cols: Sequence[str],
             f"((SELECT count(*) FROM {join_sql}) - (SELECT n FROM dbase))::BIGINT "
             f"AS spurious FROM ok{si} WHERE ok")
     return "WITH " + ",\n      ".join(ctes) + "\n" + " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# o69: the decompose-e2e deliverable summary (schema choice + rejoin)
+# ---------------------------------------------------------------------------
+
+def _schema_join_ctes(si: int, clusters: Sequence[Sequence[str]],
+                      cols: Sequence[str]) -> tuple[list[str], str]:
+    """Per-schema CTEs: distinct projections p{si}_{i} and the natural-join
+    chain over them (the Yannakakis-style rejoin the a13/a15 oracles use).
+    Returns (ctes, join_sql)."""
+    ctes = []
+    cl = [tuple(sorted(c)) for c in clusters]
+    for i, c in enumerate(cl):
+        ctes.append(f"p{si}_{i} AS (SELECT DISTINCT {', '.join(c)} FROM d6)")
+    join_sql = f"p{si}_0"
+    seen = set(cl[0])
+    for i, c in enumerate(cl[1:], start=1):
+        shared = sorted(seen & set(c))
+        if shared:
+            join_sql += f" JOIN p{si}_{i} USING ({', '.join(shared)})"
+        else:
+            join_sql += f" CROSS JOIN p{si}_{i}"
+        seen |= set(c)
+    return ctes, join_sql
+
+
+def oracle_decompose_summary(denorm_sql: str, cols: Sequence[str],
+                             schemas: Sequence[Sequence[Sequence[str]]]) -> str:
+    """DuckDB twin of the decompose-e2e deliverable (bench.py
+    decompose_e2e, gated at the 6-col projection): per enumerated schema
+    its data-recomputed spurious-tuple count, WHICH schema the
+    (spurious ASC, n_clusters DESC, enumeration order) rule picks, and —
+    for the picked schema only — the lossless-rejoin residuals
+    |rejoin − base| / |base − rejoin| derived from the data with set
+    EXCEPTs (the Spark face derives them from the actually WRITTEN
+    bucketed tables, so the write path is inside the gate). Schemas are
+    certified against the data exactly as in oracle_b15 (junction-tree
+    edge measures + separators ∈ the b11-derived minimal-separator set);
+    only the enumeration ORDER is pinned."""
+    proj = ", ".join(cols)
+    ctes = [
+        f"denorm AS ({denorm_sql})",
+        f"d6 AS (SELECT {proj} FROM denorm)",
+        _sql_ent_ctes("d6", cols),
+        "hr AS (SELECT h FROM ent WHERE gid = 0)",
+        _sql_minsep_ctes(cols),
+        "minmask AS (SELECT DISTINCT smask FROM minimal)",
+        "dbase AS (SELECT count(*) AS n FROM (SELECT DISTINCT * FROM d6))",
+    ]
+    cand_selects = []
+    for si, clusters in enumerate(schemas):
+        cl = [tuple(sorted(c)) for c in clusters]
+        key = ";".join(sorted(",".join(c) for c in cl))
+        jc, join_sql = _schema_join_ctes(si, cl, cols)
+        ctes.extend(jc)
+        ctes.append(
+            f"ex{si} AS (SELECT count(*) AS c FROM "
+            f"(SELECT {proj} FROM {join_sql} EXCEPT SELECT {proj} FROM d6))")
+        ctes.append(
+            f"ms{si} AS (SELECT count(*) AS c FROM "
+            f"(SELECT {proj} FROM d6 EXCEPT SELECT {proj} FROM {join_sql}))")
+        edge_rows = [
+            f"({_gid(s, cols)}, {_gid(ua, cols)}, {_gid(ub, cols)}, {_smask(s, cols)})"
+            for s, ua, ub in _edge_jds([frozenset(c) for c in cl])
+        ]
+        if edge_rows:
+            ctes.append(
+                f"edges{si}(g_s, g_ua, g_ub, sm) AS (VALUES {', '.join(edge_rows)})")
+            ctes.append(
+                f"ok{si} AS (SELECT coalesce(bool_and("
+                f"ea.h + eb.h - es.h - hr.h <= {MEASURE_ACCURACY} "
+                f"AND sm IN (SELECT smask FROM minmask)), TRUE) AS ok "
+                f"FROM edges{si} JOIN ent es ON es.gid = g_s "
+                f"JOIN ent ea ON ea.gid = g_ua "
+                f"JOIN ent eb ON eb.gid = g_ub, hr)")
+        else:
+            ctes.append(f"ok{si} AS (SELECT TRUE AS ok)")
+        cand_selects.append(
+            f"SELECT {si}::BIGINT AS enum_idx, '{key}' AS clusters, "
+            f"{len(cl)}::BIGINT AS n_clusters, "
+            f"((SELECT count(*) FROM {join_sql}) - (SELECT n FROM dbase))::BIGINT"
+            f" AS spurious, (SELECT c FROM ex{si})::BIGINT AS rx, "
+            f"(SELECT c FROM ms{si})::BIGINT AS rm FROM ok{si} WHERE ok")
+    ctes.append("scand AS (" + " UNION ALL ".join(cand_selects) + ")")
+    ctes.append("best AS (SELECT enum_idx FROM scand "
+                "ORDER BY spurious ASC, n_clusters DESC, enum_idx ASC "
+                "LIMIT 1)")
+    return ("WITH " + ",\n      ".join(ctes) + "\n"
+            "SELECT enum_idx, clusters, n_clusters, spurious,\n"
+            "  (CASE WHEN enum_idx = (SELECT enum_idx FROM best)"
+            " THEN 1 ELSE 0 END)::INT AS is_best,\n"
+            "  (CASE WHEN enum_idx = (SELECT enum_idx FROM best)"
+            " THEN rx END)::BIGINT AS rejoin_extra,\n"
+            "  (CASE WHEN enum_idx = (SELECT enum_idx FROM best)"
+            " THEN rm END)::BIGINT AS rejoin_missing\n"
+            "FROM scand")

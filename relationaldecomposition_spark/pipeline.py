@@ -37,7 +37,9 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
                   max_bucket: int | None = None,
                   pack_target: int = 2048,
                   pack_shards: int = 64,
-                  persist_stages: bool = False) -> tuple[DataFrame, DataFrame]:
+                  persist_stages: bool = False,
+                  persisted_out: list | None = None
+                  ) -> tuple[DataFrame, DataFrame]:
     """Returns (packed, funnel):
 
     - packed: `pack_sequences` output over the surviving documents —
@@ -58,11 +60,18 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
     evaluating the funnel AND the packed output computes every stage once
     instead of re-deriving each stage's prefix per funnel row (the lazy
     default re-evaluates a 6-stage prefix chain ~quadratically: measured
-    25 s -> ~10 s at sf0.1). The caller owns the storage: call
-    `df.sparkSession.catalog.clearCache()` (or unpersist individually)
-    after the outputs are materialized."""
+    25 s -> ~10 s at sf0.1). The caller owns the storage: pass
+    `persisted_out` (a list; every persisted stage frame is appended) and
+    unpersist them after the outputs are materialized, or call
+    `df.sparkSession.catalog.clearCache()` if nothing else in the session
+    is cached."""
     def _keep(frame: DataFrame) -> DataFrame:
-        return frame.persist() if persist_stages else frame
+        if not persist_stages:
+            return frame
+        frame = frame.persist()
+        if persisted_out is not None:
+            persisted_out.append(frame)
+        return frame
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs

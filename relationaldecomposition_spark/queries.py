@@ -526,6 +526,87 @@ def q_b15_enumerate_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "clusters string, n_clusters bigint, spurious bigint")
 
 
+def q_o69_decompose_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decompose-e2e deliverable END-TO-END under the hard gate
+    (bench.py decompose_e2e at the 6-col projection): mine min-sep JDs →
+    enumerate the first 3 acyclic schemas → validate spurious counts
+    concurrently → pick the best by (spurious ASC, n_clusters DESC,
+    enumeration order) → bucketed+sorted WRITE of the winner on
+    c_nationkey → natural-join the WRITTEN tables back and report the
+    lossless-rejoin residuals. The rejoin columns come from the tables
+    on disk, so the write path itself is inside the DuckDB comparison
+    (oracle: oracles_mining.oracle_decompose_summary, which re-derives
+    spurious/choice/residuals from the parquet with the b11/b15
+    certification CTEs)."""
+    from functools import reduce
+
+    from .engine.decompose import write_decomposition_bucketed
+    from .mining.jd_miner import JDMiner
+    from .schema.acyclic import (AcyclicSchemaEnumerator,
+                                 validate_schemas_concurrent)
+
+    denorm = _denorm6(spark, sf_dir)
+    miner = JDMiner(MeasureEngine(SparkEntropyEngine(denorm)), epsilon=0.0)
+    miner.mine_all_min_seps()
+    candidates = []
+    for i, schema in enumerate(AcyclicSchemaEnumerator(
+            DENORM6_COLS, sorted(miner.mined_jds, key=str))):
+        if i >= 3:
+            break
+        candidates.append(schema)
+    v = DecompositionValidator(denorm)
+    try:
+        infos = validate_schemas_concurrent(v, candidates)
+    finally:
+        v.close()
+        miner.eng.unpersist()
+    # same gate-drift diagnostic as q_b15, ORDER-sensitive here: the twin
+    # pins enum_idx by O69_SCHEMA_ORDER position
+    if "sf0.01" in sf_dir:
+        expect = [";".join(sorted(",".join(c) for c in s))
+                  for s in O69_SCHEMA_ORDER]
+        got = [";".join(sorted(",".join(sorted(c)) for c in s.clusters))
+               for s in candidates]
+        if got != expect:
+            raise AssertionError(
+                "o69 enumeration order diverged from B15_SCHEMAS on the "
+                f"gate data.\n  expected: {expect}\n  got: {got}")
+    best_i, best_key = 0, None
+    for i, (schema, info) in enumerate(zip(candidates, infos)):
+        key = (int(info.spurious_tuples), -len(schema.clusters))
+        if best_key is None or key < best_key:
+            best_i, best_key = i, key
+    names = write_decomposition_bucketed(
+        denorm, candidates[best_i].clusters, "c_nationkey",
+        "gate_decomp_summary")
+    try:
+        parts = [spark.table(n) for n in names]
+
+        def nat_join(a, b):
+            shared = sorted(set(a.columns) & set(b.columns))
+            return a.join(b, on=shared) if shared else a.crossJoin(b)
+
+        rejoined = reduce(nat_join, parts).select(*DENORM6_COLS)
+        base = denorm.distinct()
+        extra = rejoined.exceptAll(base).count()
+        missing = base.exceptAll(rejoined).count()
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+    rows = []
+    for i, (schema, info) in enumerate(zip(candidates, infos)):
+        key = ";".join(sorted(",".join(sorted(c)) for c in schema.clusters))
+        is_best = 1 if i == best_i else 0
+        rows.append((i, key, len(schema.clusters),
+                     int(info.spurious_tuples), is_best,
+                     extra if is_best else None,
+                     missing if is_best else None))
+    return spark.createDataFrame(
+        rows, "enum_idx bigint, clusters string, n_clusters bigint, "
+              "spurious bigint, is_best int, rejoin_extra bigint, "
+              "rejoin_missing bigint")
+
+
 # ---------------------------------------------------------------------------
 # registry + oracles
 # ---------------------------------------------------------------------------
@@ -552,6 +633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "b03_mine_mvds": q_b03_mine_mvds,
     "b11_min_seps": q_b11_min_seps,
     "b15_enumerate_schemas": q_b15_enumerate_schemas,
+    "o69_decompose_summary": q_o69_decompose_summary,
 }
 
 def q_s01_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,7 +804,8 @@ ORACLES: dict[str, str] = {
 }
 
 # -- mining oracles (b03/b11/b15): exhaustive subset-entropy SQL --------------
-from .oracles_mining import oracle_b03, oracle_b11, oracle_b15  # noqa: E402
+from .oracles_mining import (  # noqa: E402
+    oracle_b03, oracle_b11, oracle_b15, oracle_decompose_summary)
 
 B03_COLS = ["c_custkey", "c_nationkey", "c_mktsegment", "n_name", "n_regionkey"]
 
@@ -750,6 +833,12 @@ ORACLES["b03_mine_mvds"] = oracle_b03(DENORM_SQL, B03_COLS)
 ORACLES["b11_min_seps"] = oracle_b11(DENORM_SQL, DENORM6_COLS)
 ORACLES["b15_enumerate_schemas"] = oracle_b15(DENORM_SQL, DENORM6_COLS,
                                               B15_SCHEMAS)
+# o69 pins the enumeration ORDER (enum_idx drives the best-pick
+# tie-break), not just the set: the BFS emits the 5-cluster c_custkey
+# schema first, then the c_nationkey and n_name 4-cluster schemas.
+O69_SCHEMA_ORDER = [B15_SCHEMAS[2], B15_SCHEMAS[0], B15_SCHEMAS[1]]
+ORACLES["o69_decompose_summary"] = oracle_decompose_summary(
+    DENORM_SQL, DENORM6_COLS, O69_SCHEMA_ORDER)
 
 from .streaming.events import (  # noqa: E402
     sql_sessionize, sql_user_stats, sql_windowed_counts)
@@ -766,7 +855,7 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 92
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 94
 # registered queries the window rotates each round so that the union of the
 # two most recent CORRECTNESS files always covers every query: each round
 # heads the window with every query whose only green row is the previous
@@ -810,8 +899,10 @@ _WINDOW_ROUND9: list[str] = [
     "a07_entropy_single", "a08_entropy_batch",
     "b01_fd_search", "b03_mine_mvds", "b11_min_seps",
     "b15_enumerate_schemas",
-    "o63_semdedup_incremental",
-    "o42_kmv_distinct",
+    # NEW round-9 queries (must be in-window; they displaced the
+    # o63/o42 anchor slots, both green in r08)
+    "o68_curation_funnel",
+    "o69_decompose_summary",
 ]
 
 

@@ -85,3 +85,26 @@ def test_persist_stages_same_outputs(spark):
                      [tuple(r) for r in funnel.collect()]))
         spark.catalog.clearCache()
     assert outs[0] == outs[1]
+
+
+def test_persisted_out_collects_stage_frames(spark):
+    """persisted_out receives every persisted stage frame so a caller can
+    release the storage without clearCache() (the o68 gate query does)."""
+    from pyspark.sql import functions as F
+
+    from relationaldecomposition_spark.pipeline import curate_corpus
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    held: list = []
+    _, funnel = curate_corpus(
+        docs, "text", "doc_id",
+        benchmark=docs.where(F.col("doc_id") % 20 == 7),
+        persist_stages=True, persisted_out=held)
+    funnel.collect()
+    # input stage is never persisted; exact/near/quality/decontaminated are
+    assert len(held) == 4
+    assert all(f.storageLevel.useMemory for f in held)
+    for f in held:
+        f.unpersist()
+    assert not any(f.storageLevel.useMemory for f in held)
