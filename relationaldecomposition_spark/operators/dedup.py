@@ -561,6 +561,90 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                     .alias("dup_ratio")))
 
 
+def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                           shingle_k: int = 8,
+                           min_count: int = 2) -> DataFrame:
+    """Rewrite the corpus with corpus-wide duplicated substrings EXCISED —
+    the second half of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL 2022) §4: `duplicate_spans` locates
+    duplication, this removes it. A token is removed iff it is covered by
+    at least one k-token shingle occurrence whose exact text appears
+    >= min_count times corpus-wide (EVERY occurrence is cut, the
+    conservative ExactSubstr variant); adjacent/overlapping duplicated
+    shingles therefore merge into maximal spans implicitly. Survivor
+    tokens are reassembled in order, single-space separated (output text
+    is whitespace-normalized — the same token stream the detector saw).
+
+    Returns (id, text, n_tokens, n_removed_tokens), one row per input
+    document (token-less documents keep text '').
+
+    Scale shape — everything is linear, nothing is per-document
+    quadratic: shingle occurrences resolve to duplicated STARTS exactly
+    as in `duplicate_spans` (one count shuffle on the 8-byte shingle
+    hash, one equi-semi-join whose build side holds only repeated
+    hashes); coverage is then computed WITHOUT an interval join — each
+    start emits (+1 at s, -1 at s+k) boundary events, a per-document
+    running sum over (position, events-before-token) marks covered
+    tokens, and the final per-document rollup reuses the window's hash
+    partitioning. Worst case (a fully-duplicated document) stays
+    O(tokens) where a token×interval join would be O(tokens²)."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 would cut every span)")
+    k = shingle_k
+    ex = df.select(F.col(id_col),
+                   F.posexplode_outer(tokens(F.col(text_col)))
+                    .alias("_pos", "_tok"))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("_pos")
+    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
+    last = leads[-1] if leads else F.col("_tok")
+    sh = F.when(last.isNotNull(), F.concat_ws(" ", F.col("_tok"), *leads))
+    occ = (ex.select(F.col(id_col), F.col("_pos"), sh.alias("_sh"))
+             .where(F.col("_sh").isNotNull())
+             .select(F.col(id_col), F.col("_pos"),
+                     portable_hash64(F.col("_sh")).alias("_h")))
+    hot = (occ.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
+              .where(F.col("_n") >= min_count).select("_h"))
+    starts = occ.join(hot, "_h", "left_semi")
+    ev = (starts.select(F.col(id_col), F.col("_pos").alias("_p"),
+                        F.lit(1).alias("_d"))
+          .unionByName(
+              starts.select(F.col(id_col),
+                            (F.col("_pos") + F.lit(k)).alias("_p"),
+                            F.lit(-1).alias("_d")))
+          .withColumn("_tok", F.lit(None).cast("string")))
+    tok = (ex.where(F.col("_tok").isNotNull())
+             .select(F.col(id_col), F.col("_pos").alias("_p"),
+                     F.lit(0).alias("_d"), F.col("_tok")))
+    both = ev.unionByName(tok)
+    # boundary events sort BEFORE the token at the same position: a span
+    # starting at p covers token p (+1 first), a span ending at p = s+k
+    # does not cover token p (-1 first)
+    w2 = (Window.partitionBy(id_col)
+          .orderBy("_p", F.when(F.col("_d") == 0, 1).otherwise(0))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = both.withColumn("_cov", F.sum("_d").over(w2))
+    is_tok = F.col("_d") == 0
+    kept = is_tok & (F.col("_cov") == 0)
+    kept_struct = F.when(kept, F.struct(F.col("_p").alias("p"),
+                                        F.col("_tok").alias("t")))
+    per = (cum.groupBy(id_col)
+           .agg(F.concat_ws(" ", F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["t"])).alias("text"),
+                F.sum(is_tok.cast("long")).alias("n_tokens"),
+                F.sum((is_tok & ~kept).cast("long"))
+                 .alias("n_removed_tokens")))
+    zero = F.lit(0).cast("bigint")
+    return (df.select(id_col).join(per, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("text", F.lit("")).alias("text"),
+                    F.coalesce(F.col("n_tokens").cast("bigint"), zero)
+                     .alias("n_tokens"),
+                    F.coalesce(F.col("n_removed_tokens").cast("bigint"),
+                               zero).alias("n_removed_tokens")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         shingle_k: int = DEFAULT_SHINGLE_K,
                         tau: float = 0.2,

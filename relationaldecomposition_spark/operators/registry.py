@@ -958,6 +958,60 @@ def _oracle_duplicate_spans() -> str:
       FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id"""
 
 
+def q_o70_remove_dup_spans(spark, sf_dir):
+    """Duplicate-span REMOVAL (dedup.remove_duplicate_spans): the corpus
+    rewritten with every corpus-wide duplicated {SPAN_K}-token span
+    excised — the Lee ACL'22 §4 rewrite that o66 only locates. The gate
+    hashes the full rewritten text, so reassembly order and span-merge
+    semantics are value-checked document by document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_duplicate_spans(docs, "text", "doc_id",
+                                        shingle_k=SPAN_K)
+
+
+def _oracle_remove_dup_spans() -> str:
+    """Twin: same boundary-event coverage (+1 at start, -1 at start+k,
+    running sum with events ordered before the token at equal positions),
+    same portable shingle hash, survivors string_agg'd in position
+    order."""
+    k = SPAN_K
+    toks = sql_tokens("text")
+    shingle = f"array_to_string(toks[p:p + {k - 1}], ' ')"
+    h = sql_hash64(shingle)
+    return f"""
+      WITH base AS MATERIALIZED (
+        SELECT doc_id, {toks} AS toks FROM documents),
+      tok AS (SELECT doc_id, toks,
+                     unnest(range(1, len(toks) + 1)) AS p
+              FROM base),
+      occ AS MATERIALIZED (
+        SELECT doc_id, p, {h} AS h
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - {k - 2}))
+                AS p FROM base WHERE len(toks) >= {k})),
+      hot AS (SELECT h FROM occ GROUP BY h HAVING count(*) >= 2),
+      starts AS MATERIALIZED (
+        SELECT o.doc_id, o.p FROM occ o JOIN hot USING (h)),
+      ev AS (SELECT doc_id, p, 1 AS d, 0 AS r, NULL AS tok FROM starts
+             UNION ALL
+             SELECT doc_id, p + {k}, -1, 0, NULL FROM starts
+             UNION ALL
+             SELECT doc_id, p, 0, 1, toks[p] FROM tok),
+      cum AS (SELECT doc_id, p, d, r, tok,
+                     sum(d) OVER (PARTITION BY doc_id ORDER BY p, r
+                                  ROWS UNBOUNDED PRECEDING) AS cov
+              FROM ev),
+      per AS (SELECT doc_id,
+                     count(*) FILTER (r = 1) AS n_tokens,
+                     count(*) FILTER (r = 1 AND cov != 0) AS n_removed,
+                     string_agg(tok, ' ' ORDER BY p)
+                       FILTER (r = 1 AND cov = 0) AS text
+              FROM cum GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(per.text, '') AS text,
+             coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+             coalesce(per.n_removed, 0)::BIGINT AS n_removed_tokens
+      FROM documents d LEFT JOIN per USING (doc_id)"""
+
+
 XENT_BUCKETS = 3
 
 
@@ -1976,6 +2030,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o66_duplicate_spans": q_o66_duplicate_spans,
     "o67_xent_buckets": q_o67_xent_buckets,
     "o68_curation_funnel": q_o68_curation_funnel,
+    "o70_remove_dup_spans": q_o70_remove_dup_spans,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2085,4 +2140,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o66_duplicate_spans": _oracle_duplicate_spans(),
     "o67_xent_buckets": _oracle_xent_buckets(),
     "o68_curation_funnel": _oracle_curation_funnel(),
+    "o70_remove_dup_spans": _oracle_remove_dup_spans(),
 }

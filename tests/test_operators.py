@@ -141,6 +141,80 @@ def test_duplicate_spans_brute_force(spark):
         dedup.duplicate_spans(df, "text", "doc_id", min_count=1)
 
 
+def test_remove_duplicate_spans_brute_force(spark):
+    """remove_duplicate_spans equals a per-doc python re-derivation:
+    token i is removed iff some corpus-duplicated k-shingle occurrence
+    covers it. Covers in-doc repeats, overlapping spans merging, short
+    docs, null text."""
+    rows = [
+        (1, "a b c d a b c d"),       # in-doc repeat: everything covered
+        (2, "a b c d x y z w"),       # cross-doc head dup, unique tail
+        (3, "q q a b c d e f"),       # overlapping dups merge: a..f cut
+        (4, "e f g h a b c d"),       # only "a b c d"? (e f g h unique)
+        (5, "one two three"),         # < k tokens -> untouched
+        (6, None),
+        (7, "b c d e f g h i"),       # shares "b c d e".."c d e f" w/ 3?
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k = 4
+    import collections
+    occ = collections.Counter()
+    for _, txt in rows:
+        toks = (txt or "").split()
+        occ.update(" ".join(toks[i:i + k])
+                   for i in range(len(toks) - k + 1))
+    got = {r["doc_id"]: (r["text"], r["n_tokens"], r["n_removed_tokens"])
+           for r in dedup.remove_duplicate_spans(
+               df, "text", "doc_id", shingle_k=k).collect()}
+    for did, txt in rows:
+        toks = (txt or "").split()
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if occ[" ".join(toks[i:i + k])] >= 2:
+                covered.update(range(i, i + k))
+        survivors = [t for i, t in enumerate(toks) if i not in covered]
+        assert got[did] == (" ".join(survivors), len(toks),
+                            len(covered)), did
+        # property: every removed region really was duplicated (covered
+        # only grows from >=2-count shingles by construction of the
+        # expectation — assert the OPERATOR's removal count matches it)
+        assert got[did][2] == len(covered)
+        # property: survivors tokenize to the original minus the spans
+        assert got[did][0].split() == survivors
+    with pytest.raises(ValueError, match="min_count"):
+        dedup.remove_duplicate_spans(df, "text", "doc_id", min_count=1)
+
+
+def test_remove_duplicate_spans_randomized(spark):
+    """Property sweep on a seeded random corpus over a tiny alphabet
+    (guarantees collisions): operator == python oracle for every doc."""
+    import random
+
+    rng = random.Random(99)
+    rows = [(i, " ".join(rng.choice("abcde")
+                         for _ in range(rng.randrange(0, 20))))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k = 3
+    import collections
+    occ = collections.Counter()
+    for _, txt in rows:
+        toks = txt.split()
+        occ.update(" ".join(toks[i:i + k])
+                   for i in range(len(toks) - k + 1))
+    got = {r["doc_id"]: (r["text"], r["n_removed_tokens"])
+           for r in dedup.remove_duplicate_spans(
+               df, "text", "doc_id", shingle_k=k).collect()}
+    for did, txt in rows:
+        toks = txt.split()
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if occ[" ".join(toks[i:i + k])] >= 2:
+                covered.update(range(i, i + k))
+        exp = " ".join(t for i, t in enumerate(toks) if i not in covered)
+        assert got[did] == (exp, len(covered)), did
+
+
 def test_ngram_jaccard_exact_value(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
