@@ -111,11 +111,45 @@ class DecompositionValidator:
     """Spurious-tuple counting for a set of clusters over one relation."""
 
     def __init__(self, df: DataFrame, broadcast_max_rows: int = BROADCAST_MAX_ROWS):
+        import threading
+
         self.schema_cols = tuple(df.columns)
         # validation-path semantics: dedup the base once, keep it hot
         self.base = df.distinct().persist()
         self._num_tuples: int | None = None
         self.broadcast_max_rows = broadcast_max_rows
+        # refcounted cluster-projection cache shared across (possibly
+        # CONCURRENT) process_decomposition calls: candidate schemas
+        # routinely share clusters, and two threads persisting the same
+        # projection plan double-persist it (WARN CacheManager) and race
+        # its materialization (WARN BlockManager). Sharing the frame
+        # computes each distinct projection once; the refcount keeps the
+        # leak-free invariant (unpersist when the last user releases).
+        self._projs: dict[frozenset, dict] = {}
+        self._plock = threading.Lock()
+
+    def _acquire_proj(self, c: frozenset) -> dict:
+        """Take a reference on cluster c's persisted projection entry
+        {"df", "refs", "count"} — create+persist on first use."""
+        with self._plock:
+            ent = self._projs.get(c)
+            if ent is None:
+                ent = {"df": project_cluster(self.base, c,
+                                             self.schema_cols).persist(),
+                       "refs": 0, "count": None}
+                self._projs[c] = ent
+            ent["refs"] += 1
+            return ent
+
+    def _release_proj(self, c: frozenset) -> None:
+        with self._plock:
+            ent = self._projs[c]
+            ent["refs"] -= 1
+            drop = ent["refs"] == 0
+            if drop:
+                del self._projs[c]
+        if drop:
+            ent["df"].unpersist()
 
     @property
     def num_tuples(self) -> int:
@@ -143,15 +177,18 @@ class DecompositionValidator:
             cl = _greedy_order(cl)
 
         counts: dict[frozenset[str], int] = {}
-        projs: dict[frozenset[str], DataFrame] = {}
+        entries: dict[frozenset[str], dict] = {}
         # try/finally: a cancellation (DecompositionCanceled) or Spark failure
         # anywhere — including while building/persisting the projections
         # themselves — must not leak persisted projections into executor
         # storage; DecompositionService resubmits CANCELED/FAILED jobs, so a
-        # long-lived service would accumulate them.
+        # long-lived service would accumulate them. Projections come from
+        # the validator-level refcounted cache (shared with concurrent
+        # validations of schemas having clusters in common).
         try:
             for c in cl:
-                projs[c] = project_cluster(self.base, c, self.schema_cols).persist()
+                entries[c] = self._acquire_proj(c)
+            projs = {c: e["df"] for c, e in entries.items()}
             # materialize + count all projections concurrently: each count is
             # an independent job over the cached base, so latency overlaps.
             # Job groups are per-Python-thread in PySpark, so re-apply the
@@ -165,9 +202,16 @@ class DecompositionValidator:
             def count_one(c):
                 if stop():
                     raise DecompositionCanceled("canceled before projection count")
+                ent = entries[c]
+                if ent["count"] is not None:
+                    return ent["count"]
                 if group is not None:
                     sc.setJobGroup(group, desc, interruptOnCancel=True)
-                return projs[c].count()
+                n = projs[c].count()
+                # benign race: concurrent first counts compute the same
+                # value over the same cached frame
+                ent["count"] = n
+                return n
 
             with ThreadPoolExecutor(max_workers=min(8, len(cl))) as pool:
                 for c, n in zip(cl, pool.map(count_one, cl)):
@@ -211,8 +255,8 @@ class DecompositionValidator:
             row = acc.agg(F.sum("cnt").alias("total")).first()
             total = row["total"] or 0
         finally:
-            for p in projs.values():
-                p.unpersist()
+            for c in entries:
+                self._release_proj(c)
         info.spurious_tuples = int(total) - self.num_tuples
         return info
 
@@ -234,6 +278,11 @@ class DecompositionValidator:
         return joined.distinct().count() - self.num_tuples
 
     def close(self) -> None:
+        with self._plock:
+            leaked = list(self._projs.values())
+            self._projs.clear()
+        for ent in leaked:
+            ent["df"].unpersist()
         self.base.unpersist()
 
 

@@ -253,6 +253,35 @@ def validate_schemas_concurrent(validator, schemas,
             sc.setJobGroup(group, desc, interruptOnCancel=True)
         return validate_schema(validator, schema)
 
-    with ThreadPoolExecutor(
-            max_workers=min(max_workers, len(schemas))) as pool:
-        return list(pool.map(one, schemas))
+    # Pre-warm the validator's shared projection cache over the DISTINCT
+    # clusters of all candidates before forking: candidate schemas share
+    # clusters, and without this two validations would race the same
+    # projection's first materialization (WARN BlockManager duplicate
+    # blocks). Warming counts each distinct projection exactly once; the
+    # validations below then hit the memoized frames/counts.
+    from ..core.attrset import attrset
+
+    for s in schemas:
+        if not s.clusters:
+            s.build_join_tree()
+    all_cl = sorted({attrset(c) for s in schemas for c in s.clusters},
+                    key=sorted)
+    ents = {c: validator._acquire_proj(c) for c in all_cl}
+
+    def warm(c):
+        if group is not None:
+            sc.setJobGroup(group, desc, interruptOnCancel=True)
+        ent = ents[c]
+        if ent["count"] is None:
+            ent["count"] = ent["df"].count()
+
+    try:
+        with ThreadPoolExecutor(
+                max_workers=min(8, len(all_cl))) as pool:
+            list(pool.map(warm, all_cl))
+        with ThreadPoolExecutor(
+                max_workers=min(max_workers, len(schemas))) as pool:
+            return list(pool.map(one, schemas))
+    finally:
+        for c in all_cl:
+            validator._release_proj(c)
