@@ -489,7 +489,8 @@ def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
 
 def hier_codebook(df: DataFrame, vec_col: str, id_col: str,
                   coarse: list[tuple[int, list[float]]], k2: int,
-                  kernel: str = "gram") -> DataFrame:
+                  kernel: str = "gram",
+                  lloyd_iters: int = 0) -> DataFrame:
     """(route, cb: array<struct<cell, cv>>): the PERSISTABLE two-level
     codebook — route every row to its nearest coarse centroid, take each
     route's k2 smallest-id members as that route's sub-centroids (the
@@ -501,20 +502,56 @@ def hier_codebook(df: DataFrame, vec_col: str, id_col: str,
 
     kernel="gram" routes with the BLAS argmin (production, identical to
     _np_assigned_hier's internal derivation); "expr" is the
-    literal-expression face (route_sub_codebook, the DuckDB-twin path)."""
+    literal-expression face (route_sub_codebook, the DuckDB-twin path).
+
+    ``lloyd_iters`` (gram kernel only) runs that many Lloyd refinement
+    passes on the SUB level after seeding: assign the corpus to (route,
+    cell) against the current codebook, move each sub-centroid to its
+    members' mean (one shuffle of cells·dim rows per pass), cells with
+    no members keep their previous centroid. Cell ids never change —
+    only positions — so downstream contracts are unaffected. Measured on
+    the synthetic embeddings (tools/bench_hier_quality.py, round 9):
+    seed-only occupancy is already near-uniform there, so the default
+    stays 0 (the bit-stable seed path); the knob exists for corpora with
+    clumped routes, where one pass evens occupancy under hot-cell caps."""
     if kernel == "expr":
+        if lloyd_iters:
+            raise ValueError("lloyd_iters requires kernel='gram' (the "
+                             "expr face is the bit-stable oracle path)")
         return route_sub_codebook(df, vec_col, id_col, coarse, k2)
     if kernel != "gram":
         raise ValueError(f"unknown assignment kernel: {kernel!r}")
     routed = (_np_assigned(df, vec_col, id_col, coarse)
               .withColumnRenamed("cell", "route"))
     w = Window.partitionBy("route").orderBy(F.col(id_col).asc())
-    return (routed.withColumn("rn", F.row_number().over(w))
+    subs = (routed.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= k2)
             .groupBy("route")
             .agg(F.array_sort(F.collect_list(F.struct(
                 F.col(id_col).cast("long").alias("cell"),
                 F.col("v").alias("cv")))).alias("cb")))
+    for _ in range(int(lloyd_iters)):
+        assigned = _np_assign_with_subs(df, vec_col, id_col, coarse, subs)
+        means = (assigned
+                 .select("route", "cell", F.posexplode("v")
+                         .alias("d", "x"))
+                 .groupBy("route", "cell", "d")
+                 .agg(F.avg("x").alias("m")))
+        moved = (means.groupBy("route", "cell")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct(F.col("d"), F.col("m")))),
+                     lambda s: s["m"]).alias("cv")))
+        prev = subs.select("route", F.explode("cb").alias("e")) \
+                   .select("route", F.col("e.cell").alias("cell"),
+                           F.col("e.cv").alias("cv_prev"))
+        subs = (prev.join(moved, ["route", "cell"], "left")
+                .select("route", "cell",
+                        F.coalesce("cv", "cv_prev").alias("cv"))
+                .groupBy("route")
+                .agg(F.array_sort(F.collect_list(F.struct(
+                    F.col("cell"), F.col("cv")))).alias("cb")))
+    return subs
 
 
 def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,

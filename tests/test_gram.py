@@ -462,3 +462,50 @@ def test_auto_kernel_dispatch_by_volume(spark):
     out = similarity.srp_near_dup_pairs(df, "v", "id", 0.0, n_planes=2,
                                         dim=2, kernel="auto")
     assert out.count() == 0  # orthogonal vectors share no sign bucket
+
+
+def test_hier_codebook_lloyd_iters(emb):
+    """lloyd_iters moves sub-centroid POSITIONS only: same routes, same
+    cell-id sets, refined cv = the members' per-dim mean (cells with no
+    members keep their seed position); iters=0 is byte-identical to the
+    default; the expr face rejects the knob."""
+    import pytest
+
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    coarse = ivf.seed_centroids(corpus, "embedding", "vec_id", H_CIDS)
+    seed = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2)
+    seed0 = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2,
+                              lloyd_iters=0)
+    ref = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2,
+                            lloyd_iters=1)
+    s, s0, r = (x.toPandas().set_index("route").sort_index()
+                for x in (seed, seed0, ref))
+    assert [sorted(c["cell"] for c in cb) for cb in s["cb"]] \
+        == [sorted(c["cell"] for c in cb) for cb in s0["cb"]] \
+        == [sorted(c["cell"] for c in cb) for cb in r["cb"]]
+    # refined centroids equal the numpy per-cell mean of the SEED-cell
+    # assignment
+    ass = (ivf._np_assign_with_subs(corpus, "embedding", "vec_id",
+                                    coarse, seed)
+           .select("vec_id", "v", "route", "cell").toPandas())
+    import collections
+    members = collections.defaultdict(list)
+    for row in ass.itertuples():
+        members[(int(row.route), int(row.cell))].append(
+            np.asarray(row.v, dtype=np.float64))
+    moved = 0
+    for route, row in r.iterrows():
+        seed_cb = {c["cell"]: np.asarray(c["cv"])
+                   for c in s.loc[route, "cb"]}
+        for c in row["cb"]:
+            m = members.get((int(route), int(c["cell"])))
+            exp = (np.mean(m, axis=0) if m
+                   else seed_cb[c["cell"]])
+            assert np.allclose(np.asarray(c["cv"]), exp, atol=1e-9)
+            if m is not None and not np.allclose(exp,
+                                                 seed_cb[c["cell"]]):
+                moved += 1
+    assert moved > 0  # the pass really refined something
+    with pytest.raises(ValueError, match="lloyd_iters"):
+        ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2,
+                          kernel="expr", lloyd_iters=1)
