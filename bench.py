@@ -239,6 +239,16 @@ def build_queries(spark, sf_dir: str):
                                     idx, "embedding", "vec_id", coarse,
                                     0.35, max_cell=2000, subs=subs))
 
+    def remove_dup_spans_q():
+        # o70: corpus rewrite with duplicated spans excised (Lee ACL'22
+        # §4) — hot-hash starts + boundary-event coverage, linear even on
+        # fully-duplicated documents
+        from relationaldecomposition_spark.operators.dedup import (
+            remove_duplicate_spans)
+        docs = load_table(spark, sf_dir, "documents")
+        _force(remove_duplicate_spans(docs, "text", "doc_id",
+                                      shingle_k=8))
+
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
         _force(lsh_candidate_pairs(docs, "text", "doc_id"))
@@ -532,6 +542,8 @@ def build_queries(spark, sf_dir: str):
         "semdedup_gram": semdedup_gram_q,
         # round-8 addition
         "semdedup_incr_hier": semdedup_incr_hier,
+        # round-9 addition
+        "remove_dup_spans": remove_dup_spans_q,
     }
 
 

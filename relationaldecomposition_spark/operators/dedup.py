@@ -606,13 +606,19 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     hot = (occ.groupBy("_h").agg(F.count(F.lit(1)).alias("_n"))
               .where(F.col("_n") >= min_count).select("_h"))
     starts = occ.join(hot, "_h", "left_semi")
-    ev = (starts.select(F.col(id_col), F.col("_pos").alias("_p"),
-                        F.lit(1).alias("_d"))
-          .unionByName(
-              starts.select(F.col(id_col),
-                            (F.col("_pos") + F.lit(k)).alias("_p"),
-                            F.lit(-1).alias("_d")))
-          .withColumn("_tok", F.lit(None).cast("string")))
+    # both boundary events explode out of ONE pass over starts — a union
+    # of two selects would duplicate the whole starts subtree (shingle
+    # window + count shuffle + semi-join) per branch
+    ev = (starts.select(
+              F.col(id_col),
+              F.explode(F.array(
+                  F.struct(F.col("_pos").alias("_p"),
+                           F.lit(1).alias("_d")),
+                  F.struct((F.col("_pos") + F.lit(k)).alias("_p"),
+                           F.lit(-1).alias("_d")))).alias("_e"))
+          .select(F.col(id_col), F.col("_e._p").alias("_p"),
+                  F.col("_e._d").alias("_d"),
+                  F.lit(None).cast("string").alias("_tok")))
     tok = (ex.where(F.col("_tok").isNotNull())
              .select(F.col(id_col), F.col("_pos").alias("_p"),
                      F.lit(0).alias("_d"), F.col("_tok")))

@@ -26,7 +26,7 @@ from relationaldecomposition_spark.sources.tables import (  # noqa: E402
     load_table)
 
 
-def timed(fn, repeats=3):
+def timed(fn, repeats=1):
     samples = []
     for _ in range(repeats):
         t0 = time.time()
@@ -35,34 +35,36 @@ def timed(fn, repeats=3):
     return round(statistics.median(samples), 3)
 
 
-def components(spark, sf_dir):
+def components(spark, sf_dir, repeats=1):
     li = load_table(spark, sf_dir, "lineitem")
     od = load_table(spark, sf_dir, "orders")
     out = {}
 
     # --- sketch_distinct components ---
     two_cols = li.select("l_returnflag", "l_orderkey")
-    out["sketch.scan_2cols"] = timed(lambda: _force(two_cols))
+    out["sketch.scan_2cols"] = timed(lambda: _force(two_cols), repeats)
     hashed = li.select("l_returnflag",
                        sketches._hash64(F.col("l_orderkey")).alias("_h"))
-    out["sketch.scan_plus_md5"] = timed(lambda: _force(hashed))
+    out["sketch.scan_plus_md5"] = timed(lambda: _force(hashed), repeats)
     out["sketch.kmv_full"] = timed(lambda: _force(
-        sketches.kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256)))
+        sketches.kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256)),
+        repeats)
     out["sketch.hll_full"] = timed(lambda: _force(
-        sketches.hll_distinct(li, ["l_returnflag"], "l_orderkey", 8)))
+        sketches.hll_distinct(li, ["l_returnflag"], "l_orderkey", 8)),
+        repeats)
 
     # --- bloom_semi components ---
     small = od.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
-    out["bloom.build_keys"] = timed(lambda: small.count())
+    out["bloom.build_keys"] = timed(lambda: small.count(), repeats)
     out["bloom.build_full"] = timed(
         lambda: bloom_build(small, "o_orderkey",
-                            m_bits=_auto_bits(small.count())))
+                            m_bits=_auto_bits(small.count())), repeats)
     probe_hash = li.select(
         F.expr("CAST(conv(substring(md5(CAST(l_orderkey AS STRING)), 1, 15)"
                ", 16, 10) AS BIGINT)").alias("h"))
-    out["bloom.probe_scan_md5"] = timed(lambda: _force(probe_hash))
+    out["bloom.probe_scan_md5"] = timed(lambda: _force(probe_hash), repeats)
     out["bloom.semi_full"] = timed(lambda: _force(
-        bloom_semi_join(li, "l_orderkey", small, "o_orderkey")))
+        bloom_semi_join(li, "l_orderkey", small, "o_orderkey")), repeats)
     return out
 
 
