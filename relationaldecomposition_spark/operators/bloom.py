@@ -139,6 +139,18 @@ def bloom_probe_expr(key_col: str, words: list[int], k: int = 5,
         f"element_at(transform(array({base}), h -> ({tests})), 1)), 1)")
 
 
+# NEGATIVE RESULT (measured, round 9 — do not retry): rebinding the
+# literal probe's once-only md5/bitmap through a Generate barrier
+# (df.select(*, explode(array(<bitmap literal>)))) instead of the
+# one-element transform lambdas is catastrophic — explode MATERIALIZES
+# its generator output per row, so every input row copies the whole
+# m/32-word array (measured 489 s vs 63 s for the sf10 probe shape).
+# The bloom_build explode-literal idiom works only because its literal
+# is the tiny k-param array. The transform-bound Column face's literal
+# array is constant-folded once and never copied per row; its
+# CodegenFallback dispatch is NOT the bloom_semi wall (the sf10 row runs
+# the broadcast-Arrow probe anyway — see tools/profile_60s_rows.py).
+
 # Auto-sizing: ~10 bits per build key gives FP ~ 0.9% at k=5.
 BLOOM_BITS_PER_KEY = 10
 BLOOM_MIN_BITS = 1024

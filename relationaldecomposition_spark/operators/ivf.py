@@ -907,3 +907,43 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                     F.coalesce("n_batch_hits", zero).alias("n_batch_hits"))
             .withColumn("survives", (F.col("n_index_hits") == 0)
                                     & (F.col("n_batch_hits") == 0)))
+
+
+def semdedup_collision_stream(stream: DataFrame, index: DataFrame,
+                              vec_col: str, id_col: str,
+                              centroids: list[tuple[int, list[float]]],
+                              tau: float, ts_col: str = "ts",
+                              watermark: str = "10 minutes") -> DataFrame:
+    """Streaming face of the SemDeDup cell index: (id, ts) of streamed
+    embeddings with a within-tau cosine neighbor in their cell of the
+    persisted ``ivf_cell_index`` — the EMBEDDING twin of
+    dedup.index_collision_stream (the MinHash quarantine stream). Every
+    stage is stream-legal: the cell assignment is the map-only literal
+    argmin (the expression face — a broadcastable codebook rides the
+    plan; the BLAS kernel drops the event-time column, and a join-back
+    would be a stream-stream join), the probe is a stream-static
+    equi-join on cell, the cosine gate a row-local expression, and the
+    one-flag-per-document rule a watermarked dedup on the id.
+
+    Full batch-exact semantics (n_index_hits / n_batch_hits / survivors)
+    belong in foreachBatch + ``semdedup_incremental`` — per micro-batch
+    that IS the batch operator. On a batch frame this function runs the
+    SAME plan with a groupBy-min in place of the watermark dedup, which
+    is how tests/test_streaming.py pins stream == batch."""
+    assigned = (stream.select(F.col(id_col), F.col(ts_col),
+                              _as_double(vec_col).alias("v"))
+                .withColumn("cell",
+                            F.element_at(_dist_structs("v", centroids),
+                                         1)["cell"]))
+    idx = index.select(F.col(id_col).alias("_iid"),
+                       F.col("v").alias("_iv"), F.col("cell"))
+    cos = _dot(F.col("v"), F.col("_iv")) / (_norm(F.col("v"))
+                                            * _norm(F.col("_iv")))
+    hits = (assigned.join(idx, "cell")
+            .where(F.col(id_col) != F.col("_iid"))
+            .where(cos >= F.lit(float(tau)))
+            .select(id_col, ts_col))
+    if hits.isStreaming:
+        return (hits.withWatermark(ts_col, watermark)
+                    .dropDuplicatesWithinWatermark([id_col]))
+    return hits.groupBy(id_col).agg(F.min(ts_col).alias(ts_col))
