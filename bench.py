@@ -319,11 +319,34 @@ def build_queries(spark, sf_dir: str):
 
     def sketch_distinct():
         # KMV + HLL cardinality sketches (o42/o43): two aggregation-only
-        # passes whose state is O(groups*k) / O(groups*m) at any scale
+        # passes whose state is O(groups*k) / O(groups*m) at any scale.
+        # Production composition: the portable-md5 hash pass is the
+        # largest single component of either sketch (17.2 s of KMV's
+        # 41 s / HLL's 22 s at sf10 — tools/profile_60s_rows.py), so a
+        # pipeline computing both pays it ONCE via the shared persisted
+        # hashed_values frame (values identical to the unfused faces,
+        # pinned in tests/test_sketches.py).
+        # Size-gated like semdedup_incremental's index prune: below
+        # ~256 MB of scan the cache write costs more than the md5 pass
+        # it saves (sf0.1 A/B: fused 2.52 s vs plain 1.77; sf10 fused
+        # 54.0 vs 63.8).
+        from relationaldecomposition_spark.operators.ivf import (
+            _plan_size_bytes)
         from relationaldecomposition_spark.operators.sketches import (
-            hll_distinct, kmv_distinct)
-        _force(kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256))
-        _force(hll_distinct(li, ["l_returnflag"], "l_orderkey", 8))
+            hashed_values, hll_distinct, kmv_distinct)
+        if _plan_size_bytes(li) >= 256 << 20:
+            hv = hashed_values(li, ["l_returnflag"], "l_orderkey") \
+                .persist()
+            try:
+                _force(kmv_distinct(li, ["l_returnflag"], "l_orderkey",
+                                    256, prehashed=hv))
+                _force(hll_distinct(li, ["l_returnflag"], "l_orderkey",
+                                    8, prehashed=hv))
+            finally:
+                hv.unpersist()
+        else:
+            _force(kmv_distinct(li, ["l_returnflag"], "l_orderkey", 256))
+            _force(hll_distinct(li, ["l_returnflag"], "l_orderkey", 8))
 
     def semdedup_q():
         # embedding near-dup dedup at scale: SRP-LSH cells (map-only sign

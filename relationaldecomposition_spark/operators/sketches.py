@@ -62,6 +62,20 @@ def _hash64(col) -> F.Column:
             .cast("long")
 
 
+def hashed_values(df: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """(group_cols..., _h): the shared sketch input — portable 60-bit
+    hash of every non-NULL value. Both kmv_distinct and hll_distinct
+    accept it via ``prehashed=``; a pipeline computing several sketches
+    over the same (groups, value) should build this ONCE and persist it:
+    the md5 pass is the single largest component of either sketch
+    (17.2 s of KMV's 41 s / HLL's 22 s at sf10,
+    tools/profile_60s_rows.py) and the default faces each repay it."""
+    return (df.where(F.col(value_col).isNotNull())
+            .select(*[F.col(c) for c in group_cols],
+                    _hash64(F.col(value_col)).alias("_h")))
+
+
 def hll_alpha(m: int) -> float:
     """Standard HLL bias constant for m = 2^p registers (Flajolet §4)."""
     if m == 16:
@@ -74,7 +88,8 @@ def hll_alpha(m: int) -> float:
 
 
 def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
-                 k: int = 256) -> DataFrame:
+                 k: int = 256,
+                 prehashed: DataFrame | None = None) -> DataFrame:
     """Per-group KMV distinct estimate: (group_cols..., n_kept, est_distinct).
 
     When a group holds fewer than k distinct values the estimate IS the
@@ -118,9 +133,10 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
 
     from pyspark.sql.types import LongType, StructField, StructType
 
-    gcols = [F.col(c) for c in group_cols]
-    hashed = (df.where(F.col(value_col).isNotNull())
-              .select(*gcols, _hash64(F.col(value_col)).alias("_h")))
+    # ``prehashed``: a hashed_values(df, group_cols, value_col) frame —
+    # lets a multi-sketch pipeline pay the md5 pass once (persist it).
+    hashed = (prehashed if prehashed is not None
+              else hashed_values(df, group_cols, value_col))
     part_schema = StructType(
         [hashed.schema[c] for c in group_cols]
         + [StructField("_h", LongType())])
@@ -207,7 +223,8 @@ def sql_kmv_distinct(table: str, group_cols: list[str], value_expr: str,
 
 
 def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
-                 p: int = 8) -> DataFrame:
+                 p: int = 8,
+                 prehashed: DataFrame | None = None) -> DataFrame:
     """Per-group HyperLogLog estimate: (group_cols..., n_registers,
     est_distinct). m = 2^p registers; register index is the hash's low p
     bits, rho the position of the first 1-bit in the remaining 60-p bits
@@ -225,7 +242,9 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     m = 1 << p
     alpha = hll_alpha(m)
     rest_bits = HASH_BITS - p
-    h = _hash64(F.col(value_col))
+    hashed = (prehashed if prehashed is not None
+              else hashed_values(df, group_cols, value_col))
+    h = F.col("_h")
     # Exact integer bit length WITHOUT the per-row base-2 string
     # conversion (conv(w,10,2) allocates a ~60-char string per row —
     # measured as costly as the md5 hash itself). floor(log2(w)) can be
@@ -233,7 +252,7 @@ def hll_distinct(df: DataFrame, group_cols: list[str], value_col: str,
     # guess is corrected with two exact integer shift comparisons — the
     # result equals the string form for every w in [0, 2^60)
     # (exhaustively checked around every power of two).
-    staged = (df.where(F.col(value_col).isNotNull())
+    staged = (hashed
               .select(*[F.col(c) for c in group_cols],
                       (h % F.lit(m)).alias("_idx"),
                       F.shiftrightunsigned(h, p).alias("_w"))

@@ -207,3 +207,21 @@ def test_param_validation(spark, lineitem):
         sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", k=1)
     with pytest.raises(ValueError):
         sk.hll_distinct(lineitem, ["l_returnflag"], "l_orderkey", p=3)
+
+
+def test_prehashed_faces_value_identical(spark, lineitem):
+    """kmv/hll over a shared hashed_values frame (the bench's fused
+    sketch_distinct composition) must equal the default faces exactly."""
+    hv = sk.hashed_values(lineitem, ["l_returnflag"], "l_orderkey") \
+        .persist()
+    try:
+        for fn, arg in ((sk.kmv_distinct, 64), (sk.hll_distinct, 6)):
+            base = {tuple(r) for r in
+                    fn(lineitem, ["l_returnflag"], "l_orderkey",
+                       arg).collect()}
+            fused = {tuple(r) for r in
+                     fn(lineitem, ["l_returnflag"], "l_orderkey", arg,
+                        prehashed=hv).collect()}
+            assert base == fused
+    finally:
+        hv.unpersist()
