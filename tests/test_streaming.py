@@ -259,3 +259,55 @@ def test_index_collision_stream_batch_parity(spark, tmp_path):
         "idx_collisions", tmp_path, mode="append")
     got = {(r["doc_id"], r["ts"]) for r in out.collect()}
     assert got == batch
+
+
+def test_semdedup_collision_stream_batch_parity(spark, tmp_path):
+    """The stream-static SemDeDup cell-index probe must flag exactly the
+    embeddings the batch twin flags (same ids, same event times) — the
+    embedding-plane twin of test_index_collision_stream_batch_parity."""
+    import datetime
+
+    from relationaldecomposition_spark.operators import ivf
+
+    t0 = datetime.datetime(2026, 1, 1)
+    dim = 8
+
+    def vec(seed, bump=0.0):
+        import random
+        rng = random.Random(seed)
+        v = [rng.uniform(-1, 1) for _ in range(dim)]
+        v[0] += bump
+        return v
+
+    corpus_rows = [(i, vec(i)) for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "vec_id bigint, v array<double>")
+    cents = ivf.seed_centroids(corpus, "v", "vec_id", [0, 5, 10, 15])
+    idx = ivf.ivf_cell_index(corpus, "v", "vec_id", cents)
+
+    new_rows = (
+        # near-clones of corpus rows (same cell, cosine ~1)
+        [(100 + i, [x * 1.01 for x in corpus_rows[i][1]],
+          t0 + datetime.timedelta(minutes=i)) for i in range(5)] +
+        # far vectors: negated corpus rows (cosine -1, same-ish cells
+        # not guaranteed — either way they must NOT be flagged)
+        [(200 + i, [-x for x in corpus_rows[i][1]],
+          t0 + datetime.timedelta(minutes=i)) for i in range(5)])
+    new = spark.createDataFrame(
+        new_rows, "vec_id bigint, v array<double>, ts timestamp")
+
+    batch = {(r["vec_id"], r["ts"])
+             for r in ivf.semdedup_collision_stream(
+                 new, idx, "v", "vec_id", cents, tau=0.9).collect()}
+    assert {i for i, _ in batch} == {100, 101, 102, 103, 104}
+
+    src = tmp_path / "emb_src"
+    new.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    out = _run_stream(
+        spark,
+        ivf.semdedup_collision_stream(stream, idx, "v", "vec_id", cents,
+                                      tau=0.9),
+        "semdedup_collisions", tmp_path, mode="append")
+    got = {(r["vec_id"], r["ts"]) for r in out.collect()}
+    assert got == batch
