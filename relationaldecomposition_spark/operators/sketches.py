@@ -87,48 +87,91 @@ def hll_alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
+# Threshold-kernel safety factor: keep hashes <= SAFETY*k/n_est * 2^60.
+# With approx_count_distinct's 5% rsd, 8x leaves the true k-th hash below
+# the cut with overwhelming probability — and the declarative refill
+# branch makes correctness unconditional regardless.
+KMV_THRESHOLD_SAFETY = 8
+# auto-dispatch cut: below this Catalyst size estimate of the input the
+# threshold kernel's extra pass + broadcast machinery costs more than the
+# Arrow crossing it avoids (sf0.1 A/B: threshold 3.9 s vs partial ~2.5;
+# sf10: threshold 43.6 s vs partial 54.0 fused / 63.8 unfused)
+KMV_THRESHOLD_MIN_BYTES = 256 << 20
+
+
 def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
                  k: int = 256,
-                 prehashed: DataFrame | None = None) -> DataFrame:
+                 prehashed: DataFrame | None = None,
+                 method: str = "auto") -> DataFrame:
     """Per-group KMV distinct estimate: (group_cols..., n_kept, est_distinct).
 
     When a group holds fewer than k distinct values the estimate IS the
     exact count (all hashes are retained); otherwise (k-1) * 2^60 / h_(k).
-    NULL values are ignored (COUNT DISTINCT semantics).
+    NULL values are ignored (COUNT DISTINCT semantics). Both methods
+    produce identical values (the exact k smallest distinct hashes).
 
-    Plan (round-7 rework): KMV is a MERGEABLE sketch, so the k smallest
-    distinct hashes are found with a per-partition partial sketch first —
-    one Arrow pass accumulating, per (partition, group), the k smallest
-    unique hashes (state O(groups * k), emitted once per partition) —
-    then the tiny partials (partitions * groups * k rows) shuffle for the
-    exact global merge (dedup + rank <= k) and the estimate. The previous
-    plan hash-agg-deduped the FULL distinct set before ranking, shuffling
-    O(distinct) rows — 45M at sf10, 10^11-class at 100 TB — where the
-    partial sketch shuffles O(partitions * groups * k) regardless of
-    corpus size. The k smallest distinct hashes (and therefore every
-    output value) are identical: a group's global top-k is contained in
-    the union of its per-partition top-ks.
+    method="auto" (default) dispatches on Catalyst's size estimate of
+    the input — "threshold" at or above KMV_THRESHOLD_MIN_BYTES (the
+    scale regime, where the Arrow crossing dominates), "partial" below
+    it (the extra pass + broadcast machinery costs more than it saves on
+    small inputs); derived/unstatable plans estimate huge, landing on
+    the scale-safe kernel. Both kernels return identical rows.
+
+    method="threshold" (round-9 rework): KMV only ever keeps
+    hashes below ~k/n * 2^60, so almost every row can be dropped AT THE
+    SCAN with a per-group hash cutoff: one cheap pass estimates each
+    group's distinct count (approx_count_distinct — a PRUNING heuristic
+    only, never part of the output), the cutoff
+    min(2^60, SAFETY*k/n_est * 2^60) rides a broadcast join, and only
+    the ~SAFETY*k surviving rows per group shuffle into the exact
+    dedup+rank. Groups where the filter proves too tight (< k kept AND a
+    real cutoff applied) are re-ranked from their full rows in a
+    declarative refill branch — normally empty, and AQE's empty-relation
+    propagation skips its scan entirely, so exactness is unconditional
+    without a driver-side action. Replaced the Arrow partial sketch as
+    the default because shipping all N (group, hash) rows through Arrow
+    was the largest component of the sf10 row after the md5 pass itself
+    (~24 s of 41 s — tools/profile_60s_rows.py); the threshold plan
+    shuffles and crosses nothing but the survivors (measured 41 -> ~21 s
+    fused at sf10). Cost shape: one extra aggregation pass over the
+    hashed values — fused pipelines (``prehashed`` persisted) pay a
+    cache read, unfused a second scan, both far below the Arrow
+    crossing.
+
+    method="partial": the round-7 mergeable-sketch face — one Arrow pass
+    accumulating, per (partition, group), the k smallest unique hashes
+    (state O(groups * k), emitted once per partition), then the tiny
+    partials shuffle for the exact global merge. Still the right face
+    when a second pass over the input is unaffordable and the hashed
+    frame cannot be cached (a one-shot stream drain, a remote scan
+    charged per byte).
 
     (Historical shape note, round-6 measurement: ranking the RAW rows so
     WindowGroupLimit's partial mode prunes pre-exchange measured 1.8x
     SLOWER than hash-dedup-then-rank at sf3 — the partial group-limit
-    needs a full local sort. The Arrow partial sketch replaces both.)
+    needs a full local sort.)
 
     Group-key hygiene (round-7 advisor): rows with a NULL — or, for
     float/double keys, a real NaN — in ANY group column never enter the
-    pandas closure. The Arrow boundary is lossy in both directions there:
-    inbound, SQL NULL becomes float NaN (conflating NULL groups with
-    real-NaN groups) and nullable integral keys promote through float64
-    (silently rounding beyond 2^53); outbound, a NaN key in a float
-    column converts back to null. Such rows ride the exact merge
-    instead: correctness is unconditional, and the extra shuffled volume
-    is O(distinct values within null/NaN-keyed groups) — the null-keyed
-    slice of a real corpus, not its bulk. Empty group_cols = ONE global
-    sketch (single accumulator, no pandas groupby, a single-partition
-    rank over <= partitions * k rows).
+    pandas closure (Arrow is lossy both ways there: inbound NULL→NaN
+    conflation + float64 promotion, outbound NaN→NULL) and never join
+    the threshold table (inner join drops null keys silently). Such rows
+    ride the exact merge unfiltered: correctness is unconditional, and
+    the extra shuffled volume is O(distinct values within null/NaN-keyed
+    groups). Empty group_cols = ONE global sketch (single-row cutoff /
+    single accumulator, a single-partition rank over the bounded
+    survivors).
     """
     if k < 2:
         raise ValueError("k must be >= 2")
+    if method not in ("auto", "threshold", "partial"):
+        raise ValueError(f"unknown kmv method: {method!r}")
+    if method == "auto":
+        from .ivf import _plan_size_bytes
+        method = ("threshold"
+                  if _plan_size_bytes(prehashed if prehashed is not None
+                                      else df) >= KMV_THRESHOLD_MIN_BYTES
+                  else "partial")
     import numpy as np
 
     from pyspark.sql.types import LongType, StructField, StructType
@@ -182,17 +225,62 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
                 out[c] = v  # no null/NaN keys reach this closure
             yield out[list(group_cols) + ["_h"]]
 
-    partials = clean.mapInPandas(partial_sketch, part_schema)
+    def k_smallest(rows: DataFrame) -> DataFrame:
+        """Exact k smallest DISTINCT hashes per group over bounded rows."""
+        merged = rows.groupBy(*group_cols, "_h").agg(
+            F.lit(1).alias("_one"))
+        w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
+        return (merged.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") <= k)
+                .select(*group_cols, "_h"))
+
+    if method == "partial":
+        candidates = clean.mapInPandas(partial_sketch, part_schema)
+    else:
+        max_h = HASH_SPACE - 1
+        # clamp BEFORE the long cast: SAFETY*k*2^60/n overflows BIGINT
+        # for small n (the no-filter regime)
+        cut = F.least(
+            F.lit(float(max_h)),
+            F.lit(float(KMV_THRESHOLD_SAFETY * k)) * F.lit(float(HASH_SPACE))
+            / F.greatest(F.col("_n"), F.lit(1)).cast("double")) \
+            .cast("long").alias("_t")
+        if group_cols:
+            th = (clean.groupBy(*group_cols)
+                  .agg(F.approx_count_distinct("_h").alias("_n"))
+                  .select(*group_cols, cut))
+            flt = (clean.join(F.broadcast(th), list(group_cols))
+                   .where(F.col("_h") <= F.col("_t")).drop("_t"))
+            kept1 = k_smallest(flt)
+            sus = (kept1.groupBy(*group_cols)
+                   .agg(F.count(F.lit(1)).alias("_nk"))
+                   .join(th, list(group_cols))
+                   .where((F.col("_nk") < k) & (F.col("_t") < max_h))
+                   .select(*group_cols))
+            safe = kept1.join(F.broadcast(sus), list(group_cols),
+                              "left_anti")
+            refill = clean.join(F.broadcast(sus), list(group_cols),
+                                "left_semi")
+        else:
+            th = (clean.agg(F.approx_count_distinct("_h").alias("_n"))
+                  .select(cut))
+            flt = (clean.crossJoin(F.broadcast(th))
+                   .where(F.col("_h") <= F.col("_t")).drop("_t"))
+            kept1 = k_smallest(flt)
+            stats = (kept1.agg(F.count(F.lit(1)).alias("_nk"))
+                     .crossJoin(th))
+            bad = (F.col("_nk") < k) & (F.col("_t") < max_h)
+            sus_m = stats.where(bad).select(F.lit(1).alias("_m"))
+            ok_m = stats.where(~bad).select(F.lit(1).alias("_m"))
+            safe = kept1.crossJoin(F.broadcast(ok_m)).drop("_m")
+            refill = clean.crossJoin(F.broadcast(sus_m)).drop("_m")
+        candidates = safe.unionByName(refill)
     if nulled is not None:
-        # null-keyed rows skip the sketch: their raw (group, hash) rows
-        # join the exact merge below, which dedups and ranks them the
-        # same way (a partial sketch with k = infinity)
-        partials = partials.unionByName(nulled)
-    # exact global merge over the bounded partials: dedup + rank <= k
-    merged = partials.groupBy(*group_cols, "_h").agg(F.lit(1).alias("_one"))
-    w = Window.partitionBy(*group_cols).orderBy(F.col("_h").asc())
-    kept = (merged.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= k))
+        # null/NaN-keyed rows skip the kernel: their raw (group, hash)
+        # rows join the exact merge below, which dedups and ranks them
+        # the same way (a partial sketch with k = infinity)
+        candidates = candidates.unionByName(nulled)
+    kept = k_smallest(candidates)
     kth = F.max("_h")  # only the k smallest survive, so max is h_(k)
     n = F.count(F.lit(1))
     est = F.when(n < k, n.cast("double")).otherwise(

@@ -96,15 +96,44 @@ def test_duckdb_twins_bit_identical(spark, lineitem):
         == sorted(tuple(r) for r in con.sql(hq).fetchall())
 
 
-def test_kmv_plan_partial_sketch_before_merge(spark, lineitem):
-    plan = sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64) \
+def test_kmv_plan_shapes_by_method(spark, lineitem):
+    # r9 scale kernel (threshold; auto picks it past
+    # KMV_THRESHOLD_MIN_BYTES): no Arrow crossing at all — the per-group
+    # hash cutoff rides a broadcast join and only survivors shuffle into
+    # the dedup+rank (WindowGroupLimit); the refill branch is in-plan
+    plan = sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64,
+                           method="threshold") \
         ._jdf.queryExecution().executedPlan().toString()
-    # r7 shape: the per-partition Arrow partial sketch (MapInPandas) must
-    # sit before the merge, so only partitions*groups*k rows shuffle —
-    # never the O(distinct) dedup set; the merge's rn <= k still rewrites
-    # to WindowGroupLimit
+    assert "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    # r7 face (partial): the per-partition Arrow partial sketch
+    # (MapInPandas) sits before the merge, so only partitions*groups*k
+    # rows shuffle — never the O(distinct) dedup set
+    plan = sk.kmv_distinct(lineitem, ["l_returnflag"], "l_orderkey", 64,
+                           method="partial") \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_kmv_methods_value_identical(spark, lineitem):
+    """threshold and partial kernels must return identical rows — same
+    exact k smallest distinct hashes — on grouped, multicol-null, and
+    global shapes."""
+    shapes = [(lineitem, ["l_returnflag"], "l_orderkey", 64),
+              (lineitem, [], "l_orderkey", 32)]
+    rows = [(None, i % 7) for i in range(50)]
+    rows += [("a", i) for i in range(2000)]          # filter engages
+    rows += [("b", 1)] * 30                          # tiny group: no cut
+    nulldf = spark.createDataFrame(rows, "g string, v int")
+    shapes.append((nulldf, ["g"], "v", 16))
+    for df, gc, vc, k in shapes:
+        a = {tuple(r) for r in
+             sk.kmv_distinct(df, gc, vc, k, method="threshold").collect()}
+        b = {tuple(r) for r in
+             sk.kmv_distinct(df, gc, vc, k, method="partial").collect()}
+        assert a == b, (gc, k)
 
 
 def test_kmv_partial_sketch_null_groups_and_multicol(spark):
