@@ -1012,6 +1012,31 @@ def _oracle_remove_dup_spans() -> str:
       FROM documents d LEFT JOIN per USING (doc_id)"""
 
 
+TEMP_MIX_ALPHA = 0.5
+
+
+def q_o71_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture resampling
+    (sampling.temperature_mixture): downsample languages so surviving
+    shares follow p_i ∝ n_i^alpha — the multilingual-corpus
+    exponentiated-smoothing reweighting, with the targets derived from
+    the data and the whole plan declarative (counts agg -> rounded
+    pow weights -> cap -> broadcast hash thresholds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.temperature_mixture(docs, "doc_id", "lang",
+                                       TEMP_MIX_ALPHA)
+    return out.select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                      "lang")
+
+
+def _oracle_temperature_mix() -> str:
+    from .sampling import sql_temperature_mixture
+
+    return sql_temperature_mixture("documents", "doc_id", "lang",
+                                   TEMP_MIX_ALPHA,
+                                   "d.doc_id::BIGINT AS doc_id, d.lang")
+
+
 XENT_BUCKETS = 3
 
 
@@ -2031,6 +2056,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o67_xent_buckets": q_o67_xent_buckets,
     "o68_curation_funnel": q_o68_curation_funnel,
     "o70_remove_dup_spans": q_o70_remove_dup_spans,
+    "o71_temperature_mix": q_o71_temperature_mix,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2141,4 +2167,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o67_xent_buckets": _oracle_xent_buckets(),
     "o68_curation_funnel": _oracle_curation_funnel(),
     "o70_remove_dup_spans": _oracle_remove_dup_spans(),
+    "o71_temperature_mix": _oracle_temperature_mix(),
 }

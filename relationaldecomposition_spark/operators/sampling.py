@@ -210,6 +210,69 @@ def rebalance_to_mixture(df: DataFrame, key_col: str, stratum_col: str,
               .drop("_thresh"))
 
 
+def temperature_mixture(df: DataFrame, key_col: str, stratum_col: str,
+                        alpha: float = 0.7) -> DataFrame:
+    """Temperature-based mixture resampling: downsample strata so the
+    surviving shares follow p_i ∝ n_i^alpha — the standard multilingual /
+    multi-domain corpus reweighting (exponentiated smoothing; alpha < 1
+    upweights rare strata relative to their natural share, alpha = 1 is a
+    no-op, alpha = 0 equalizes). The TARGETS come from the data itself —
+    `rebalance_to_mixture` with data-derived shares — and the whole
+    derivation stays one declarative plan: per-stratum counts (one
+    map-side-combining agg), weights w_i = round6(n_i^alpha) (rounded so
+    the DuckDB twin's libm pow agrees bit-for-bit after quantization),
+    achievable cap = min(n_i * W / w_i), per-stratum hash thresholds
+    quantized to 1/65536, broadcast back, map-side filter. Nothing is
+    collected; the same plan runs at 100 TB."""
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    from .text import round6
+
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    w = counts.withColumn(
+        "_w", round6(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))))
+    tot = w.agg(F.sum("_w").alias("_tw"))
+    # cap = min over strata of n_i / p_i = min(n_i * W / w_i); threshold
+    # arithmetic in the same operation order as the DuckDB twin
+    j = w.crossJoin(F.broadcast(tot))
+    cap = j.agg(F.min(F.col("_n") * F.col("_tw") / F.col("_w"))
+                .alias("_cap"))
+    th = (j.crossJoin(F.broadcast(cap))
+          .select(F.col(stratum_col),
+                  F.floor(F.col("_cap") * (F.col("_w") / F.col("_tw"))
+                          / F.col("_n") * F.lit(float(SAMPLE_MOD)))
+                   .cast("long").alias("_thresh")))
+    bucket = F.pmod(F.col(key_col).cast("long") * F.lit(SAMPLE_MULT),
+                    F.lit(SAMPLE_MOD))
+    return (df.join(F.broadcast(th), stratum_col)
+              .where(bucket < F.col("_thresh"))
+              .drop("_thresh"))
+
+
+def sql_temperature_mixture(table: str, key_col: str, stratum_col: str,
+                            alpha: float, select_cols: str) -> str:
+    """DuckDB twin of temperature_mixture — identical weight rounding,
+    cap/threshold arithmetic and hash predicate."""
+    from .text import sql_round6
+    e = f"(d.{key_col}::BIGINT * {SAMPLE_MULT})"
+    bucket = f"((({e} % {SAMPLE_MOD}) + {SAMPLE_MOD}) % {SAMPLE_MOD})"
+    w6 = sql_round6(f"pow(n::DOUBLE, {float(alpha)!r})")
+    return f"""
+      WITH cnt AS (SELECT {stratum_col} AS stratum, count(*)::BIGINT AS n
+                   FROM {table} GROUP BY 1),
+      w AS (SELECT stratum, n, {w6} AS w FROM cnt),
+      tot AS (SELECT sum(w) AS tw FROM w),
+      cap AS (SELECT min(n * (SELECT tw FROM tot) / w) AS c FROM w),
+      th AS (SELECT stratum,
+                    floor((SELECT c FROM cap)
+                          * (w / (SELECT tw FROM tot)) / n
+                          * {SAMPLE_MOD})::BIGINT AS thresh
+             FROM w)
+      SELECT {select_cols}
+      FROM {table} d JOIN th ON d.{stratum_col} = th.stratum
+      WHERE {bucket} < th.thresh"""
+
+
 def sql_rebalance_to_mixture(table: str, key_col: str, stratum_col: str,
                              targets: dict[str, float],
                              select_cols: str) -> str:

@@ -238,3 +238,47 @@ def test_shard_shuffle_validates(spark):
 
     with pytest.raises(ValueError):
         shard_shuffle(load(spark, "documents"), "doc_id", 0)
+
+
+def test_temperature_mixture_shares_and_python_rederivation(spark):
+    """Surviving rows equal a python re-derivation of the cap/threshold
+    arithmetic; alpha=1 keeps the largest-upweight stratum whole (cap
+    binds somewhere, and with alpha=1 every stratum is that stratum);
+    alpha<1 upweights rare strata relative to their natural share."""
+    import math
+
+    from relationaldecomposition_spark.operators.sampling import (
+        SAMPLE_MOD, SAMPLE_MULT, temperature_mixture)
+
+    rows = [(i, "big") for i in range(900)]
+    rows += [(10000 + i, "mid") for i in range(90)]
+    rows += [(20000 + i, "rare") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for alpha in (1.0, 0.5, 0.0):
+        got = {r["doc_id"] for r in
+               temperature_mixture(df, "doc_id", "src", alpha).collect()}
+        n = {"big": 900, "mid": 90, "rare": 10}
+        w = {s: r6(c ** alpha) for s, c in n.items()}
+        tw = sum(w.values())
+        cap = min(n[s] * tw / w[s] for s in n)
+        th = {s: math.floor(cap * (w[s] / tw) / n[s] * SAMPLE_MOD)
+              for s in n}
+        exp = {i for i, s in rows
+               if (i * SAMPLE_MULT) % SAMPLE_MOD < th[s]}
+        assert got == exp, alpha
+        if alpha == 1.0:
+            # identity temperature: every stratum kept ~whole
+            assert len(got) == len(rows)
+        if alpha == 0.0:
+            # equalizing: surviving shares ~uniform at the rarest
+            # stratum's size (hash sampling is exact-to-threshold, not
+            # exact-n: the 90x natural skew must collapse to ~1x)
+            per = {s: sum(1 for i, t in rows if t == s and i in got)
+                   for s in n}
+            assert max(per.values()) <= 2 * min(per.values())
+    with pytest.raises(ValueError):
+        temperature_mixture(df, "doc_id", "src", -0.1)
