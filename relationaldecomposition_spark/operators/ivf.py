@@ -909,6 +909,34 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                                     & (F.col("n_batch_hits") == 0)))
 
 
+def write_cell_index(index: DataFrame, path: str,
+                     partition_col: str = "cell") -> None:
+    """Persist an ``ivf_cell_index``/``_hier`` output PARTITIONED BY its
+    cell — the on-disk form of the continuous-ingest contract. Against a
+    store written this way, ``semdedup_incremental``'s touched-cell
+    broadcast semi-join compiles to DYNAMIC PARTITION PRUNING on the
+    scan (verified in tests/test_gram.py: the executed plan carries a
+    dynamicpruning partition filter), so an ingest batch physically
+    reads only its touched cells' files — the index scan cost is
+    O(touched cells), not O(corpus), no matter how large the store
+    grows. Partition directories scale with the cell count: partition
+    the FLAT regime by cell; in the hierarchical million-cell regime
+    partition by a route column instead (K1 directories, cells pruned
+    by parquet min/max within each route's files)."""
+    index.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_cell_index(spark, path: str,
+                    partition_col: str = "cell") -> DataFrame:
+    """Read a ``write_cell_index`` store back into the probe-ready
+    (id, v, cell) shape. Partition-column values come back via directory
+    inference — cast to long so downstream unions/joins line up with
+    the in-memory index's LongType cells."""
+    df = spark.read.parquet(path)
+    return df.withColumn(partition_col,
+                         F.col(partition_col).cast("long"))
+
+
 def semdedup_collision_stream(stream: DataFrame, index: DataFrame,
                               vec_col: str, id_col: str,
                               centroids: list[tuple[int, list[float]]],

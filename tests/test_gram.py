@@ -509,3 +509,27 @@ def test_hier_codebook_lloyd_iters(emb):
     with pytest.raises(ValueError, match="lloyd_iters"):
         ivf.hier_codebook(corpus, "embedding", "vec_id", coarse, H_K2,
                           kernel="expr", lloyd_iters=1)
+
+
+def test_cell_index_store_probe_uses_partition_pruning(emb, tmp_path):
+    """The on-disk continuous-ingest contract: against a
+    write_cell_index store, the incremental probe's touched-cell
+    semi-join must compile to dynamic partition pruning (the scan reads
+    only touched cells' directories) and return exactly the in-memory
+    index's rows."""
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    cents = ivf.seed_centroids(corpus, "embedding", "vec_id", H_CIDS)
+    idx = ivf.ivf_cell_index(corpus, "embedding", "vec_id", cents)
+    path = str(tmp_path / "cellidx")
+    ivf.write_cell_index(idx, path)
+    stored = ivf.read_cell_index(idx.sparkSession, path)
+
+    mem = ivf.semdedup_incremental(batch, idx, "embedding", "vec_id",
+                                   cents, SD_TAU, prune_index=True)
+    disk = ivf.semdedup_incremental(batch, stored, "embedding", "vec_id",
+                                    cents, SD_TAU, prune_index=True)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert {tuple(r) for r in disk.collect()} \
+        == {tuple(r) for r in mem.collect()}
