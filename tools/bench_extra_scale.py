@@ -42,7 +42,10 @@ SF10_QUERIES = ["entropy_batch32", "lsh_dedup", "dedup_pipeline",
                 "unigram_xent", "incremental_dedup", "semdedup",
                 "pack_sequences", "doc_profile", "curation_e2e",
                 # r7: the forced-gram face and the incremental probe
-                "semdedup_gram", "semdedup_incr"]
+                "semdedup_gram", "semdedup_incr",
+                # r8/r9 additions: the hier incremental face and the
+                # duplicate-span rewrite
+                "semdedup_incr_hier", "remove_dup_spans"]
 
 SEMDEDUP_TAU = 0.35
 TARGET_CELL = 500  # the documented sizing law: one cell per ~500 vectors
