@@ -252,10 +252,15 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
             flt = (clean.join(F.broadcast(th), list(group_cols))
                    .where(F.col("_h") <= F.col("_t")).drop("_t"))
             kept1 = k_smallest(flt)
-            sus = (kept1.groupBy(*group_cols)
-                   .agg(F.count(F.lit(1)).alias("_nk"))
-                   .join(th, list(group_cols))
-                   .where((F.col("_nk") < k) & (F.col("_t") < max_h))
+            # suspicious set derives from the THRESHOLD table (every
+            # group), not from kept1: a group whose cutoff leaves ZERO
+            # survivors is absent from kept1 entirely and must still be
+            # refilled (caught by the forced-tight-cutoff test)
+            sus = (th.join(kept1.groupBy(*group_cols)
+                           .agg(F.count(F.lit(1)).alias("_nk")),
+                           list(group_cols), "left")
+                   .where((F.coalesce("_nk", F.lit(0)) < k)
+                          & (F.col("_t") < max_h))
                    .select(*group_cols))
             safe = kept1.join(F.broadcast(sus), list(group_cols),
                               "left_anti")

