@@ -1981,6 +1981,18 @@ def q_o42_kmv_distinct(spark, sf_dir):
     return sketches.kmv_distinct(li, SKETCH_GROUP, SKETCH_VALUE, KMV_K)
 
 
+def q_o72_kmv_threshold(spark, sf_dir):
+    """The KMV THRESHOLD kernel under the hard gate (o42 with
+    method="threshold"): per-group hash cutoff + declarative refill
+    (sketches.kmv_distinct round-9 scale face — auto picks it past
+    256 MiB, so without this pin the gate would only ever check the
+    partial face). Shares o42's oracle — both kernels return the exact
+    k smallest distinct hashes, so the SQL twin is identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return sketches.kmv_distinct(li, SKETCH_GROUP, SKETCH_VALUE, KMV_K,
+                                 method="threshold")
+
+
 def q_o43_hll_distinct(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     return sketches.hll_distinct(li, SKETCH_GROUP, SKETCH_VALUE, HLL_P)
@@ -2057,6 +2069,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o68_curation_funnel": q_o68_curation_funnel,
     "o70_remove_dup_spans": q_o70_remove_dup_spans,
     "o71_temperature_mix": q_o71_temperature_mix,
+    "o72_kmv_threshold": q_o72_kmv_threshold,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2128,6 +2141,10 @@ OPERATOR_ORACLES: dict[str, str] = {
         "AS frame_offset, substr(hex(encode(text)), 1, 16) AS frame_preview "
         "FROM documents"),
     "o42_kmv_distinct": sketches.sql_kmv_distinct(
+        "lineitem", SKETCH_GROUP, SKETCH_VALUE, KMV_K),
+    # o72 shares o42's twin: both KMV kernels return the exact k
+    # smallest distinct hashes
+    "o72_kmv_threshold": sketches.sql_kmv_distinct(
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, KMV_K),
     "o43_hll_distinct": sketches.sql_hll_distinct(
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),

@@ -855,7 +855,7 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 96
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 97
 # registered queries the window rotates each round so that the union of the
 # two most recent CORRECTNESS files always covers every query: each round
 # heads the window with every query whose only green row is the previous
@@ -897,13 +897,14 @@ _WINDOW_ROUND9: list[str] = [
     # LATEST round).
     # NOTE: exactly 50 entries.
     "a07_entropy_single", "a08_entropy_batch",
-    "b01_fd_search", "b15_enumerate_schemas",
+    "b01_fd_search",
     # NEW round-9 queries (must be in-window; they displaced the
-    # o63/o42/b03/b11 anchor slots, all green in r08)
+    # o63/o42/b03/b11/b15 anchor slots, all green in r08)
     "o68_curation_funnel",
     "o69_decompose_summary",
     "o70_remove_dup_spans",
     "o71_temperature_mix",
+    "o72_kmv_threshold",
 ]
 
 
