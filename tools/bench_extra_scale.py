@@ -123,6 +123,7 @@ def _isolated_rows(queries: list[str], sf_dir: str) -> dict[str, float]:
     import subprocess
 
     out: dict[str, float] = {}
+    cals: dict[str, float] = {}
     for q in queries:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__),
@@ -134,8 +135,12 @@ def _isolated_rows(queries: list[str], sf_dir: str) -> dict[str, float]:
             print(f"ISOLATED ROW FAILED {q}:\n{proc.stderr[-2000:]}",
                   flush=True)
             continue
-        out[q] = json.loads(line)[q]
+        row = json.loads(line)
+        out[q] = row[q]
+        if "_calibration" in row:
+            cals[q] = row["_calibration"]
         print(json.dumps({q: out[q]}), flush=True)
+    out["_calibration_per_row"] = cals  # type: ignore[assignment]
     return out
 
 
@@ -164,10 +169,14 @@ def main(argv=None) -> int:
         # 139.7 s cold vs 84.9 s solo-warmed), which is session noise,
         # not operator cost. run_bench's generic warm-up covers scans and
         # hash aggregation but not each pipeline's full operator surface.
-        run_bench(spark, args.sf01_dir, repeats=1, only=[args.run_one])
+        run_bench(spark, args.sf01_dir, repeats=1, only=[args.run_one],
+                  calibrate=False)
         t = run_bench(spark, args.dir, repeats=1, only=[args.run_one])
         spark.stop()
-        print(json.dumps({args.run_one: round(t[args.run_one], 3)}))
+        out = {args.run_one: round(t[args.run_one], 3)}
+        if "_calibration" in t:
+            out["_calibration"] = round(t["_calibration"], 3)
+        print(json.dumps(out))
         return 0
 
     with open(args.out) as f:
@@ -194,8 +203,11 @@ def main(argv=None) -> int:
 
     if not args.skip_sf10 and os.path.isdir(args.sf10_dir):
         t10 = _isolated_rows(SF10_QUERIES, args.sf10_dir)
+        cals10 = t10.pop("_calibration_per_row", {})
         record["sf10_spotcheck"] = {
             "queries": {q: round(v, 3) for q, v in t10.items()},
+            "calibration_per_row": {q: round(v, 3)
+                                    for q, v in cals10.items()},
             "fitted_exponent_sf0.1_to_sf10": {
                 q: round(math.log(t10[q] / t01[q]) / math.log(100), 2)
                 for q in t10 if t01.get(q) and t10[q] > 0},
