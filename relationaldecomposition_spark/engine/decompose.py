@@ -142,14 +142,17 @@ class DecompositionValidator:
             return ent
 
     def _release_proj(self, c: frozenset) -> None:
+        # unpersist INSIDE the lock: Spark's CacheManager keys entries by
+        # logical plan, so an unpersist issued after dropping the lock can
+        # race a concurrent _acquire_proj persisting an identical-plan
+        # frame and evict the fresh entry (recompute, perf-only). Blocking
+        # is false, so holding the lock across the call is cheap.
         with self._plock:
             ent = self._projs[c]
             ent["refs"] -= 1
-            drop = ent["refs"] == 0
-            if drop:
+            if ent["refs"] == 0:
                 del self._projs[c]
-        if drop:
-            ent["df"].unpersist()
+                ent["df"].unpersist()
 
     @property
     def num_tuples(self) -> int:

@@ -563,7 +563,8 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
 
 def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                            shingle_k: int = 8,
-                           min_count: int = 2) -> DataFrame:
+                           min_count: int = 2,
+                           min_span_tokens: int = 1) -> DataFrame:
     """Rewrite the corpus with corpus-wide duplicated substrings EXCISED —
     the second half of Lee et al., "Deduplicating Training Data Makes
     Language Models Better" (ACL 2022) §4: `duplicate_spans` locates
@@ -587,9 +588,26 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     running sum over (position, events-before-token) marks covered
     tokens, and the final per-document rollup reuses the window's hash
     partitioning. Worst case (a fully-duplicated document) stays
-    O(tokens) where a token×interval join would be O(tokens²)."""
+    O(tokens) where a token×interval join would be O(tokens²).
+
+    ``min_span_tokens``: only excise maximal covered runs of at least
+    this many tokens. Lee et al. excise ~50-token duplicated substrings;
+    the default shingle_k=8 with min_span_tokens=1 cuts every 8-token
+    phrase seen twice corpus-wide, which over-fires on idioms and
+    boilerplate-adjacent prose in a natural corpus. Setting e.g.
+    min_span_tokens=25 keeps short incidental matches and removes only
+    long duplicated regions (the paper's regime: a 50-token duplicated
+    substring yields a >= 50-token covered run). Runs are merged FIRST
+    (the boundary-event stream already yields maximal runs), then runs
+    shorter than the threshold are kept whole — precision knob, default
+    1 preserves the exact conservative ExactSubstr semantics."""
     if min_count < 2:
         raise ValueError("min_count must be >= 2 (1 would cut every span)")
+    if shingle_k < 1:
+        raise ValueError("shingle_k must be >= 1 (0 or negative would "
+                         "misplace span-end events)")
+    if min_span_tokens < 1:
+        raise ValueError("min_span_tokens must be >= 1")
     k = shingle_k
     ex = df.select(F.col(id_col),
                    F.posexplode_outer(tokens(F.col(text_col)))
@@ -630,16 +648,44 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
           .orderBy("_p", F.when(F.col("_d") == 0, 1).otherwise(0))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = both.withColumn("_cov", F.sum("_d").over(w2))
-    is_tok = F.col("_d") == 0
-    kept = is_tok & (F.col("_cov") == 0)
-    kept_struct = F.when(kept, F.struct(F.col("_p").alias("p"),
-                                        F.col("_tok").alias("t")))
-    per = (cum.groupBy(id_col)
+    toksf = (cum.where(F.col("_d") == 0)
+             .select(F.col(id_col), "_p", "_tok",
+                     (F.col("_cov") > 0).alias("_c")))
+    if min_span_tokens > 1:
+        # merge-then-filter: token positions are consecutive, so a
+        # maximal covered run spans _first.._last; runs shorter than the
+        # threshold are kept whole. Forward and backward running extrema
+        # propagate the run boundaries without a per-run shuffle — both
+        # windows hash-partition on the document id the sort/agg below
+        # already use.
+        wf = Window.partitionBy(id_col).orderBy("_p")
+        wfr = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wbr = (Window.partitionBy(id_col).orderBy(F.col("_p").desc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        run_start = F.col("_c") & ~F.coalesce(F.lag("_c").over(wf),
+                                              F.lit(False))
+        run_end = F.col("_c") & ~F.coalesce(F.lead("_c").over(wf),
+                                            F.lit(False))
+        toksf = (toksf
+                 .withColumn("_rs", F.when(run_start, F.col("_p")))
+                 .withColumn("_re", F.when(run_end, F.col("_p"))))
+        toksf = (toksf
+                 .withColumn("_first", F.max("_rs").over(wfr))
+                 .withColumn("_last", F.min("_re").over(wbr)))
+        excise = F.col("_c") & ((F.col("_last") - F.col("_first") + 1)
+                                >= F.lit(int(min_span_tokens)))
+        toksf = toksf.withColumn("_x", excise)
+    else:
+        toksf = toksf.withColumn("_x", F.col("_c"))
+    kept_struct = F.when(~F.col("_x"),
+                         F.struct(F.col("_p").alias("p"),
+                                  F.col("_tok").alias("t")))
+    per = (toksf.groupBy(id_col)
            .agg(F.concat_ws(" ", F.transform(
                     F.array_sort(F.collect_list(kept_struct)),
                     lambda x: x["t"])).alias("text"),
-                F.sum(is_tok.cast("long")).alias("n_tokens"),
-                F.sum((is_tok & ~kept).cast("long"))
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum(F.col("_x").cast("long"))
                  .alias("n_removed_tokens")))
     zero = F.lit(0).cast("bigint")
     return (df.select(id_col).join(per, id_col, "left")

@@ -957,7 +957,15 @@ def semdedup_collision_stream(stream: DataFrame, index: DataFrame,
     belong in foreachBatch + ``semdedup_incremental`` — per micro-batch
     that IS the batch operator. On a batch frame this function runs the
     SAME plan with a groupBy-min in place of the watermark dedup, which
-    is how tests/test_streaming.py pins stream == batch."""
+    is how tests/test_streaming.py pins stream == batch.
+
+    Parity caveat (ADVICE r9): the guarantee is over the flagged ID SET,
+    not (id, ts) pairs. If the same id streams more than once with
+    different timestamps, the streaming face keeps the FIRST-ARRIVING
+    row's ts (dropDuplicatesWithinWatermark) while the batch face
+    returns min(ts) — equal only when arrival order is timestamp order.
+    tests/test_streaming.py pins exact equality for unique ids and
+    id-set equality for repeated ids."""
     assigned = (stream.select(F.col(id_col), F.col(ts_col),
                               _as_double(vec_col).alias("v"))
                 .withColumn("cell",

@@ -266,8 +266,6 @@ def validate_schemas_concurrent(validator, schemas,
             s.build_join_tree()
     all_cl = sorted({attrset(c) for s in schemas for c in s.clusters},
                     key=sorted)
-    ents = {c: validator._acquire_proj(c) for c in all_cl}
-
     def warm(c):
         if group is not None:
             sc.setJobGroup(group, desc, interruptOnCancel=True)
@@ -275,7 +273,13 @@ def validate_schemas_concurrent(validator, schemas,
         if ent["count"] is None:
             ent["count"] = ent["df"].count()
 
+    # acquire inside the try so a partway failure (e.g. persist raising)
+    # still releases exactly the refs actually taken — acquiring in a
+    # comprehension before the try leaked every prior ref until close()
+    ents: dict = {}
     try:
+        for c in all_cl:
+            ents[c] = validator._acquire_proj(c)
         with ThreadPoolExecutor(
                 max_workers=min(8, len(all_cl))) as pool:
             list(pool.map(warm, all_cl))
@@ -283,5 +287,5 @@ def validate_schemas_concurrent(validator, schemas,
                 max_workers=min(max_workers, len(schemas))) as pool:
             return list(pool.map(one, schemas))
     finally:
-        for c in all_cl:
+        for c in ents:
             validator._release_proj(c)

@@ -215,6 +215,96 @@ def test_remove_duplicate_spans_randomized(spark):
         assert got[did] == (exp, len(covered)), did
 
 
+def _remove_spans_oracle(rows, k, min_count=2, min_span=1):
+    """Python re-derivation of remove_duplicate_spans incl. the
+    min_span_tokens merge-then-filter rule."""
+    import collections
+    occ = collections.Counter()
+    for _, txt in rows:
+        toks = (txt or "").split()
+        occ.update(" ".join(toks[i:i + k])
+                   for i in range(len(toks) - k + 1))
+    out = {}
+    for did, txt in rows:
+        toks = (txt or "").split()
+        covered = set()
+        for i in range(len(toks) - k + 1):
+            if occ[" ".join(toks[i:i + k])] >= min_count:
+                covered.update(range(i, i + k))
+        # merge into maximal runs, drop runs shorter than min_span
+        excised = set()
+        run: list[int] = []
+        for i in range(len(toks) + 1):
+            if i in covered:
+                run.append(i)
+            else:
+                if len(run) >= min_span:
+                    excised.update(run)
+                run = []
+        out[did] = (" ".join(t for i, t in enumerate(toks)
+                             if i not in excised),
+                    len(toks), len(excised))
+    return out
+
+
+def test_remove_duplicate_spans_min_span_tokens(spark):
+    """min_span_tokens keeps maximal covered runs shorter than the
+    threshold: operator == python oracle on a seeded random corpus for
+    several thresholds (1 = unchanged ExactSubstr semantics)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, " ".join(rng.choice("abcd")
+                         for _ in range(rng.randrange(0, 24))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    k = 3
+    for min_span in (1, 4, 6, 10):
+        exp = _remove_spans_oracle(rows, k, min_span=min_span)
+        got = {r["doc_id"]: (r["text"], r["n_tokens"],
+                             r["n_removed_tokens"])
+               for r in dedup.remove_duplicate_spans(
+                   df, "text", "doc_id", shingle_k=k,
+                   min_span_tokens=min_span).collect()}
+        assert got == exp, min_span
+    with pytest.raises(ValueError, match="shingle_k"):
+        dedup.remove_duplicate_spans(df, "text", "doc_id", shingle_k=0)
+    with pytest.raises(ValueError, match="min_span_tokens"):
+        dedup.remove_duplicate_spans(df, "text", "doc_id",
+                                     min_span_tokens=0)
+
+
+def test_remove_duplicate_spans_precision_on_idioms(spark):
+    """Natural-corpus regime (Lee ACL'22 excises ~50-token substrings):
+    docs share ONE long boilerplate block (true duplication) and short
+    8-token idioms (incidental). At defaults every idiom occurrence is
+    cut; min_span_tokens=25 removes the boilerplate with perfect
+    precision and keeps the idioms."""
+    k = 8
+    boiler = " ".join(f"boiler{i}" for i in range(50))
+    idiom = "as a matter of fact it turns out"  # exactly 8 tokens
+    rows = []
+    for d in range(6):
+        body = " ".join(f"d{d}w{j}" for j in range(30))
+        tail = " ".join(f"d{d}t{j}" for j in range(20))
+        rows.append((d, f"{body} {idiom} {tail} {boiler}"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    strict = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+        df, "text", "doc_id", shingle_k=k).collect()}
+    tuned = {r["doc_id"]: r for r in dedup.remove_duplicate_spans(
+        df, "text", "doc_id", shingle_k=k, min_span_tokens=25).collect()}
+    for d in range(6):
+        # defaults cut the idiom too (8-token covered run)
+        assert idiom not in strict[d]["text"]
+        assert "boiler0" not in strict[d]["text"]
+        # tuned: boilerplate gone, idiom kept -> removal is exactly the
+        # 50 boilerplate tokens (precision 1.0 on the planted dup)
+        assert idiom in tuned[d]["text"]
+        assert "boiler0" not in tuned[d]["text"]
+        assert tuned[d]["n_removed_tokens"] == 50
+
+
 def test_ngram_jaccard_exact_value(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id",

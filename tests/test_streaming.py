@@ -311,3 +311,56 @@ def test_semdedup_collision_stream_batch_parity(spark, tmp_path):
         "semdedup_collisions", tmp_path, mode="append")
     got = {(r["vec_id"], r["ts"]) for r in out.collect()}
     assert got == batch
+
+
+def test_semdedup_collision_stream_repeated_ids_id_set_parity(
+        spark, tmp_path):
+    """Documented divergence (ADVICE r9): when the SAME id streams more
+    than once with different timestamps, the streaming face keeps the
+    first-arriving ts (dropDuplicatesWithinWatermark) while the batch
+    face returns min(ts) — so the parity guarantee is over the flagged
+    ID SET, and each stream ts must be one of that id's event times."""
+    import datetime
+
+    from relationaldecomposition_spark.operators import ivf
+
+    t0 = datetime.datetime(2026, 1, 1)
+    dim = 8
+
+    def vec(seed, scale=1.0):
+        import random
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) * scale for _ in range(dim)]
+
+    corpus = spark.createDataFrame([(i, vec(i)) for i in range(10)],
+                                   "vec_id bigint, v array<double>")
+    cents = ivf.seed_centroids(corpus, "v", "vec_id", [0, 5])
+    idx = ivf.ivf_cell_index(corpus, "v", "vec_id", cents)
+
+    # id 100 appears TWICE (both near-clones of corpus row 0, different ts)
+    new_rows = [
+        (100, vec(0, 1.01), t0 + datetime.timedelta(minutes=9)),
+        (100, vec(0, 1.02), t0 + datetime.timedelta(minutes=1)),
+        (101, vec(1, 1.01), t0 + datetime.timedelta(minutes=2)),
+    ]
+    new = spark.createDataFrame(
+        new_rows, "vec_id bigint, v array<double>, ts timestamp")
+
+    batch = ivf.semdedup_collision_stream(
+        new, idx, "v", "vec_id", cents, tau=0.9).collect()
+    batch_by_id = {r["vec_id"]: r["ts"] for r in batch}
+    assert batch_by_id[100] == t0 + datetime.timedelta(minutes=1)  # min(ts)
+
+    src = tmp_path / "emb_rep_src"
+    new.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    out = _run_stream(
+        spark,
+        ivf.semdedup_collision_stream(stream, idx, "v", "vec_id", cents,
+                                      tau=0.9),
+        "semdedup_collisions_rep", tmp_path, mode="append")
+    got = out.collect()
+    assert {r["vec_id"] for r in got} == set(batch_by_id)  # id-set parity
+    assert len(got) == len(batch_by_id)  # one flag per id either way
+    valid_ts = {(r[0], r[2]) for r in new_rows}
+    assert all((r["vec_id"], r["ts"]) in valid_ts for r in got)
