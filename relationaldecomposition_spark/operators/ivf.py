@@ -330,6 +330,64 @@ def _np_assigned(df: DataFrame, vec_col: str, id_col: str,
             .mapInPandas(assign, out))
 
 
+def _np_routed(df: DataFrame, vec_col: str, id_col: str,
+               coarse: list[tuple[int, list[float]]],
+               route_probes: int) -> DataFrame:
+    """(id, v, route, _rk): top-``route_probes`` coarse routes per vector,
+    _rk = 1..p by ascending (distance, cell id) — the multi-probe coarse
+    step of the hierarchical faces. Same BLAS score and chunking as
+    _np_assigned; the running top-p is maintained with a stable argsort so
+    equal distances break toward the smaller cell id exactly like the
+    expression path's (d, cell) struct sort (earlier chunks carry smaller
+    cell ids, and within a chunk cids ascend). Emits p rows per input row;
+    cost O(p) rows but still O(K1·dim) score work per vector."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    if not 1 <= route_probes <= len(coarse):
+        raise ValueError(
+            f"route_probes must be in [1, {len(coarse)}]")
+    p = int(route_probes)
+    ordered = sorted(coarse)
+    cids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.array([v for _, v in ordered], dtype=np.float64)
+    c2 = (cmat * cmat).sum(axis=1)
+    out = StructType([df.schema[id_col],
+                      StructField("v", ArrayType(DoubleType())),
+                      StructField("route", LongType()),
+                      StructField("_rk", IntegerType())])
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            n = len(x)
+            best_s = np.full((n, p), np.inf)
+            best_c = np.zeros((n, p), dtype=np.int64)
+            for k0 in range(0, len(cmat), 4096):
+                k1 = min(k0 + 4096, len(cmat))
+                s = c2[k0:k1][None, :] - 2.0 * (x @ cmat[k0:k1].T)
+                cs = np.concatenate([best_s, s], axis=1)
+                cc = np.concatenate(
+                    [best_c, np.broadcast_to(cids[k0:k1], s.shape)], axis=1)
+                idx = np.argsort(cs, axis=1, kind="stable")[:, :p]
+                best_s = np.take_along_axis(cs, idx, axis=1)
+                best_c = np.take_along_axis(cc, idx, axis=1)
+            yield pd.DataFrame(
+                {id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                 "v": [x[i] for i in range(n) for _ in range(p)],
+                 "route": best_c.reshape(-1),
+                 "_rk": np.tile(np.arange(1, p + 1, dtype=np.int32), n)})
+
+    return (df.select(F.col(id_col), _as_double(vec_col).alias(vec_col))
+            .mapInPandas(assign, out))
+
+
 def _flat_base(df: DataFrame, vec_col: str, id_col: str,
                centroids: list[tuple[int, list[float]]]) -> DataFrame:
     """(id, v, n, cell) for the flat faces, built SELF-JOIN-SAFE.
@@ -466,16 +524,39 @@ def route_sub_codebook(df: DataFrame, vec_col: str, id_col: str,
 
 def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
                       coarse: list[tuple[int, list[float]]],
-                      subs: DataFrame) -> DataFrame:
+                      subs: DataFrame,
+                      route_probes: int = 1) -> DataFrame:
     """(id, v, route, cell): two-level assignment — coarse route via the
     literal argmin, then argmin over the route's sub-codebook COLUMN
     (delivered by the equi-join on route; same (distance, cell) struct-sort
     tie-break, same zip_with/aggregate float summation order as the
-    literal path and the DuckDB twin)."""
-    routed = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
-              .withColumn("route",
-                          F.element_at(_dist_structs("v", coarse),
-                                       1)["cell"]))
+    literal path and the DuckDB twin).
+
+    ``route_probes`` > 1 is MULTI-PROBE routing (the IVF analogue of
+    lsh_bucketed_topk's n_probes): each vector is assigned under its
+    route_probes nearest coarse routes — p rows per vector, ranked by
+    ``_rk`` (1 = the primary route, identical to the default output) —
+    so near-dup pairs straddling a route boundary can still co-locate.
+    Cost O(p·k2·dim) for the sub level; the coarse argmin is computed
+    once either way. Output gains the _rk column only when p > 1 so the
+    default face stays bit-stable for the DuckDB oracles."""
+    if route_probes == 1:
+        routed = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+                  .withColumn("route",
+                              F.element_at(_dist_structs("v", coarse),
+                                           1)["cell"]))
+    else:
+        if not 1 <= route_probes <= len(coarse):
+            raise ValueError(
+                f"route_probes must be in [1, {len(coarse)}]")
+        routed = (df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+                  .select(F.col(id_col), "v",
+                          F.posexplode(F.slice(
+                              F.transform(_dist_structs("v", coarse),
+                                          lambda s: s["cell"]),
+                              1, route_probes)).alias("_rk0", "route"))
+                  .select(F.col(id_col), "v", "route",
+                          (F.col("_rk0") + 1).cast("int").alias("_rk")))
     joined = routed.join(subs, "route")
     best = F.element_at(F.array_sort(F.transform(
         F.col("cb"),
@@ -484,7 +565,11 @@ def assign_cells_hier(df: DataFrame, vec_col: str, id_col: str,
                                    lambda x, y: (x - y) * (x - y)),
                         F.lit(0.0), lambda a, b: a + b).alias("d"),
             c["cell"].alias("cell")))), 1)["cell"]
-    return joined.select(F.col(id_col), "v", "route", best.alias("cell"))
+    cols = [F.col(id_col), F.col("v"), F.col("route"),
+            best.alias("cell")]
+    if route_probes > 1:
+        cols.append(F.col("_rk"))
+    return joined.select(*cols)
 
 
 def hier_codebook(df: DataFrame, vec_col: str, id_col: str,
@@ -557,7 +642,8 @@ def hier_codebook(df: DataFrame, vec_col: str, id_col: str,
 def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
                          coarse: list[tuple[int, list[float]]],
                          subs: DataFrame,
-                         prune_subs: bool = False) -> DataFrame:
+                         prune_subs: bool = False,
+                         route_probes: int = 1) -> DataFrame:
     """(id, v, route, cell): lambda-free two-level assignment against a
     GIVEN (route, cb) sub-codebook table. Coarse routing is the BLAS
     argmin (_np_assigned); the second-level argmin runs in ONE mapInPandas
@@ -588,18 +674,28 @@ def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
 
     The default (join + mapInPandas) remains the BUILD-time face, where
     k2 is sized small-constant, the corpus is large, and the broadcast
-    equi-join keeps the corpus un-shuffled."""
+    equi-join keeps the corpus un-shuffled.
+
+    ``route_probes`` > 1 routes each vector under its p nearest coarse
+    routes (_np_routed) — p rows per vector with a ``_rk`` rank column,
+    the gram twin of assign_cells_hier's multi-probe face. Default 1
+    keeps the plan and schema unchanged."""
     import numpy as np
 
     from pyspark.sql.types import (ArrayType, DoubleType, LongType,
                                    StructField, StructType)
 
-    routed = (_np_assigned(df, vec_col, id_col, coarse)
-              .withColumnRenamed("cell", "route"))
+    if route_probes == 1:
+        routed = (_np_assigned(df, vec_col, id_col, coarse)
+                  .withColumnRenamed("cell", "route"))
+    else:
+        routed = _np_routed(df, vec_col, id_col, coarse, route_probes)
+    carry = ["_rk"] if route_probes > 1 else []
     out = StructType([df.schema[id_col],
                       StructField("v", ArrayType(DoubleType())),
                       routed.schema["route"],
-                      StructField("cell", LongType())])
+                      StructField("cell", LongType())]
+                     + [routed.schema[c] for c in carry])
 
     def _route_argmin(x: "np.ndarray", cb) -> "np.ndarray":
         cids = np.array([e["cell"] for e in cb], dtype=np.int64)
@@ -621,8 +717,11 @@ def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
             x = np.array([np.asarray(v, dtype=np.float64)
                           for v in left["v"]])
             cells = _route_argmin(x, right["cb"].iloc[0])
-            return pd.DataFrame({id_col: left[id_col], "v": list(x),
-                                 "route": left["route"], "cell": cells})
+            res = {id_col: left[id_col], "v": list(x),
+                   "route": left["route"], "cell": cells}
+            for c in carry:
+                res[c] = left[c]
+            return pd.DataFrame(res)
 
         return (routed.groupBy("route").cogroup(pruned.groupBy("route"))
                 .applyInPandas(assign_group, out))
@@ -641,15 +740,18 @@ def _np_assign_with_subs(df: DataFrame, vec_col: str, id_col: str,
                 m = routes == r
                 cb = pdf["cb"].iloc[int(np.nonzero(m)[0][0])]
                 cells[m] = _route_argmin(x[m], cb)
-            yield pd.DataFrame({id_col: pdf[id_col], "v": list(x),
-                                "route": pdf["route"], "cell": cells})
+            res = {id_col: pdf[id_col], "v": list(x),
+                   "route": pdf["route"], "cell": cells}
+            for c in carry:
+                res[c] = pdf[c]
+            yield pd.DataFrame(res)
 
     return joined.mapInPandas(assign, out)
 
 
 def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
                       coarse: list[tuple[int, list[float]]],
-                      k2: int) -> DataFrame:
+                      k2: int, route_probes: int = 1) -> DataFrame:
     """(id, v, route, cell): the self-contained face — derive the
     sub-codebook from df itself (hier_codebook) and assign df against it
     (_np_assign_with_subs). The vectorized twin of route_sub_codebook +
@@ -658,14 +760,16 @@ def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
     call _np_assign_with_subs per batch instead (semdedup_incremental
     does this when given ``subs``)."""
     subs = hier_codebook(df, vec_col, id_col, coarse, k2, kernel="gram")
-    return _np_assign_with_subs(df, vec_col, id_col, coarse, subs)
+    return _np_assign_with_subs(df, vec_col, id_col, coarse, subs,
+                                route_probes=route_probes)
 
 
 def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
                         k2: int, tau: float,
                         max_cell: int | None = None,
-                        kernel: str = "expr") -> DataFrame:
+                        kernel: str = "expr",
+                        route_probes: int = 1) -> DataFrame:
     """Hierarchical SemDeDup pairs: two-level cell assignment
     (route_sub_codebook / assign_cells_hier), then the same within-cell
     cosine pair join as semdedup_pairs. Returns (cell, id_a, id_b, cosine)
@@ -674,16 +778,43 @@ def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
     Scale contract: per-row assignment cost O((K1 + k2) * dim) with total
     cells K1 * k2 — size BOTH levels with the corpus (K1 ~ k2 ~ sqrt(n /
     target_cell_size)) and neither the literal expression nor the joined
-    codebook grows linearly in n."""
-    if kernel == "gram":
-        base = _np_assigned_hier(df, vec_col, id_col, coarse, k2)
+    codebook grows linearly in n.
+
+    ``route_probes`` (default 1): two-level routing pays a measured ~2x
+    colocation-recall gap vs a flat codebook at equal cell count
+    (SCALING.json hier_subquality_r9) — near-dup pairs straddling a
+    coarse route boundary never share a cell. Multi-probe routing closes
+    most of it: each vector enters the pair GENERATION under its p
+    nearest routes (p rows, O(p·k2·dim) extra assignment work — still
+    codebook-flat), pairs are generated within every probed cell, and a
+    pair seen in several shared cells is emitted once (min cell, same
+    cosine). Output stays one row per (id_a, id_b); the default keeps the
+    single-probe plan bit-stable for the DuckDB oracles."""
+    if route_probes == 1:
+        if kernel == "gram":
+            base = _np_assigned_hier(df, vec_col, id_col, coarse, k2)
+            return _cell_pairs(base, id_col, tau, max_cell, kernel)
+        df = _fresh(df)
+        assigned = assign_cells_hier(df, vec_col, id_col, coarse,
+                                     route_sub_codebook(df, vec_col, id_col,
+                                                        coarse, k2))
+        base = assigned.withColumn("n", _norm(F.col("v")))
         return _cell_pairs(base, id_col, tau, max_cell, kernel)
-    df = _fresh(df)
-    assigned = assign_cells_hier(df, vec_col, id_col, coarse,
-                                 route_sub_codebook(df, vec_col, id_col,
-                                                    coarse, k2))
-    base = assigned.withColumn("n", _norm(F.col("v")))
-    return _cell_pairs(base, id_col, tau, max_cell, kernel)
+    if kernel == "gram":
+        base = _np_assigned_hier(df, vec_col, id_col, coarse, k2,
+                                 route_probes=route_probes)
+    else:
+        df = _fresh(df)
+        assigned = assign_cells_hier(df, vec_col, id_col, coarse,
+                                     route_sub_codebook(df, vec_col,
+                                                        id_col, coarse, k2),
+                                     route_probes=route_probes)
+        base = assigned.withColumn("n", _norm(F.col("v")))
+    pairs = _cell_pairs(base.drop("_rk"), id_col, tau, max_cell, kernel)
+    return (pairs.groupBy("id_a", "id_b")
+            .agg(F.min("cell").alias("cell"),
+                 F.max("cosine").alias("cosine"))
+            .select("cell", "id_a", "id_b", "cosine"))
 
 
 def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
@@ -750,15 +881,25 @@ def ivf_cell_index(df: DataFrame, vec_col: str, id_col: str,
 
 def ivf_cell_index_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
-                        subs: DataFrame) -> DataFrame:
+                        subs: DataFrame,
+                        route_probes: int = 1) -> DataFrame:
     """(id, v, cell): the persistable HIERARCHICAL SemDeDup cell index —
     two-level assignment against a persisted (route, cb) codebook
     (hier_codebook output). The continuous-ingest counterpart of
     ivf_cell_index: build the codebook once, assign the corpus once,
     write both partitioned by cell/route, then probe forever with
     semdedup_incremental(..., subs=subs) — per-batch assignment cost
-    O(|batch|·(K1 + k2)·dim) instead of the flat O(|batch|·K1·k2·dim)."""
-    return (_np_assign_with_subs(df, vec_col, id_col, coarse, subs)
+    O(|batch|·(K1 + k2)·dim) instead of the flat O(|batch|·K1·k2·dim).
+
+    ``route_probes`` > 1 stores each vector under its p nearest routes'
+    cells (up to p index rows per id) so later single-probe ingests can
+    find boundary-straddling neighbors — the index-side half of
+    semdedup_pairs_hier's multi-probe recall fix. Index size grows by at
+    most p×; probes stay per-cell. Downstream consumers that count or
+    survive ids must reduce per id (semdedup_incremental's survivor set
+    already does: collision flags are distinct-id)."""
+    return (_np_assign_with_subs(df, vec_col, id_col, coarse, subs,
+                                 route_probes=route_probes)
             .select(F.col(id_col), "v", "cell"))
 
 

@@ -199,6 +199,112 @@ def test_hier_assign_matches_numpy(emb, emb_np, h_coarse):
     assert got == want
 
 
+def _np_hier_multi_assign(emb_np, coarse, k2, p):
+    """Numpy oracle for multi-probe routing: per vid, the set of
+    (rk, route, cell) for its p nearest routes by (distance, route id),
+    with cell = argmin over THAT route's sub-seeds."""
+    routes = _np_assign(emb_np, coarse)
+    members: dict[int, list[int]] = {}
+    for vid, r in sorted(routes.items()):
+        members.setdefault(r, []).append(vid)
+    sub = {r: sorted(ms)[:k2] for r, ms in members.items()}
+    out: dict[int, set] = {}
+    for vid, v in emb_np.items():
+        ranked = sorted(
+            coarse, key=lambda c: (
+                float(np.sum((v - np.asarray(c[1])) ** 2)), c[0]))[:p]
+        probes = set()
+        for rk, (r, _) in enumerate(ranked, start=1):
+            if r not in sub:       # route with no members has no cells
+                continue
+            cell = min(sub[r], key=lambda s: (
+                float(np.sum((v - emb_np[s]) ** 2)), s))
+            probes.add((rk, r, cell))
+        out[vid] = probes
+    return out
+
+
+def test_hier_multi_probe_assign_matches_numpy(emb, emb_np, h_coarse):
+    """route_probes=2: both faces (expr and gram) emit exactly the
+    numpy-derived (rk, route, cell) probes per vector; rk=1 equals the
+    single-probe assignment."""
+    want = _np_hier_multi_assign(emb_np, h_coarse, H_SUB_K, 2)
+    subs_expr = ivf.route_sub_codebook(emb, "embedding", "vec_id",
+                                       h_coarse, H_SUB_K)
+    got_e: dict[int, set] = {}
+    for r in ivf.assign_cells_hier(emb, "embedding", "vec_id", h_coarse,
+                                   subs_expr, route_probes=2).collect():
+        got_e.setdefault(r["vec_id"], set()).add(
+            (r["_rk"], r["route"], r["cell"]))
+    assert got_e == want
+    subs_gram = ivf.hier_codebook(emb, "embedding", "vec_id", h_coarse,
+                                  H_SUB_K, kernel="gram")
+    got_g: dict[int, set] = {}
+    for r in ivf._np_assign_with_subs(emb, "embedding", "vec_id", h_coarse,
+                                      subs_gram, route_probes=2).collect():
+        got_g.setdefault(r["vec_id"], set()).add(
+            (r["_rk"], r["route"], r["cell"]))
+    assert got_g == want
+    # rk=1 matches the default single-probe assignment
+    single = _np_hier_assign(emb_np, h_coarse, H_SUB_K)
+    prim = {vid: next(c for rk, _, c in probes if rk == 1)
+            for vid, probes in got_e.items()}
+    assert prim == single
+    with pytest.raises(ValueError, match="route_probes"):
+        ivf.assign_cells_hier(emb, "embedding", "vec_id", h_coarse,
+                              subs_expr, route_probes=99)
+    with pytest.raises(ValueError, match="route_probes"):
+        ivf._np_routed(emb, "embedding", "vec_id", h_coarse, 0)
+
+
+def test_semdedup_hier_pairs_multi_probe_oracle(emb, emb_np, h_coarse):
+    """route_probes=2 pairs == exact cosine>=tau pairs whose probed-cell
+    sets intersect (numpy oracle); a superset of the single-probe pairs;
+    one row per (id_a, id_b); expr and gram kernels agree."""
+    from relationaldecomposition_spark.operators import dedup
+
+    exact = dedup.embedding_cosine_pairs(emb, "embedding", "vec_id",
+                                         SD_TAU).toPandas()
+    probes = _np_hier_multi_assign(emb_np, h_coarse, H_SUB_K, 2)
+    cells_of = {vid: {c for _, _, c in ps} for vid, ps in probes.items()}
+    want = {(a, b) for a, b in zip(exact.id_a, exact.id_b)
+            if cells_of[a] & cells_of[b]}
+
+    mp = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                 H_SUB_K, SD_TAU,
+                                 route_probes=2).toPandas()
+    got = set(zip(mp.id_a, mp.id_b))
+    assert got == want
+    assert len(mp) == len(got)  # one row per pair after the dedup
+    single = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                     H_SUB_K, SD_TAU).toPandas()
+    assert set(zip(single.id_a, single.id_b)) <= got
+    gram = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                   H_SUB_K, SD_TAU, kernel="gram",
+                                   route_probes=2).toPandas()
+    assert set(zip(gram.id_a, gram.id_b)) == got
+
+
+def test_ivf_cell_index_hier_multi_probe_rows(emb, emb_np, h_coarse):
+    """route_probes=2 index: per id, exactly its probed cells (<= 2 rows),
+    including the primary cell; default stays one row per id."""
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", h_coarse,
+                             H_SUB_K, kernel="gram")
+    idx = ivf.ivf_cell_index_hier(emb, "embedding", "vec_id", h_coarse,
+                                  subs, route_probes=2) \
+        .select("vec_id", "cell").toPandas()
+    got: dict[int, set] = {}
+    for a, c in zip(idx.vec_id, idx.cell):
+        got.setdefault(int(a), set()).add(int(c))
+    want = {vid: {c for _, _, c in ps}
+            for vid, ps in _np_hier_multi_assign(
+                emb_np, h_coarse, H_SUB_K, 2).items()}
+    assert got == want
+    base = ivf.ivf_cell_index_hier(emb, "embedding", "vec_id", h_coarse,
+                                   subs).select("vec_id").count()
+    assert base == emb.count()
+
+
 def test_semdedup_hier_pairs_subset_of_exact(emb, emb_np, h_coarse):
     from relationaldecomposition_spark.operators import dedup
 

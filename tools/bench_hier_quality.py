@@ -49,17 +49,22 @@ def occupancy(assigned_pdf) -> dict:
 
 
 def recall(assigned_pdf, vecs: np.ndarray, ids: np.ndarray) -> dict:
+    """Colocation recall. With multi-probe assignments (several rows per
+    vec_id) a pair counts as colocated iff the two PROBED-CELL SETS
+    intersect — exactly the pair set the within-cell kernel can see."""
     norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
     cos = norm @ norm.T
     iu = np.triu_indices(len(ids), k=1)
-    cell_of = {int(r["vec_id"]): (int(r["route"]), int(r["cell"]))
-               for _, r in assigned_pdf.iterrows()}
+    cells_of: dict[int, set] = {}
+    for _, r in assigned_pdf.iterrows():
+        cells_of.setdefault(int(r["vec_id"]), set()).add(
+            (int(r["route"]), int(r["cell"])))
     out = {}
     for tau in TAUS:
         mask = cos[iu] >= tau
         a, b = iu[0][mask], iu[1][mask]
         same = sum(1 for x, y in zip(a, b)
-                   if cell_of[int(ids[x])] == cell_of[int(ids[y])])
+                   if cells_of[int(ids[x])] & cells_of[int(ids[y])])
         out[f"exact_pairs_t{tau}"] = int(mask.sum())
         out[f"recall_t{tau}"] = (round(same / mask.sum(), 4)
                                  if mask.sum() else None)
@@ -87,6 +92,17 @@ def main():
         out["variants"][f"lloyd{iters}"] = {
             **occupancy(assigned),
             **recall(assigned, vecs, ids)}
+        if iters == 0:
+            # multi-probe routing over the SAME seed codebook (round-10
+            # ask #3): p nearest routes feed pair generation, recall is
+            # set-intersection colocation; occupancy counts probe rows
+            # (the real per-cell pair work)
+            for p in (2, 3):
+                ap = (_np_assign_with_subs(emb, "embedding", "vec_id",
+                                           coarse, subs, route_probes=p)
+                      .select("vec_id", "route", "cell").toPandas())
+                out["variants"][f"seed_p{p}"] = {
+                    **occupancy(ap), **recall(ap, vecs, ids)}
         subs.unpersist()
     # flat comparator at the SAME total cell count: 128 seed centroids,
     # single-level assignment — isolates what the two-level routing
