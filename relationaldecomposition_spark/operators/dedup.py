@@ -472,6 +472,23 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     documents) always share every block: a corpus with m exact dups of
     one text yields m^2/2 pairs BY DEFINITION of the operator — cap or
     pre-dedup exact duplicates (exact_dedup) upstream at scale."""
+    sigs = simhash(df, text_col, id_col, bits)
+    return hamming_pairs(sigs, id_col, "simhash", bits=bits,
+                         max_hamming=max_hamming, n_blocks=n_blocks,
+                         max_bucket=max_bucket)
+
+
+def hamming_pairs(sigs: DataFrame, id_col: str, sig_col: str,
+                  bits: int = 64, max_hamming: int = 3,
+                  n_blocks: int | None = None,
+                  max_bucket: int | None = None) -> DataFrame:
+    """(id_a, id_b, hamming): every pair of FIXED-WIDTH integer
+    signatures differing in at most ``max_hamming`` bits — the pigeonhole
+    block join factored out of ``simhash_pairs`` so ANY signature column
+    can use it (SimHash text signatures, image perceptual hashes
+    (multimodal.image_phash), bit-sampled embeddings). Null signatures
+    are dropped (an undecodable payload pairs with nothing). Semantics,
+    guard, and scale shape exactly as simhash_pairs documents."""
     if n_blocks is None:
         n_blocks = max_hamming + 1
     if n_blocks < max_hamming + 1:
@@ -483,16 +500,17 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
     base, rem = divmod(bits, n_blocks)
     widths = [base + 1 if i < rem else base for i in range(n_blocks)]
     starts = [sum(widths[:i]) for i in range(n_blocks)]
-    sigs = simhash(df, text_col, id_col, bits)
+    sigs = (sigs.where(F.col(sig_col).isNotNull())
+            .select(F.col(id_col), F.col(sig_col).alias("_sig")))
     params = F.array(*[
         F.struct(F.lit(i).alias("bi"), F.lit(starts[i]).alias("st"),
                  F.lit((1 << widths[i]) - 1).alias("mask"))
         for i in range(n_blocks)])
-    blocks = (sigs.select(F.col(id_col), "simhash",
+    blocks = (sigs.select(F.col(id_col), "_sig",
                           F.explode(params).alias("p"))
-              .select(F.col(id_col), "simhash",
+              .select(F.col(id_col), "_sig",
                       F.col("p.bi").alias("bi"),
-                      F.expr("shiftrightunsigned(simhash, p.st) & p.mask")
+                      F.expr("shiftrightunsigned(_sig, p.st) & p.mask")
                        .alias("bv")))
     if max_bucket is not None:
         bsz = (blocks.groupBy("bi", "bv")
@@ -501,9 +519,9 @@ def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
                .select("bi", "bv"))
         blocks = blocks.join(bsz, ["bi", "bv"])
     a = blocks.select(F.col(id_col).alias("id_a"),
-                      F.col("simhash").alias("sig_a"), "bi", "bv")
+                      F.col("_sig").alias("sig_a"), "bi", "bv")
     b = blocks.select(F.col(id_col).alias("id_b"),
-                      F.col("simhash").alias("sig_b"), "bi", "bv")
+                      F.col("_sig").alias("sig_b"), "bi", "bv")
     cand = (a.join(b, ["bi", "bv"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", "sig_a", "sig_b")

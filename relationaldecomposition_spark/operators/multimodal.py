@@ -299,6 +299,99 @@ class PillowDecoder(Decoder):
         })
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("width", T.IntegerType(), True),
+    T.StructField("height", T.IntegerType(), True),
+    T.StructField("phash", T.LongType(), True),
+])
+
+
+def image_phash(media: DataFrame, method: str = "dhash",
+                grid_w: int | None = None, grid_h: int = 8,
+                batch_size: int = 256) -> DataFrame:
+    """Perceptual hash over REAL decoded pixels (P6 PPM, maxval<=255) —
+    the image analogue of ``dedup.simhash``: (media_id, width, height,
+    phash) where phash is a 64-bit signature of the grayscale thumbnail,
+    near-equal for near-identical images. Feed into
+    ``dedup.hamming_pairs`` (the pigeonhole block join simhash_pairs
+    uses) for the standard pre-embedding image-dedup pass of a
+    multimodal training pipeline. Non-P6/truncated payloads hash to
+    null. Map-only: numpy over Arrow batches, no shuffle.
+
+    - ``dhash`` (default, grid 9x8 -> 64 bits): gradient hash — block-
+      average the grayscale image to grid_h rows x grid_w cols, bit
+      (r, c) = cell(r, c) brighter than cell(r, c+1).
+    - ``ahash`` (grid 8x8 -> 64 bits): average hash — bit = cell mean
+      above the global mean.
+
+    All comparisons are INTEGER-exact (cross-multiplied sums, never
+    float division) so the DuckDB twin replays the identical hash from
+    the same sample bytes; grayscale = R+G+B (unscaled sum — ordering is
+    what matters). Empty grid cells (image narrower/shorter than the
+    grid) compare as 0-vs-0 -> bit 0 on both engines. Bit i of the hash
+    is comparison i in row-major grid order; bit 63 lands in the sign
+    bit (two's complement, same value both engines)."""
+    import numpy as np
+
+    if method == "dhash":
+        gw = 9 if grid_w is None else int(grid_w)
+        n_bits = (gw - 1) * grid_h
+    elif method == "ahash":
+        gw = 8 if grid_w is None else int(grid_w)
+        n_bits = gw * grid_h
+    else:
+        raise ValueError(f"unknown phash method: {method!r}")
+    gh = int(grid_h)
+    if not 1 <= n_bits <= 64:
+        raise ValueError(f"grid yields {n_bits} bits, need 1..64")
+
+    def one(b) -> tuple:
+        w, h, ch, fmt = parse_media_header(b)
+        if fmt != "ppm" or b[1:2] != b"6" or ch != 3:
+            return (None, None, None)
+        off = _pnm_payload_offset(b)
+        n = w * h * ch
+        if off is None or len(b) < off + n:
+            return (w, h, None)
+        px = np.frombuffer(b, dtype=np.uint8, count=n, offset=off)
+        gray = px.reshape(-1, 3).astype(np.int64).sum(axis=1) \
+                 .reshape(h, w)
+        gx = (np.arange(w, dtype=np.int64) * gw) // w
+        gy = (np.arange(h, dtype=np.int64) * gh) // h
+        idx = (gy[:, None] * gw + gx[None, :]).ravel()
+        sums = np.bincount(idx, weights=gray.ravel(),
+                           minlength=gh * gw).astype(np.int64) \
+                 .reshape(gh, gw)
+        cnts = np.bincount(idx, minlength=gh * gw).astype(np.int64) \
+                 .reshape(gh, gw)
+        if method == "dhash":
+            bits = (sums[:, :-1] * cnts[:, 1:]
+                    > sums[:, 1:] * cnts[:, :-1]).ravel()
+        else:
+            bits = (sums * (w * h) > int(gray.sum()) * cnts).ravel()
+        u = np.uint64(0)
+        for i in np.nonzero(bits)[0]:
+            u |= np.uint64(1) << np.uint64(i)
+        return (w, h, int(u.astype(np.int64)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[start:start + batch_size]
+                rows = [one(b) for b in chunk["content"]]
+                yield pd.DataFrame(
+                    {"media_id": chunk["media_id"].values,
+                     "width": pd.array([r[0] for r in rows],
+                                       dtype="Int32"),
+                     "height": pd.array([r[1] for r in rows],
+                                        dtype="Int32"),
+                     "phash": pd.array([r[2] for r in rows],
+                                       dtype="Int64")})
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 def documents_as_media(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Adapter: treat document text bytes as an opaque media payload —
@@ -341,17 +434,30 @@ def documents_as_ppm(df: DataFrame, text_col: str = "text",
 
 def documents_as_ppm_textured(df: DataFrame, text_col: str = "text",
                               id_col: str = "doc_id",
-                              max_w: int = 64, max_h: int = 48) -> DataFrame:
+                              max_w: int = 64, max_h: int = 48,
+                              fixed_w: int | None = None,
+                              fixed_h: int | None = None) -> DataFrame:
     """documents_as_ppm with REAL pixel variety: sample bytes are the
     document's printable-ASCII characters tiled to fill w*h*3 — so
     per-channel means are a genuine function of the pixel data, not a
     constant fill. Text is sanitized to [space..~] (keeps byte length ==
     char length and keeps newlines out of the payload, letting the SQL
     oracle slice the payload with split_part) and padded with 'x' so empty
-    documents still produce a full image. Column expressions only."""
-    w = (F.col(id_col) % max_w + 1).cast("int")
-    h = (F.col(id_col) % max_h + 1).cast("int")
-    max_bytes = max_w * max_h * 3
+    documents still produce a full image. Column expressions only.
+
+    ``fixed_w``/``fixed_h`` pin every image to one size instead of the
+    id-derived dims — the shape the perceptual-hash dedup plane needs
+    (hashes of differently-sized tilings of the same text don't align)."""
+    if (fixed_w is None) != (fixed_h is None):
+        raise ValueError("fixed_w and fixed_h must be set together")
+    if fixed_w is not None:
+        w = F.lit(int(fixed_w)).cast("int")
+        h = F.lit(int(fixed_h)).cast("int")
+        max_bytes = int(fixed_w) * int(fixed_h) * 3
+    else:
+        w = (F.col(id_col) % max_w + 1).cast("int")
+        h = (F.col(id_col) % max_h + 1).cast("int")
+        max_bytes = max_w * max_h * 3
     clean = F.concat(F.regexp_replace(F.col(text_col), "[^ -~]", ""),
                      F.lit("x"))
     times = (F.floor(F.lit(max_bytes) / F.length(clean)) + 1).cast("int")

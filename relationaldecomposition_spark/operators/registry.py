@@ -1998,6 +1998,81 @@ def q_o43_hll_distinct(spark, sf_dir):
     return sketches.hll_distinct(li, SKETCH_GROUP, SKETCH_VALUE, HLL_P)
 
 
+PHASH_W, PHASH_H = 32, 24      # fixed canvas: hashes must align across images
+PHASH_MAX_HAMMING = 16
+
+
+def q_o73_image_phash_pairs(spark, sf_dir):
+    """Perceptual-hash image near-dup (round-10 ask #4): every document
+    rendered as a FIXED-SIZE textured P6 PPM (same-size canvases are what
+    make perceptual hashes comparable), dHashed from the REAL pixel bytes
+    (multimodal.image_phash: 9x8 grayscale grid, integer-exact adjacent-
+    cell comparisons), then paired with the pigeonhole hamming block join
+    (dedup.hamming_pairs — simhash_pairs' join factored over any fixed-
+    width signature). The standard pre-embedding image-dedup pass of a
+    multimodal training pipeline. The oracle re-derives the hash per
+    image from the same payload bytes in SQL (grid sums + cross-
+    multiplied comparisons + bit_or packing) and verifies pairs with an
+    exact all-pairs xor/bit_count — no pigeonhole, so the block join's
+    100%-recall claim is itself under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_ppm_textured(docs, fixed_w=PHASH_W,
+                                                 fixed_h=PHASH_H)
+    ph = multimodal.image_phash(media, method="dhash")
+    return dedup.hamming_pairs(ph, "media_id", "phash", bits=64,
+                               max_hamming=PHASH_MAX_HAMMING)
+
+
+def _oracle_image_phash_pairs(w: int = PHASH_W, h: int = PHASH_H,
+                              gw: int = 9, gh: int = 8,
+                              max_hamming: int = PHASH_MAX_HAMMING) -> str:
+    """DuckDB twin of q_o73: build the identical fixed-size textured PPM
+    payload, re-derive the 64-bit dHash from the sample bytes (per-pixel
+    grayscale -> grid sums -> integer cross-multiplied comparisons ->
+    bit_or packing; bit 63 via the min-long literal — 1<<63 overflows
+    DuckDB's BIGINT), then exact all-pairs xor/bit_count."""
+    nb = w * h * 3
+    return f"""
+      WITH src AS (
+        SELECT doc_id::BIGINT AS media_id,
+               regexp_replace(text, '[^ -~]', '', 'g') || 'x' AS clean
+        FROM documents),
+      hdr AS (
+        SELECT media_id,
+               substr(repeat(clean, ({nb} // length(clean) + 1)::INT),
+                      1, {nb}) AS payload
+        FROM src),
+      px AS (
+        SELECT media_id, i,
+               (ascii(substr(payload, (3*i+1)::INT, 1))
+                + ascii(substr(payload, (3*i+2)::INT, 1))
+                + ascii(substr(payload, (3*i+3)::INT, 1)))::BIGINT AS gray
+        FROM hdr, (SELECT unnest(range(0, {w * h})) AS i)),
+      cells AS (
+        SELECT media_id,
+               (((i // {w}) * {gh}) // {h}) AS gy,
+               (((i % {w}) * {gw}) // {w}) AS gx,
+               sum(gray) AS s, count(*)::BIGINT AS c
+        FROM px GROUP BY 1, 2, 3),
+      bits AS (
+        SELECT a.media_id, (a.gy * {gw - 1} + a.gx)::INT AS idx
+        FROM cells a JOIN cells b
+          ON a.media_id = b.media_id AND a.gy = b.gy AND b.gx = a.gx + 1
+        WHERE a.s * b.c > b.s * a.c),
+      ph AS (
+        SELECT h.media_id,
+               coalesce(bit_or(CASE WHEN idx = 63
+                                    THEN (-9223372036854775807 - 1)::BIGINT
+                                    ELSE (1::BIGINT << idx) END),
+                        0) AS phash
+        FROM hdr h LEFT JOIN bits USING (media_id)
+        GROUP BY h.media_id)
+      SELECT a.media_id AS id_a, b.media_id AS id_b,
+             bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+      FROM ph a JOIN ph b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}"""
+
+
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o01_exact_dedup": q_o01_exact_dedup,
     "o02_minhash_sigs": q_o02_minhash_sigs,
@@ -2070,6 +2145,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o70_remove_dup_spans": q_o70_remove_dup_spans,
     "o71_temperature_mix": q_o71_temperature_mix,
     "o72_kmv_threshold": q_o72_kmv_threshold,
+    "o73_image_phash_pairs": q_o73_image_phash_pairs,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2185,4 +2261,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o68_curation_funnel": _oracle_curation_funnel(),
     "o70_remove_dup_spans": _oracle_remove_dup_spans(),
     "o71_temperature_mix": _oracle_temperature_mix(),
+    "o73_image_phash_pairs": _oracle_image_phash_pairs(),
 }

@@ -182,3 +182,131 @@ def test_pillow_decoder_agrees_with_header_decoder():
     assert got.loc[0, "width"] == hdr.loc[0, "width"] == 3
     assert got.loc[0, "height"] == hdr.loc[0, "height"] == 2
     assert got.loc[0, "channels"] == hdr.loc[0, "channels"] == 3
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash (image_phash + dedup.hamming_pairs)
+# ---------------------------------------------------------------------------
+
+def _ppm(w, h, pixels):
+    """Raw P6 bytes from a flat list of (r, g, b)."""
+    body = bytes(v for px in pixels for v in px)
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def _py_dhash(w, h, pixels, gw=9, gh=8):
+    """Independent python re-derivation of the 9x8 integer dHash."""
+    gray = [sum(px) for px in pixels]
+    sums = [[0] * gw for _ in range(gh)]
+    cnts = [[0] * gw for _ in range(gh)]
+    for p, g in enumerate(gray):
+        x, y = p % w, p // w
+        sums[(y * gh) // h][(x * gw) // w] += g
+        cnts[(y * gh) // h][(x * gw) // w] += 1
+    u = 0
+    for r in range(gh):
+        for c in range(gw - 1):
+            if sums[r][c] * cnts[r][c + 1] > sums[r][c + 1] * cnts[r][c]:
+                u |= 1 << (r * (gw - 1) + c)
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def test_image_phash_matches_python_oracle(spark):
+    """dhash == the per-pixel python re-derivation, including images
+    narrower than the grid (empty cells), the sign bit, and non-P6/
+    truncated payloads hashing to null."""
+    import random
+
+    rng = random.Random(42)
+    fixtures = []
+    for mid, (w, h) in enumerate([(32, 24), (9, 8), (4, 3), (1, 1),
+                                  (64, 48), (17, 11)]):
+        px = [(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+              for _ in range(w * h)]
+        fixtures.append((mid, w, h, px))
+    rows = [(mid, _ppm(w, h, px), "image", None)
+            for mid, w, h, px in fixtures]
+    rows.append((100, b"GIF89a junk", "image", None))          # non-P6
+    rows.append((101, b"P6\n4 4\n255\nxx", "image", None))     # truncated
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r["media_id"]: r["phash"]
+           for r in multimodal.image_phash(media, "dhash").collect()}
+    for mid, w, h, px in fixtures:
+        assert got[mid] == _py_dhash(w, h, px), (mid, w, h)
+    assert got[100] is None and got[101] is None
+    with pytest.raises(ValueError, match="method"):
+        multimodal.image_phash(media, "md5")
+
+
+def test_image_phash_planted_near_dups_recall(spark):
+    """Planted-recall property (round-10 ask #4): textured base images
+    plus near-duplicates (a few pixels perturbed) and unrelated images.
+    Every planted near-dup pair must surface within the hamming budget
+    (recall 1.0) and no unrelated pair may (on this fixture)."""
+    import random
+
+    from relationaldecomposition_spark.operators import dedup
+
+    rng = random.Random(7)
+    w, h = 32, 24
+    rows = []
+    planted = set()
+    for fam in range(6):
+        base = [(rng.randrange(256),) * 3 for _ in range(w * h)]
+        rows.append((fam * 10, _ppm(w, h, base), "image", None))
+        # near-dup: perturb 20 random pixels slightly
+        dup = list(base)
+        for _ in range(20):
+            i = rng.randrange(w * h)
+            v = min(255, dup[i][0] + 8)
+            dup[i] = (v, v, v)
+        rows.append((fam * 10 + 1, _ppm(w, h, dup), "image", None))
+        planted.add((fam * 10, fam * 10 + 1))
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    ph = multimodal.image_phash(media, "dhash")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.hamming_pairs(ph, "media_id", "phash",
+                                          bits=64,
+                                          max_hamming=10).collect()}
+    assert planted <= set(pairs), planted - set(pairs)   # recall 1.0
+    assert set(pairs) == planted                          # no false pairs
+    # ahash face also separates the families on this fixture
+    pa = multimodal.image_phash(media, "ahash")
+    pairs_a = {(r["id_a"], r["id_b"])
+               for r in dedup.hamming_pairs(pa, "media_id", "phash",
+                                            bits=64,
+                                            max_hamming=10).collect()}
+    assert planted <= pairs_a
+
+
+def test_hamming_pairs_brute_force_and_guard(spark):
+    """hamming_pairs == exact all-pairs xor/bit_count on random 64-bit
+    signatures (pigeonhole recall is lossless); nulls drop; the
+    max_bucket guard only removes pairs."""
+    import random
+
+    from relationaldecomposition_spark.operators import dedup
+
+    rng = random.Random(3)
+    sigs = [(i, rng.getrandbits(64) - (1 << 63)) for i in range(80)]
+    # clone a few signatures to create hamming-0 clusters
+    sigs += [(100 + i, sigs[i][1]) for i in range(5)]
+    rows = sigs + [(999, None)]
+    df = spark.createDataFrame(rows, "id bigint, sig bigint")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in dedup.hamming_pairs(df, "id", "sig", bits=64,
+                                        max_hamming=12).collect()}
+    want = {}
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sigs[i], sigs[j]
+            hd = bin((a[1] ^ b[1]) & ((1 << 64) - 1)).count("1")
+            if hd <= 12:
+                key = (min(a[0], b[0]), max(a[0], b[0]))
+                want[key] = hd
+    assert got == want and len(got) >= 5
+    guarded = {(r["id_a"], r["id_b"])
+               for r in dedup.hamming_pairs(df, "id", "sig", bits=64,
+                                            max_hamming=12,
+                                            max_bucket=2).collect()}
+    assert guarded <= set(got)
