@@ -249,6 +249,38 @@ def build_queries(spark, sf_dir: str):
         _force(remove_duplicate_spans(docs, "text", "doc_id",
                                       shingle_k=8))
 
+    def image_phash_q():
+        # o73's production face: perceptual-hash image near-dup —
+        # fixed-canvas textured PPMs, dHash over real pixel bytes
+        # (map-only Arrow kernel), pigeonhole hamming block join at the
+        # standard tight dedup threshold (10/64; the o73 GATE uses the
+        # loose 16/64 for oracle discrimination at tiny sf — its ~4-bit
+        # blocks make bucket sizes, and thus candidates, grow
+        # super-linearly, the same economics the LSH guard documents)
+        # plus the hot-bucket cap for skew safety.
+        from relationaldecomposition_spark.operators.dedup import (
+            hamming_pairs)
+        from relationaldecomposition_spark.operators.multimodal import (
+            documents_as_ppm_textured, image_phash)
+        docs = load_table(spark, sf_dir, "documents")
+        media = documents_as_ppm_textured(docs, fixed_w=32, fixed_h=24)
+        ph = image_phash(media, method="dhash")
+        _force(hamming_pairs(ph, "media_id", "phash", bits=64,
+                             max_hamming=10, max_bucket=4096))
+
+    def semdedup_hier_p2():
+        # round-10: the multi-probe recall fix under the gram kernel —
+        # p=2 routing, pair generation in every probed cell, one row per
+        # pair (SCALING.json hier_multiprobe_r10 has the recall evidence)
+        from relationaldecomposition_spark.operators.ivf import (
+            seed_centroids, semdedup_pairs_hier)
+        emb = load_table(spark, sf_dir, "embeddings")
+        coarse = seed_centroids(emb, "embedding", "vec_id",
+                                list(range(0, 480, 30)))
+        _force(semdedup_pairs_hier(emb, "embedding", "vec_id", coarse,
+                                   8, 0.3, kernel="gram",
+                                   route_probes=2))
+
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
         _force(lsh_candidate_pairs(docs, "text", "doc_id"))
@@ -570,6 +602,9 @@ def build_queries(spark, sf_dir: str):
         "semdedup_incr_hier": semdedup_incr_hier,
         # round-9 addition
         "remove_dup_spans": remove_dup_spans_q,
+        # round-10 additions
+        "image_phash": image_phash_q,
+        "semdedup_hier_p2": semdedup_hier_p2,
     }
 
 

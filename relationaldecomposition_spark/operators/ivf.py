@@ -937,7 +937,9 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                          max_cell: int | None = None,
                          assigned: DataFrame | None = None,
                          subs: DataFrame | None = None,
-                         prune_index: bool | None = None) -> DataFrame:
+                         prune_index: bool | None = None,
+                         route_probes: int = 1,
+                         distinct_partners: bool | None = None) -> DataFrame:
     """Probe-only SemDeDup of a NEW ingest batch against a persisted cell
     index (`ivf_cell_index` output) — the continuous-ingestion pattern for
     EMBEDDING near-dups, mirroring dedup.incremental_dedup's contract: the
@@ -991,15 +993,40 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
     semdedup_incremental_scale; the hier regime measured 14.6× at 1M
     cells, semdedup_hier_bigbook). ``subs`` MUST be the codebook the
     index was built with — a codebook re-derived from any other frame has
-    different sub-centroids and silently incompatible cell ids."""
+    different sub-centroids and silently incompatible cell ids.
+
+    ``route_probes`` > 1 probes each BATCH row's p nearest cells (flat
+    regime: top-p cells via _np_routed; hier regime: its p nearest
+    routes' cells) so boundary-straddling neighbors are found — the
+    probe-side half of the multi-probe recall fix (SCALING.json
+    hier_multiprobe_r10). Hit counts then become DISTINCT-partner counts
+    (a partner shared by two probed cells counts once); ``survives`` is
+    unaffected (zero is zero either way). ``distinct_partners`` can also
+    be forced True when probing a store built with
+    ``ivf_cell_index_hier(route_probes>1)`` (a multi-probe INDEX can
+    hold the same partner in two cells)."""
     from .gram import gram_group_pairs_cross
 
+    if distinct_partners is None:
+        distinct_partners = route_probes > 1
+    elif route_probes > 1 and not distinct_partners:
+        raise ValueError("route_probes > 1 requires distinct_partners "
+                         "(a multi-probed batch id would otherwise "
+                         "multiply every pair by its probe count)")
     if assigned is None:
         if subs is not None:
             assigned = (_np_assign_with_subs(new_df, vec_col, id_col,
                                              centroids, subs,
-                                             prune_subs=True)
+                                             prune_subs=True,
+                                             route_probes=route_probes)
                         .select(F.col(id_col), "v", "cell"))
+        elif route_probes > 1:
+            # flat regime: the coarse codebook IS the cell space, so the
+            # top-p routes are the top-p cells
+            assigned = (_np_routed(new_df, vec_col, id_col, centroids,
+                                   route_probes)
+                        .select(F.col(id_col), "v",
+                                F.col("route").alias("cell")))
         else:
             assigned = _np_assigned(new_df, vec_col, id_col, centroids)
     assigned = assigned.withColumn("_new", F.lit(True))
@@ -1018,6 +1045,12 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                                    "_new", tau)
     flags = both.select(F.col(id_col).alias("_fid"),
                         F.col("_new").alias("_fnew"))
+    if distinct_partners:
+        # multi-probe: the same partner pair can co-occur in several
+        # probed cells, and a probed id has one flag row per probe —
+        # reduce both so hits count DISTINCT partners
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+        flags = flags.distinct()
     tagged = (pairs
               .join(flags.withColumnRenamed("_fid", "id_a")
                          .withColumnRenamed("_fnew", "_new_a"), "id_a")

@@ -5,6 +5,7 @@ candidate join must be a broadcast equi-join on cell)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from relationaldecomposition_spark.operators import ivf, similarity
 from tests.conftest import load
@@ -303,6 +304,94 @@ def test_ivf_cell_index_hier_multi_probe_rows(emb, emb_np, h_coarse):
     base = ivf.ivf_cell_index_hier(emb, "embedding", "vec_id", h_coarse,
                                    subs).select("vec_id").count()
     assert base == emb.count()
+
+
+def test_semdedup_incremental_multi_probe_oracle(emb, emb_np, h_coarse):
+    """Probe-side multi-probe (flat and hier): hits == numpy-derived
+    DISTINCT-partner counts where a batch row sees an index partner iff
+    the partner's cell is among its probed cells, and a batch partner
+    iff their probed-cell sets intersect; survives unchanged in meaning;
+    route_probes=2 finds at least as many non-survivors as 1."""
+    corpus = emb.where(F.col("vec_id") % 2 == 0)
+    batch = emb.where(F.col("vec_id") % 2 == 1)
+    tau = SD_TAU
+
+    def cos(a, b):
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        return float(a @ b / (na * nb))
+
+    corpus_ids = sorted(v for v in emb_np if v % 2 == 0)
+    batch_ids = sorted(v for v in emb_np if v % 2 == 1)
+
+    for face in ("flat", "hier"):
+        if face == "flat":
+            cents = ivf.seed_centroids(corpus, "embedding", "vec_id",
+                                       [i for i in CIDS if i % 2 == 0])
+            idx = ivf.ivf_cell_index(corpus, "embedding", "vec_id", cents)
+            got_df = ivf.semdedup_incremental(batch, idx, "embedding",
+                                              "vec_id", cents, tau,
+                                              route_probes=2)
+            cents_np = cents
+            icell = _np_assign({v: emb_np[v] for v in corpus_ids},
+                               cents_np)
+            ranked = {}
+            for v in batch_ids:
+                x = emb_np[v]
+                order = sorted(cents_np, key=lambda c: (
+                    float(np.sum((x - np.asarray(c[1])) ** 2)), c[0]))
+                ranked[v] = {c for c, _ in order[:2]}
+        else:
+            subs = ivf.hier_codebook(corpus, "embedding", "vec_id",
+                                     h_coarse, H_SUB_K, kernel="gram")
+            idx = ivf.ivf_cell_index_hier(corpus, "embedding", "vec_id",
+                                          h_coarse, subs)
+            got_df = ivf.semdedup_incremental(batch, idx, "embedding",
+                                              "vec_id", h_coarse, tau,
+                                              subs=subs, route_probes=2)
+            corpus_np = {v: emb_np[v] for v in corpus_ids}
+            icell_full = _np_hier_assign(corpus_np, h_coarse, H_SUB_K)
+            icell = {v: icell_full[v] for v in corpus_ids}
+            # batch probes against the CORPUS codebook
+            routes = _np_assign(corpus_np, h_coarse)
+            members: dict[int, list[int]] = {}
+            for vid, r in sorted(routes.items()):
+                members.setdefault(r, []).append(vid)
+            sub_seeds = {r: sorted(ms)[:H_SUB_K]
+                         for r, ms in members.items()}
+            ranked = {}
+            for v in batch_ids:
+                x = emb_np[v]
+                order = sorted(h_coarse, key=lambda c: (
+                    float(np.sum((x - np.asarray(c[1])) ** 2)), c[0]))
+                probes = set()
+                for r, _ in order[:2]:
+                    if r in sub_seeds:
+                        probes.add(min(sub_seeds[r], key=lambda s: (
+                            float(np.sum((x - emb_np[s]) ** 2)), s)))
+                ranked[v] = probes
+
+        got = {r["vec_id"]: (r["n_index_hits"], r["n_batch_hits"],
+                             r["survives"]) for r in got_df.collect()}
+        for v in batch_ids:
+            ih = sum(1 for u in corpus_ids
+                     if icell[u] in ranked[v]
+                     and cos(emb_np[v], emb_np[u]) >= tau)
+            bh = sum(1 for u in batch_ids
+                     if u < v and (ranked[u] & ranked[v])
+                     and cos(emb_np[v], emb_np[u]) >= tau)
+            assert got[v] == (ih, bh, ih == 0 and bh == 0), (face, v)
+        # recall monotonicity vs single probe
+        if face == "flat":
+            single = ivf.semdedup_incremental(batch, idx, "embedding",
+                                              "vec_id", cents, tau)
+            s1 = {r["vec_id"] for r in single.collect()
+                  if not r["survives"]}
+            s2 = {v for v, (ih, bh, s) in got.items() if not s}
+            assert s1 <= s2
+    with pytest.raises(ValueError, match="distinct_partners"):
+        ivf.semdedup_incremental(batch, idx, "embedding", "vec_id",
+                                 h_coarse, tau, subs=subs,
+                                 route_probes=2, distinct_partners=False)
 
 
 def test_semdedup_hier_pairs_subset_of_exact(emb, emb_np, h_coarse):
