@@ -1717,6 +1717,75 @@ def q_o56_semdedup_hier_pairs(spark, sf_dir):
                       F.round("cosine", ROUND).alias("cosine"))
 
 
+def q_o75_semdedup_multiprobe(spark, sf_dir):
+    """The round-10 multi-probe recall fix ITSELF under the hard gate:
+    hierarchical SemDeDup pairs with route_probes=2 — every vector
+    enters pair generation under its two nearest coarse routes, pairs
+    form in every probed cell, each (id_a, id_b) emitted once with the
+    smallest shared cell. Expression kernel (bit-stable vs the twin).
+    The pair set is a measured ~2x-recall superset of o56's single-probe
+    set at identical cells (SCALING.json hier_multiprobe_r10)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
+    out = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse,
+                                  HIER_SUB_K, SEMDEDUP_TAU,
+                                  route_probes=2)
+    return out.select(F.col("cell").cast("bigint").alias("cell"),
+                      "id_a", "id_b",
+                      F.round("cosine", ROUND).alias("cosine"))
+
+
+def _oracle_semdedup_multiprobe() -> str:
+    """Twin of q_o75: the o56 two-level CTE with the assignment widened
+    to the TOP-2 routes per vector (rn <= 2; sub-seeds still derive from
+    the PRIMARY routing — the codebook is single-probe, only pair
+    generation multi-probes), pairs over any shared cell, deduped to
+    (id_a, id_b, min(cell))."""
+    cids = ", ".join(map(str, HIER_COARSE_IDS))
+    diffc = "(CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))"
+    sqdc = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> {diffc} * {diffc}))")
+    diffs = "(CAST(e.embedding[i] AS DOUBLE) - CAST(cs.embedding[i] AS DOUBLE))"
+    sqds = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+            f"i -> {diffs} * {diffs}))")
+    dot = _SQL_DOT.format(dim=EMB_DIM)
+    na = _SQL_NORM.format(dim=EMB_DIM, t="a")
+    nb = _SQL_NORM.format(dim=EMB_DIM, t="b")
+    return f"""
+      WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                    FROM embeddings WHERE vec_id IN ({cids})),
+      dr AS (SELECT e.vec_id, c.cid, {sqdc} AS sd FROM embeddings e, cent c),
+      ranked AS (SELECT vec_id, cid, row_number() OVER
+                   (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                 FROM dr),
+      route AS (SELECT vec_id, cid AS route FROM ranked WHERE rn = 1),
+      probe AS (SELECT vec_id, cid AS route FROM ranked WHERE rn <= 2),
+      sub_seed AS (SELECT route, vec_id AS scid
+                   FROM (SELECT route, vec_id, row_number() OVER
+                           (PARTITION BY route ORDER BY vec_id ASC) AS rn
+                         FROM route) WHERE rn <= {HIER_SUB_K}),
+      d2 AS (SELECT p.vec_id, p.route, s.scid, {sqds} AS sd
+             FROM probe p
+             JOIN embeddings e ON e.vec_id = p.vec_id
+             JOIN sub_seed s ON s.route = p.route
+             JOIN embeddings cs ON cs.vec_id = s.scid),
+      assign AS (SELECT vec_id, scid::BIGINT AS cell
+                 FROM (SELECT vec_id, route, scid, row_number() OVER
+                         (PARTITION BY vec_id, route
+                          ORDER BY sd ASC, scid ASC) AS rn
+                       FROM d2) WHERE rn = 1),
+      shared AS (SELECT la.vec_id AS id_a, lb.vec_id AS id_b,
+                        min(la.cell)::BIGINT AS cell
+                 FROM assign la JOIN assign lb ON lb.cell = la.cell
+                 WHERE la.vec_id < lb.vec_id
+                 GROUP BY la.vec_id, lb.vec_id)
+      SELECT s.cell, s.id_a, s.id_b,
+             round({dot} / ({na} * {nb}), {ROUND}) AS cosine
+      FROM shared s JOIN embeddings a ON a.vec_id = s.id_a
+           JOIN embeddings b ON b.vec_id = s.id_b
+      WHERE {dot} / ({na} * {nb}) >= {SEMDEDUP_TAU}"""
+
+
 def q_o60_semdedup_gram_pairs(spark, sf_dir):
     """Flat SemDeDup pairs on the round-6 GRAM kernel (BLAS argmin
     assignment + one gram matmul per cell, operators/gram.py) — the
@@ -2230,6 +2299,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o72_kmv_threshold": q_o72_kmv_threshold,
     "o73_image_phash_pairs": q_o73_image_phash_pairs,
     "o74_cell_store_probe": q_o74_cell_store_probe,
+    "o75_semdedup_multiprobe": q_o75_semdedup_multiprobe,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2347,4 +2417,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o71_temperature_mix": _oracle_temperature_mix(),
     "o73_image_phash_pairs": _oracle_image_phash_pairs(),
     "o74_cell_store_probe": _oracle_cell_store_probe(),
+    "o75_semdedup_multiprobe": _oracle_semdedup_multiprobe(),
 }

@@ -855,7 +855,7 @@ ORACLES.update(OPERATOR_ORACLES)
 # driver-window ordering
 # ---------------------------------------------------------------------------
 # The driver's correctness gate records the first ~50 entries of queries()
-# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 99
+# in dict order (each CORRECTNESS_r*.json cuts off at 50 rows). With 100
 # registered queries the window rotates each round so that the union of the
 # two most recent CORRECTNESS files always covers every query: each round
 # heads the window with every query whose only green row is the previous
@@ -898,11 +898,12 @@ _WINDOW_ROUND10: list[str] = [
     # in-window, and the query removed to make room must be green in the
     # LATEST round).
     # NOTE: exactly 50 entries.
-    "a07_entropy_single",
-    # NEW round-10 queries (must be in-window; o73/o74 displaced the
-    # a08_entropy_batch and b01_fd_search anchor slots, green in r09)
+    # NEW round-10 queries (must be in-window; o73/o74/o75 displaced
+    # the a08_entropy_batch, b01_fd_search, and a07_entropy_single
+    # anchor slots, all green in r09)
     "o73_image_phash_pairs",
     "o74_cell_store_probe",
+    "o75_semdedup_multiprobe",
 ]
 
 

@@ -4,7 +4,7 @@ therefore be either (a) inside the current first-50 window or (b) already
 hard-verified recently — a green row in one of the TWO highest-numbered
 CORRECTNESS_r*.json files (the "r{N} ∪ r{N-1} covers all" bar). Older
 rounds don't count: round 4 showed a query can be green in r03 for an old
-implementation and then be rewritten without re-verification. With 99
+implementation and then be rewritten without re-verification. With 100
 registered queries and a 50-row window this forces the window to rotate
 every round, alternating the two halves so no query goes more than one
 round without a hard driver row."""
