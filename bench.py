@@ -281,6 +281,17 @@ def build_queries(spark, sf_dir: str):
                                    8, 0.3, kernel="gram",
                                    route_probes=2))
 
+    def pq_topk_q():
+        # round-10 o76: IVF-PQ (IVFADC) — coarse probe + asymmetric
+        # product-quantization ranking, BLAS encode kernel (the
+        # production face; the gate uses the literal-expression twin)
+        from relationaldecomposition_spark.operators.pq import pq_topk
+        emb = load_table(spark, sf_dir, "embeddings")
+        _force(pq_topk(emb, "embedding", "vec_id", list(range(10)), 5,
+                       m=8, code_ids=list(range(0, 480, 30)),
+                       coarse_centroid_ids=list(range(0, 480, 30)),
+                       n_probes=8, kernel="np"))
+
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
         _force(lsh_candidate_pairs(docs, "text", "doc_id"))
@@ -605,6 +616,7 @@ def build_queries(spark, sf_dir: str):
         # round-10 additions
         "image_phash": image_phash_q,
         "semdedup_hier_p2": semdedup_hier_p2,
+        "pq_topk": pq_topk_q,
     }
 
 

@@ -1,0 +1,294 @@
+"""Product quantization (PQ) with asymmetric-distance ranking — the memory/
+IO face of ANN at corpus scale (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011, §II-III). `operators/ivf.py` holds the
+coarse quantizer the same paper builds IVFADC from; this module adds the
+fine quantizer and the ADC scorer, completing the IVF-PQ pair.
+
+The idea: split each dim-D vector into M contiguous subvectors, quantize
+each subvector against its own K-entry sub-codebook, and store only the M
+code indices per row. Ranking is ASYMMETRIC: the query stays exact — per
+query, precompute a lookup table LUT[s][j] = ||q_s − c_{s,j}||² (M·K
+doubles, codebook-sized), and a candidate's approximate distance is the sum
+over subspaces of LUT[s][code_s] — M array lookups and adds per candidate,
+never a D-dim dot product.
+
+Why this is the 100 TB path:
+
+- **Codes are tiny.** 64-dim float32 rows (256 B) become M=8 one-byte
+  codes — a 32× smaller scan for the ranking pass. At 100 TB of raw
+  embeddings the encoded table is ~3 TB; re-ranking reads raw vectors for
+  only the few candidates that survive ADC.
+- **Everything data-sized is map-only.** Encoding is one projection per
+  row (argmin over K per subspace); ADC is one expression over (codes,
+  broadcast LUT). The only shuffle is the coarse-cell candidate equi-join
+  inherited from `ivf.ivf_topk` — same plan shape, smaller payload.
+- **Codebooks are driver constants.** M·K·(D/M) = K·D floats total —
+  exactly the size of the coarse codebook — embedded as plan literals
+  (oracle face) or riding a mapInPandas closure (BLAS face).
+
+Determinism contract (the DuckDB twin in operators/registry.py replays
+every stage): sub-codebooks are seed-row slices (code id = position in the
+seed id list), per-subspace argmin tie-breaks on (distance, code), distance
+sums run left-to-right over ascending dimension, and the cross-subspace ADC
+sum runs left-to-right over ascending subspace — the same float-summation
+alignment `ivf._dist_structs` documents against DuckDB's `list_sum`.
+Optional Lloyd refinement (`lloyd_iters > 0`) trades that bit-stability for
+codebook quality, mirroring `ivf.lloyd_refine`'s contract.
+
+Reference map: the reference engine has no ANN surface — this module is
+part of the LLM-pipeline plane built beside it (see ivf.py header).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from . import ivf
+from .ivf import _as_double, seed_centroids
+
+
+def _check_geometry(dim: int, m: int) -> int:
+    if m < 1 or dim % m:
+        raise ValueError(f"m={m} must divide the vector width {dim}")
+    return dim // m
+
+
+def pq_seed_codebooks(df: DataFrame, vec_col: str, id_col: str, m: int,
+                      code_ids: list[int]) -> list[list[list[float]]]:
+    """Sub-codebooks from fixed seed rows: codebooks[s][j] is the s-th
+    subvector of the j-th seed row, so code j is the POSITION in
+    `code_ids` (positional codes keep the LUT an array lookup and align
+    both engines' tie-breaks). One codebook-sized collect, shared with the
+    coarse quantizer when the same seeds serve both roles."""
+    seeds = seed_centroids(df, vec_col, id_col, code_ids)
+    dim = len(seeds[0][1])
+    sub = _check_geometry(dim, m)
+    return [[v[s * sub:(s + 1) * sub] for _, v in seeds] for s in range(m)]
+
+
+def _code_structs(vname: str, s: int, sub: int,
+                  codebook_s: list[list[float]]) -> Column:
+    """array<struct<d: double, j: int>> for subspace s, sorted ascending by
+    (distance, code) — the per-subspace twin of ivf._dist_structs, with the
+    same construction split: the sub-codebook is ONE parsed literal, the
+    distance lambdas are API-built (see ivf._dist_structs for the
+    self-join-safety bug this avoids)."""
+    cents = F.expr("array(" + ",".join(
+        f"named_struct('j', {int(j)}, 'cv', "
+        f"array({','.join(repr(float(x)) + 'D' for x in cv)}))"
+        for j, cv in enumerate(codebook_s)) + ")")
+    v = F.slice(F.col(vname), s * sub + 1, sub)
+    return F.array_sort(F.transform(cents, lambda c: F.struct(
+        F.aggregate(F.zip_with(v, c["cv"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0), lambda a, b: a + b).alias("d"),
+        c["j"].alias("j"))))
+
+
+def _codes_expr(vname: str, codebooks: list[list[list[float]]]) -> Column:
+    sub = len(codebooks[0][0])
+    return F.array(*[
+        F.element_at(_code_structs(vname, s, sub, cb), 1)["j"]
+        for s, cb in enumerate(codebooks)]).alias("codes")
+
+
+def pq_encode(df: DataFrame, vec_col: str, id_col: str,
+              codebooks: list[list[list[float]]],
+              kernel: str = "expr") -> DataFrame:
+    """(id, codes: array<int>): per-subspace nearest-code assignment as a
+    map-only pass. ``kernel="expr"`` is the literal-codebook oracle face;
+    ``kernel="np"`` the BLAS face (one mapInPandas, fused multiply-add per
+    centroid visit — the production face once K·D outgrows interpreted-HOF
+    economics, same split as ivf.ivf_topk's kernels)."""
+    if kernel == "np":
+        return _np_encoded(df, vec_col, id_col, codebooks) \
+            .select(id_col, "codes")
+    if kernel != "expr":
+        raise ValueError(f"unknown encode kernel: {kernel!r}")
+    return (df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
+            .select(F.col(id_col), _codes_expr("_v", codebooks)))
+
+
+def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
+                codebooks: list[list[list[float]]],
+                coarse: list[tuple[int, list[float]]] | None = None
+                ) -> DataFrame:
+    """(id, v, codes[, cell]): BLAS twin of the expression face — one
+    mapInPandas pass computing every subspace argmin (and, when `coarse`
+    is given, the full-dim coarse cell) per Arrow batch. Codes scan
+    ascending-j with np.argmin's first-minimum rule, reproducing the
+    expression path's (distance, j) tie-break up to the same ~ulp
+    BLAS-vs-sequential caveat as ivf._np_assigned (pinned identical on the
+    gate data by tests/test_pq.py)."""
+    import numpy as np
+
+    from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                                   LongType, StructField, StructType)
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cmats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    c2s = [(c * c).sum(axis=1) for c in cmats]
+    fields = [df.schema[id_col],
+              StructField("v", ArrayType(DoubleType())),
+              StructField("codes", ArrayType(IntegerType()))]
+    if coarse is not None:
+        ordered = sorted(coarse)
+        ccids = np.array([c for c, _ in ordered], dtype=np.int64)
+        ccmat = np.asarray([v for _, v in ordered], dtype=np.float64)
+        cc2 = (ccmat * ccmat).sum(axis=1)
+        fields.append(StructField("cell", LongType()))
+    out = StructType(fields)
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for s in range(m):
+                xs = x[:, s * sub:(s + 1) * sub]
+                # argmin of |c|^2 - 2 x.c == argmin squared distance;
+                # np.argmin keeps the FIRST minimum -> lowest j on ties
+                codes[:, s] = np.argmin(
+                    c2s[s] - 2.0 * (xs @ cmats[s].T), axis=1)
+            cols = {id_col: pdf[id_col],
+                    "v": list(x),
+                    "codes": list(codes)}
+            if coarse is not None:
+                sc = cc2 - 2.0 * (x @ ccmat.T)
+                cols["cell"] = ccids[np.argmin(sc, axis=1)]
+            yield pd.DataFrame(cols)
+
+    return df.select(id_col, vec_col).mapInPandas(encode, out)
+
+
+def pq_lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
+                    codebooks: list[list[list[float]]],
+                    iters: int = 1) -> list[list[list[float]]]:
+    """Per-subspace Lloyd iterations, fully distributed: encode (map-only,
+    BLAS face) → posexplode (subspace, code, dim) → per-key mean (shuffle
+    of m·K·sub = K·D rows, codebook-sized) → collect the new sub-codebooks.
+    Empty codes keep their previous centroid. Same reproducibility caveat
+    as ivf.lloyd_refine: F.avg sums in shuffle-arrival order, so refined
+    codebooks are deterministic to ~ulp, not bit-stable — the lloyd_iters=0
+    seed path is the oracle face."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    for _ in range(iters):
+        enc = _np_encoded(df, vec_col, id_col, codebooks)
+        means = (enc.select(F.posexplode("codes").alias("s", "j"), "v")
+                 .select("s", "j",
+                         F.posexplode(F.slice(
+                             "v", F.col("s") * sub + 1, sub))
+                         .alias("dim", "x"))
+                 .groupBy("s", "j", "dim").agg(F.avg("x").alias("mn"))
+                 .groupBy("s", "j")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "mn")))
+                      .alias("dm"))
+                 .select("s", "j",
+                         F.transform("dm", lambda t: t["mn"]).alias("cv"))
+                 .collect())
+        new = {(r["s"], r["j"]): [float(x) for x in r["cv"]] for r in means}
+        codebooks = [[new.get((s, j), cv) for j, cv in enumerate(cb)]
+                     for s, cb in enumerate(codebooks)]
+    return codebooks
+
+
+def _lut_expr(qname: str, codebooks: list[list[list[float]]]) -> Column:
+    """array<array<double>> — luts[s][j] = ||q_s − c_{s,j}||², the ADC
+    lookup table as an expression over the query vector. Evaluated only on
+    the query side (a handful of rows), so the interpreted HOF cost is
+    irrelevant; what matters is that each entry's summation order matches
+    the encode face and the DuckDB twin (ascending dim, left-to-right)."""
+    sub = len(codebooks[0][0])
+
+    def one(s: int, cb: list[list[float]]) -> Column:
+        cents = F.expr("array(" + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in cv) + ")"
+            for cv in cb) + ")")
+        qs = F.slice(F.col(qname), s * sub + 1, sub)
+        return F.transform(cents, lambda c: F.aggregate(
+            F.zip_with(qs, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda a, b: a + b))
+
+    return F.array(*[one(s, cb) for s, cb in enumerate(codebooks)])
+
+
+def pq_topk(df: DataFrame, vec_col: str, id_col: str,
+            query_ids: list[int], k: int = 5, m: int = 8,
+            code_ids: list[int] | None = None,
+            codebooks: list[list[list[float]]] | None = None,
+            coarse_centroid_ids: list[int] | None = None,
+            coarse_centroids: list[tuple[int, list[float]]] | None = None,
+            n_probes: int = 4, lloyd_iters: int = 0,
+            kernel: str = "expr") -> DataFrame:
+    """IVF-PQ (IVFADC) top-k: coarse-probe the n_probes nearest cells per
+    query (exactly `ivf.ivf_topk`'s candidate stage), then rank candidates
+    by asymmetric PQ distance instead of exact cosine — the scan-side
+    payload drops from D floats to M codes. Returns (query_id, neighbor_id,
+    adc, rank), rank ascending by (adc, neighbor_id); `adc` is the
+    approximate squared L2 distance (smaller = nearer).
+
+    Probing every cell (n_probes = n_cells) makes the candidate set exact,
+    isolating pure PQ ranking quality — tests/test_pq.py pins both that
+    recall floor and the parity of the two kernels. Pass `codebooks` /
+    `coarse_centroids` to reuse trained artifacts across calls (the
+    continuous-ingest shape); otherwise both derive from seed rows, with
+    `lloyd_iters` refining the SUB-codebooks only (the coarse stage stays
+    the caller's concern, as in ivf.ivf_topk)."""
+    if codebooks is None:
+        if not code_ids:
+            raise ValueError("need code_ids or codebooks")
+        codebooks = pq_seed_codebooks(df, vec_col, id_col, m, code_ids)
+        if lloyd_iters:
+            codebooks = pq_lloyd_refine(df, vec_col, id_col, codebooks,
+                                        lloyd_iters)
+    m = len(codebooks)
+    if coarse_centroids is None:
+        if not coarse_centroid_ids:
+            raise ValueError("need coarse_centroid_ids or coarse_centroids")
+        coarse_centroids = seed_centroids(df, vec_col, id_col,
+                                          coarse_centroid_ids)
+    if not 1 <= n_probes <= len(coarse_centroids):
+        raise ValueError(f"n_probes must be in [1, {len(coarse_centroids)}]")
+
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    if kernel == "np":
+        data = _np_encoded(df, vec_col, id_col, codebooks,
+                           coarse=coarse_centroids) \
+            .select(id_col, "codes", "cell")
+    elif kernel == "expr":
+        data = base.select(
+            F.col(id_col), _codes_expr("v", codebooks),
+            F.element_at(ivf._dist_structs("v", coarse_centroids), 1)["cell"]
+             .alias("cell"))
+    else:
+        raise ValueError(f"unknown assignment kernel: {kernel!r}")
+
+    q = base.where(F.col(id_col).isin(query_ids)) \
+            .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    qprobes = (q.select("query_id",
+                        F.explode(F.slice(
+                            ivf._dist_structs("qv", coarse_centroids),
+                            1, n_probes)).alias("p"))
+               .select("query_id", F.col("p.cell").alias("cell")))
+    luts = q.select("query_id", _lut_expr("qv", codebooks).alias("luts"))
+    # one cell per data row + distinct probed cells per query -> candidates
+    # already unique (the ivf_topk invariant); ADC is M lookups + adds,
+    # summed left-to-right over ascending subspace
+    adc = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("luts"),
+                   lambda c, lut: F.element_at(lut, c + F.lit(1))),
+        F.lit(0.0), lambda a, b: a + b)
+    scored = (data.join(F.broadcast(qprobes), "cell")
+              .where(F.col(id_col) != F.col("query_id"))
+              .join(F.broadcast(luts), "query_id")
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      adc.alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc", "rank"))

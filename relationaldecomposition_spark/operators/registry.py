@@ -14,7 +14,7 @@ from ..functions.hashing import (
     MERSENNE_P, minhash_params, sql_affine_hash, sql_hash32, sql_hash64,
     sql_tokens, sql_word_shingles)
 from ..sources.tables import load_table
-from . import (bloom, corpus, dedup, ivf, joins, multimodal, sampling,
+from . import (bloom, corpus, dedup, ivf, joins, multimodal, pq, sampling,
                similarity, sketches, stats, text)
 
 ROUND = 6
@@ -40,6 +40,10 @@ ANN_PROBES = 2
 # recall floors measured in tests/test_ivf.py
 IVF_CENTROID_IDS = list(range(0, 480, 30))
 IVF_PROBES = 8
+# o76 IVF-PQ: same coarse cells/probes as o16 so the two queries differ in
+# exactly one stage (exact-cosine re-rank vs ADC ranking); 8 subspaces of
+# 8 dims, 16 codes per subspace seeded from the same id list
+PQ_M = 8
 # o17/o18 hot-bucket skew guards — thresholds chosen so the guard path
 # EXECUTES on the sf0.01 gate data (LSH band buckets reach size 3; ANN
 # 3-plane buckets hold ~62 of 500 vectors), proving oracle parity of the
@@ -57,10 +61,14 @@ def q_o01_exact_dedup(spark, sf_dir):
     return dedup.exact_dedup(docs, ["text"], "doc_id")
 
 
-def q_o02_minhash_sigs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signatures(docs, "text", "doc_id", N_HASHES,
-                                    SHINGLE_K, MINHASH_SEED)
+# o02_minhash_sigs RETIRED (round 10): it materialized
+# dedup.minhash_signatures directly, but o03/o17/o50/o59 all run the same
+# signature stage inside lsh_candidate_pairs and o03's DuckDB twin embeds
+# o02's entire oracle CTE (_sql_minhash_sig_cte) — the query was a strict
+# intermediate of an already-gated pipeline. With the registry at the
+# structural capacity of the 50-row/round driver window (100 queries =
+# two full rotations), its slot was donated to o76_pq_topk. The operator
+# itself is unchanged and still pytest-covered (tests/test_operators.py).
 
 
 def q_o03_lsh_pairs(spark, sf_dir):
@@ -124,6 +132,23 @@ def q_o16_ivf_topk(spark, sf_dir):
                        centroid_ids=IVF_CENTROID_IDS, n_probes=IVF_PROBES)
     return out.select("query_id", "neighbor_id",
                       F.round("cosine", ROUND).alias("cosine"),
+                      F.col("rank").cast("bigint").alias("rank"))
+
+
+def q_o76_pq_topk(spark, sf_dir):
+    """IVF-PQ (IVFADC) top-k: o16's coarse probe stage with asymmetric
+    product-quantization ranking in place of the exact-cosine re-rank —
+    the scan-side payload drops from 64 floats to 8 codes per row (the
+    100 TB IO face; operators/pq.py header). Seeds double as coarse cells
+    and sub-codebook entries so the DuckDB twin replays every stage from
+    the registered tables alone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pq.pq_topk(emb, "embedding", "vec_id", TOPK_QUERY_IDS, TOPK_K,
+                     m=PQ_M, code_ids=IVF_CENTROID_IDS,
+                     coarse_centroid_ids=IVF_CENTROID_IDS,
+                     n_probes=IVF_PROBES)
+    return out.select("query_id", "neighbor_id",
+                      F.round("adc", ROUND).alias("adc"),
                       F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -823,8 +848,8 @@ def _sql_minhash_sig_cte(src: str = "documents", name: str = "sig") -> str:
             f"(SELECT doc_id, {sh} AS shl FROM {src}))")
 
 
-def _oracle_minhash() -> str:
-    return f"WITH {_sql_minhash_sig_cte()} SELECT * FROM sig"
+# (_oracle_minhash removed with o02's retirement — _sql_minhash_sig_cte
+# lives on inside every LSH-pair oracle below.)
 
 
 def _oracle_lsh_pairs(max_bucket: int | None = None,
@@ -1364,6 +1389,74 @@ def _oracle_ivf_topk() -> str:
       FROM (SELECT *, row_number() OVER
                   (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
             FROM scored)
+      WHERE rank <= {TOPK_K}"""
+
+
+def _oracle_pq_topk() -> str:
+    """IVF-PQ twin: coarse probe = o16's CTEs verbatim; then PQ encode
+    (per-(vector, subspace) argmin over the 16 seed-slice codes, tie-break
+    (distance, code)), per-query ADC lookup table, and the asymmetric
+    distance as `list_sum(list(ld ORDER BY s))` — the s-ascending
+    left-to-right sum matching the Spark face's F.aggregate over
+    zip_with(codes, luts). Code id = POSITION in the seed id list (the
+    VALUES map), exactly pq_seed_codebooks' contract."""
+    sub = EMB_DIM // PQ_M
+    qids = ", ".join(map(str, TOPK_QUERY_IDS))
+    cid_vals = ", ".join(f"({j}, {c})"
+                         for j, c in enumerate(IVF_CENTROID_IDS))
+    dfull = ("(CAST(e.embedding[i] AS DOUBLE) - CAST(c.sv[i] AS DOUBLE))")
+    sqd_full = (f"list_sum(list_transform(range(1, {EMB_DIM} + 1), "
+                f"i -> {dfull} * {dfull}))")
+    dsub = (f"(CAST(e.embedding[s.s * {sub} + i] AS DOUBLE) "
+            f"- CAST(cs.cv[i] AS DOUBLE))")
+    sqd_sub = (f"list_sum(list_transform(range(1, {sub} + 1), "
+               f"i -> {dsub} * {dsub}))")
+    dq = (f"(CAST(q.embedding[s.s * {sub} + i] AS DOUBLE) "
+          f"- CAST(cs.cv[i] AS DOUBLE))")
+    sqd_q = (f"list_sum(list_transform(range(1, {sub} + 1), "
+             f"i -> {dq} * {dq}))")
+    return f"""
+      WITH ords(j, cid) AS (VALUES {cid_vals}),
+      seeds AS (SELECT o.j, o.cid, e.embedding AS sv
+                FROM embeddings e JOIN ords o ON e.vec_id = o.cid),
+      subs AS (SELECT CAST(s AS INT) AS s FROM range({PQ_M}) t(s)),
+      centsub AS (SELECT s.s, d.j,
+                         list_slice(d.sv, s.s * {sub} + 1,
+                                    (s.s + 1) * {sub}) AS cv
+                  FROM seeds d, subs s),
+      dfull AS (SELECT e.vec_id, c.cid, {sqd_full} AS sd
+                FROM embeddings e, seeds c),
+      ranked AS (SELECT vec_id, cid, row_number() OVER
+                     (PARTITION BY vec_id ORDER BY sd ASC, cid ASC) AS rn
+                 FROM dfull),
+      assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+      qprobe AS (SELECT vec_id AS query_id, cid AS cell FROM ranked
+                 WHERE vec_id IN ({qids}) AND rn <= {IVF_PROBES}),
+      dsubt AS (SELECT e.vec_id, cs.s, cs.j, {sqd_sub} AS sd
+                FROM embeddings e, centsub cs, subs s WHERE s.s = cs.s),
+      enc AS (SELECT vec_id, s, j AS code FROM
+                (SELECT vec_id, s, j, row_number() OVER
+                   (PARTITION BY vec_id, s ORDER BY sd ASC, j ASC) AS rn
+                 FROM dsubt)
+              WHERE rn = 1),
+      lut AS (SELECT q.vec_id AS query_id, cs.s, cs.j, {sqd_q} AS ld
+              FROM embeddings q, centsub cs, subs s
+              WHERE s.s = cs.s AND q.vec_id IN ({qids})),
+      cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+               FROM qprobe p JOIN assign a ON a.cell = p.cell
+                AND a.vec_id != p.query_id),
+      adc AS (SELECT c.query_id, c.neighbor_id,
+                     list_sum(list(l.ld ORDER BY en.s)) AS adc
+              FROM cand c
+              JOIN enc en ON en.vec_id = c.neighbor_id
+              JOIN lut l ON l.query_id = c.query_id AND l.s = en.s
+                        AND l.j = en.code
+              GROUP BY c.query_id, c.neighbor_id)
+      SELECT query_id, neighbor_id, round(adc, {ROUND}) AS adc, rank
+      FROM (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC)
+                AS rank
+            FROM adc)
       WHERE rank <= {TOPK_K}"""
 
 
@@ -2227,7 +2320,6 @@ def _oracle_image_phash_pairs(w: int = PHASH_W, h: int = PHASH_H,
 
 OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o01_exact_dedup": q_o01_exact_dedup,
-    "o02_minhash_sigs": q_o02_minhash_sigs,
     "o03_lsh_pairs": q_o03_lsh_pairs,
     "o04_simhash": q_o04_simhash,
     "o05_ngram_jaccard": q_o05_ngram_jaccard,
@@ -2300,6 +2392,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o73_image_phash_pairs": q_o73_image_phash_pairs,
     "o74_cell_store_probe": q_o74_cell_store_probe,
     "o75_semdedup_multiprobe": q_o75_semdedup_multiprobe,
+    "o76_pq_topk": q_o76_pq_topk,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2307,7 +2400,6 @@ OPERATOR_ORACLES: dict[str, str] = {
         f"SELECT {sql_hash64('text')} AS content_hash, "
         f"min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies "
         f"FROM documents GROUP BY 1"),
-    "o02_minhash_sigs": _oracle_minhash(),
     "o03_lsh_pairs": _oracle_lsh_pairs(),
     "o04_simhash": _oracle_simhash(),
     "o05_ngram_jaccard": _oracle_ngram_jaccard(),
@@ -2418,4 +2510,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o73_image_phash_pairs": _oracle_image_phash_pairs(),
     "o74_cell_store_probe": _oracle_cell_store_probe(),
     "o75_semdedup_multiprobe": _oracle_semdedup_multiprobe(),
+    "o76_pq_topk": _oracle_pq_topk(),
 }

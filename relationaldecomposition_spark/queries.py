@@ -881,7 +881,10 @@ _WINDOW_ROUND10: list[str] = [
     "a18_fd_measures", "a20_jd_measures", "a21_decomp_metrics",
     "a22_sampled_entropy", "a23_mm_entropy",
     "b03_mine_mvds", "b11_min_seps", "b15_enumerate_schemas",
-    "o01_exact_dedup", "o02_minhash_sigs", "o03_lsh_pairs", "o04_simhash",
+    # (o02_minhash_sigs was in this debt set; retired round 10 — a strict
+    # intermediate of o03, whose oracle embeds o02's whole CTE. Its window
+    # slot went to o76_pq_topk below.)
+    "o01_exact_dedup", "o03_lsh_pairs", "o04_simhash",
     "o05_ngram_jaccard", "o06_cosine_pairs", "o08_lsh_topk", "o15_ann_topk",
     "o17_lsh_pairs_guard", "o18_ann_topk_guard", "o21_dedup_clusters",
     "o23_cosine_lsh_pairs", "o24_asof_join", "o25_doc_chunks",
@@ -904,6 +907,8 @@ _WINDOW_ROUND10: list[str] = [
     "o73_image_phash_pairs",
     "o74_cell_store_probe",
     "o75_semdedup_multiprobe",
+    # o76 takes retired o02's slot (see the debt-list note above)
+    "o76_pq_topk",
 ]
 
 

@@ -1,0 +1,220 @@
+"""Product quantization (operators/pq.py): numpy oracle replaying encode +
+ADC ranking end-to-end, expr/np kernel parity, exact-candidate isolation
+(probe-all), measured recall floor vs the exact verifier, Lloyd refinement
+reducing quantization error, and plan audit (candidate join stays a
+broadcast equi-join on cell — the ivf_topk invariant)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from relationaldecomposition_spark.operators import pq
+from tests.conftest import load
+
+K = 5
+M = 8
+QIDS = list(range(10))
+CIDS = list(range(0, 480, 30))  # 16 seeds: coarse cells AND PQ codes
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load(spark, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    return {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, CIDS)
+
+
+def _np_codes(v, codebooks):
+    sub = len(codebooks[0][0])
+    out = []
+    for s, cb in enumerate(codebooks):
+        vs = v[s * sub:(s + 1) * sub]
+        out.append(min(range(len(cb)), key=lambda j: (
+            float(np.sum((vs - np.asarray(cb[j])) ** 2)), j)))
+    return out
+
+
+def _np_adc(q, codes, codebooks):
+    sub = len(codebooks[0][0])
+    return sum(float(np.sum((q[s * sub:(s + 1) * sub]
+                             - np.asarray(codebooks[s][c])) ** 2))
+               for s, c in enumerate(codes))
+
+
+def _np_topk(emb_np, codebooks, n_probes):
+    """Full python replay: coarse assign/probe, encode, ADC, rank."""
+    cents = [(cid, emb_np[cid]) for cid in CIDS]
+
+    def cells(v, n):
+        ranked = sorted(cents, key=lambda c: (
+            float(np.sum((v - c[1]) ** 2)), c[0]))
+        return [c[0] for c in ranked[:n]]
+
+    assign = {vid: cells(v, 1)[0] for vid, v in emb_np.items()}
+    codes = {vid: _np_codes(v, codebooks) for vid, v in emb_np.items()}
+    out = set()
+    for q in QIDS:
+        probed = set(cells(emb_np[q], n_probes))
+        cand = [vid for vid, cell in assign.items()
+                if cell in probed and vid != q]
+        scored = sorted(
+            ((_np_adc(emb_np[q], codes[n], codebooks), n) for n in cand))
+        for rank, (adc, n) in enumerate(scored[:K], start=1):
+            out.add((q, n, round(adc, 9), rank))
+    return out
+
+
+def test_seed_codebook_geometry(codebooks, emb_np):
+    assert len(codebooks) == M
+    assert all(len(cb) == len(CIDS) for cb in codebooks)
+    sub = 64 // M
+    assert all(len(cv) == sub for cb in codebooks for cv in cb)
+    # codebooks[s][j] is the s-th slice of the j-th seed row
+    for j, cid in enumerate(CIDS):
+        flat = [x for s in range(M) for x in codebooks[s][j]]
+        assert np.allclose(flat, emb_np[cid])
+
+
+def test_encode_matches_numpy_oracle(emb, emb_np, codebooks):
+    got = {int(r.vec_id): list(r.codes)
+           for r in pq.pq_encode(emb, "embedding", "vec_id",
+                                 codebooks).collect()}
+    assert len(got) == len(emb_np)
+    for vid, v in emb_np.items():
+        assert got[vid] == _np_codes(v, codebooks), vid
+
+
+def test_encode_kernel_parity(emb, codebooks):
+    expr = {int(r.vec_id): list(r.codes)
+            for r in pq.pq_encode(emb, "embedding", "vec_id",
+                                  codebooks).collect()}
+    blas = {int(r.vec_id): list(r.codes)
+            for r in pq.pq_encode(emb, "embedding", "vec_id", codebooks,
+                                  kernel="np").collect()}
+    assert expr == blas
+
+
+def test_topk_matches_numpy_oracle(emb, emb_np, codebooks):
+    out = pq.pq_topk(emb, "embedding", "vec_id", QIDS, K, m=M,
+                     codebooks=codebooks, coarse_centroid_ids=CIDS,
+                     n_probes=8)
+    got = {(int(r.query_id), int(r.neighbor_id), round(float(r.adc), 9),
+            int(r.rank)) for r in out.collect()}
+    assert got == _np_topk(emb_np, codebooks, n_probes=8)
+
+
+def test_topk_kernel_parity(emb, codebooks):
+    kw = dict(m=M, codebooks=codebooks, coarse_centroid_ids=CIDS,
+              n_probes=8)
+    expr = {(int(r.query_id), int(r.neighbor_id), round(float(r.adc), 9),
+             int(r.rank))
+            for r in pq.pq_topk(emb, "embedding", "vec_id", QIDS, K,
+                                **kw).collect()}
+    blas = {(int(r.query_id), int(r.neighbor_id), round(float(r.adc), 9),
+             int(r.rank))
+            for r in pq.pq_topk(emb, "embedding", "vec_id", QIDS, K,
+                                kernel="np", **kw).collect()}
+    assert expr == blas
+
+
+def test_recall_at_r_floor(emb, emb_np, codebooks):
+    """Recall@R (Jégou TPAMI'11 §V's metric: is the true L2 NN inside the
+    first R ADC results?), probing every cell to isolate ranking quality.
+    The synthetic embeddings are near-uniform random — the ADVERSARIAL
+    case for PQ, since pairwise distances concentrate and per-subspace
+    quantization noise swamps the margins (real embedding corpora are
+    clustered; test_planted_twin_ranks_first pins that regime). Measured
+    on the gate data: R=20 -> 0.2, R=50 -> 0.7; floors pinned below the
+    measures, plus monotonicity in R."""
+    nn1 = {}
+    for q in QIDS:
+        d = sorted((float(np.sum((emb_np[q] - v) ** 2)), vid)
+                   for vid, v in emb_np.items() if vid != q)
+        nn1[q] = d[0][1]
+
+    def recall_at(r):
+        got = pq.pq_topk(emb, "embedding", "vec_id", QIDS, r, m=M,
+                         codebooks=codebooks, coarse_centroid_ids=CIDS,
+                         n_probes=len(CIDS)).toPandas()
+        byq = got.groupby("query_id")["neighbor_id"].apply(set).to_dict()
+        return sum(nn1[q] in byq.get(q, set()) for q in QIDS) / len(QIDS)
+
+    r20, r50 = recall_at(20), recall_at(50)
+    assert r50 >= r20
+    assert r50 >= 0.5, r50
+
+
+def test_planted_twin_ranks_first(spark, emb, codebooks):
+    """The regime PQ serves in a dedup/similarity pipeline: near-duplicate
+    vectors. Plant a tiny perturbation of each query row; ADC must rank
+    the twin #1 even with the coarse probe engaged (twin quantizes to the
+    same cells/codes as its original)."""
+    base = emb.select("vec_id", "embedding")
+    twins = (base.where(F.col("vec_id").isin(QIDS))
+             .select((F.col("vec_id") + 10000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: x + F.lit(1e-4)).alias("embedding")))
+    world = base.select("vec_id",
+                        F.transform("embedding",
+                                    lambda x: x.cast("float"))
+                        .alias("embedding")).unionByName(twins)
+    got = pq.pq_topk(world, "embedding", "vec_id", QIDS, 1, m=M,
+                     codebooks=codebooks, coarse_centroid_ids=CIDS,
+                     n_probes=2).toPandas()
+    top1 = dict(zip(got.query_id, got.neighbor_id))
+    assert all(top1[q] == q + 10000 for q in QIDS), top1
+
+
+def test_lloyd_reduces_quantization_error(emb, emb_np, codebooks):
+    refined = pq.pq_lloyd_refine(emb, "embedding", "vec_id", codebooks,
+                                 iters=2)
+    assert len(refined) == M
+    assert all(len(cb) == len(CIDS) for cb in refined)
+
+    def total_err(cbs):
+        return sum(_np_adc(v, _np_codes(v, cbs), cbs)
+                   for v in emb_np.values())
+
+    assert total_err(refined) < total_err(codebooks)
+
+
+def test_validation():
+    import pyspark.sql  # noqa: F401  (errors raise before any job runs)
+    with pytest.raises(ValueError, match="must divide"):
+        pq._check_geometry(64, 7)
+    with pytest.raises(ValueError, match="must divide"):
+        pq._check_geometry(64, 0)
+
+
+def test_validation_runtime(emb, codebooks):
+    with pytest.raises(ValueError, match="code_ids or codebooks"):
+        pq.pq_topk(emb, "embedding", "vec_id", QIDS, K,
+                   coarse_centroid_ids=CIDS)
+    with pytest.raises(ValueError, match="coarse"):
+        pq.pq_topk(emb, "embedding", "vec_id", QIDS, K, codebooks=codebooks)
+    with pytest.raises(ValueError, match="n_probes"):
+        pq.pq_topk(emb, "embedding", "vec_id", QIDS, K,
+                   codebooks=codebooks, coarse_centroid_ids=CIDS,
+                   n_probes=0)
+    with pytest.raises(ValueError, match="kernel"):
+        pq.pq_encode(emb, "embedding", "vec_id", codebooks, kernel="bogus")
+
+
+def test_plan_no_cartesian(emb, codebooks):
+    out = pq.pq_topk(emb, "embedding", "vec_id", QIDS, K, m=M,
+                     codebooks=codebooks, coarse_centroid_ids=CIDS,
+                     n_probes=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan

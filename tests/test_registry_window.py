@@ -104,7 +104,10 @@ def test_rotation_debt_bounded():
         # Between-rounds state: the driver just recorded this window's own
         # round. Rotation debt is owed to the not-yet-defined next window.
         return
-    stale = _recent_green() - _latest_green()
+    # restrict to still-registered queries: a RETIRED query (removed from
+    # the registry, e.g. o02 in round 10) owes no re-verification — the
+    # union bar is over registered queries only
+    stale = (_recent_green() - _latest_green()) & set(QUERIES)
     window = set(list(QUERIES)[:DRIVER_WINDOW])
     aging = sorted(stale - window)
     assert not aging, (

@@ -156,6 +156,11 @@ def main(argv=None) -> int:
     ap.add_argument("--skip-sf3", action="store_true")
     ap.add_argument("--skip-sf10", action="store_true")
     ap.add_argument("--skip-semdedup", action="store_true")
+    ap.add_argument("--sf10-queries", default=None,
+                    help="comma list: run only these sf10 rows and MERGE "
+                         "them into the existing sf10_spotcheck (for "
+                         "adding new-operator rows without re-measuring "
+                         "the judged ones)")
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
     ap.add_argument("--run-one", default=None, metavar="QUERY",
                     help="internal: run ONE query in this process and "
@@ -205,15 +210,23 @@ def main(argv=None) -> int:
             "the full 30x span).")
 
     if not args.skip_sf10 and os.path.isdir(args.sf10_dir):
-        t10 = _isolated_rows(SF10_QUERIES, args.sf10_dir)
+        subset = (args.sf10_queries.split(",") if args.sf10_queries
+                  else SF10_QUERIES)
+        t10 = _isolated_rows(subset, args.sf10_dir)
         cals10 = t10.pop("_calibration_per_row", {})
+        prev = record.get("sf10_spotcheck", {}) if args.sf10_queries else {}
+        queries = dict(prev.get("queries", {}))
+        queries.update({q: round(v, 3) for q, v in t10.items()})
+        cal_rows = dict(prev.get("calibration_per_row", {}))
+        cal_rows.update({q: round(v, 3) for q, v in cals10.items()})
+        exps = dict(prev.get("fitted_exponent_sf0.1_to_sf10", {}))
+        exps.update({
+            q: round(math.log(t10[q] / t01[q]) / math.log(100), 2)
+            for q in t10 if t01.get(q) and t10[q] > 0})
         record["sf10_spotcheck"] = {
-            "queries": {q: round(v, 3) for q, v in t10.items()},
-            "calibration_per_row": {q: round(v, 3)
-                                    for q, v in cals10.items()},
-            "fitted_exponent_sf0.1_to_sf10": {
-                q: round(math.log(t10[q] / t01[q]) / math.log(100), 2)
-                for q in t10 if t01.get(q) and t10[q] > 0},
+            "queries": queries,
+            "calibration_per_row": cal_rows,
+            "fitted_exponent_sf0.1_to_sf10": exps,
             "note": ("fourth scale point, 100x sf0.1 rows, single repeat, "
                      "heaviest queries, forced-evaluation bench; exponent "
                      "= log(t_sf10/t_sf0.1)/log(100), <= ~1.0 is "
