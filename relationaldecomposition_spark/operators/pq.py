@@ -269,20 +269,32 @@ def pq_topk(df: DataFrame, vec_col: str, id_col: str,
 
     q = base.where(F.col(id_col).isin(query_ids)) \
             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"))
+    return _adc_rank(data, id_col, q, codebooks, coarse_centroids,
+                     n_probes, k)
+
+
+def _adc_rank(index: DataFrame, id_col: str, q: DataFrame,
+              codebooks: list[list[list[float]]],
+              coarse_centroids: list[tuple[int, list[float]]],
+              n_probes: int, k: int) -> DataFrame:
+    """ADC scoring over a probe-ready (id, codes, cell) index. `q` is the
+    tiny (query_id, qv) frame; probes and LUTs are broadcast, so the cell
+    equi-join against a `read_cell_index` store compiles to dynamic
+    partition pruning — the scan reads only probed cells' files (pinned
+    in tests/test_pq.py). One cell per index row + distinct probed cells
+    per query -> candidates already unique (the ivf_topk invariant); ADC
+    is M lookups + adds, summed left-to-right over ascending subspace."""
     qprobes = (q.select("query_id",
                         F.explode(F.slice(
                             ivf._dist_structs("qv", coarse_centroids),
                             1, n_probes)).alias("p"))
                .select("query_id", F.col("p.cell").alias("cell")))
     luts = q.select("query_id", _lut_expr("qv", codebooks).alias("luts"))
-    # one cell per data row + distinct probed cells per query -> candidates
-    # already unique (the ivf_topk invariant); ADC is M lookups + adds,
-    # summed left-to-right over ascending subspace
     adc = F.aggregate(
         F.zip_with(F.col("codes"), F.col("luts"),
                    lambda c, lut: F.element_at(lut, c + F.lit(1))),
         F.lit(0.0), lambda a, b: a + b)
-    scored = (data.join(F.broadcast(qprobes), "cell")
+    scored = (index.join(F.broadcast(qprobes), "cell")
               .where(F.col(id_col) != F.col("query_id"))
               .join(F.broadcast(luts), "query_id")
               .select("query_id", F.col(id_col).alias("neighbor_id"),
@@ -292,3 +304,70 @@ def pq_topk(df: DataFrame, vec_col: str, id_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "adc", "rank"))
+
+
+def pq_cell_index(df: DataFrame, vec_col: str, id_col: str,
+                  codebooks: list[list[list[float]]],
+                  coarse_centroids: list[tuple[int, list[float]]]
+                  ) -> DataFrame:
+    """(id, codes, cell): the IVFADC index in its persistable form — what
+    `ivf.write_cell_index` writes for the 100 TB regime. The store holds M
+    small codes per row instead of the raw vector (the 32× scan shrink the
+    module header derives), partitioned by coarse cell so probes prune to
+    O(probed cells) files via DPP. One map-only BLAS pass; continuous
+    ingest encodes each batch against the SAME persisted codebooks
+    (constants, like the coarse codebook in semdedup_incremental) and
+    appends with mode="append" + compact_cell_index, exactly the o74
+    lifecycle."""
+    return _np_encoded(df, vec_col, id_col, codebooks,
+                       coarse=coarse_centroids).select(id_col, "codes",
+                                                       "cell")
+
+
+def pq_topk_index(index: DataFrame, queries: DataFrame, vec_col: str,
+                  id_col: str, k: int,
+                  codebooks: list[list[list[float]]],
+                  coarse_centroids: list[tuple[int, list[float]]],
+                  n_probes: int = 4) -> DataFrame:
+    """pq_topk against a prebuilt (id, codes, cell) index — typically
+    `ivf.read_cell_index` over a `pq_cell_index` store — and an explicit
+    (id, vector) query frame. The probe equi-join on the partition column
+    compiles to dynamic partition pruning on the store scan (plan-pinned
+    in tests/test_pq.py), so a query batch physically reads only its
+    probed cells no matter how large the store grows; parity with the
+    in-memory pq_topk is pinned on the gate data."""
+    if not 1 <= n_probes <= len(coarse_centroids):
+        raise ValueError(f"n_probes must be in [1, {len(coarse_centroids)}]")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    return _adc_rank(index, id_col, q, codebooks, coarse_centroids,
+                     n_probes, k)
+
+
+def pq_rerank(shortlist: DataFrame, df: DataFrame, vec_col: str,
+              id_col: str, k: int) -> DataFrame:
+    """Exact-cosine re-rank of an ADC shortlist (Jégou TPAMI'11 §V-A's
+    IVFADC-R refinement): join the shortlist's (query_id, neighbor_id)
+    pairs back to the raw vectors and keep the exact top-k. The raw-vector
+    scan is candidate-sized — shortlist rows × 2 lookups — which is the
+    whole point of the code-sized index: the 100 TB corpus is read as
+    codes, raw floats only for the few survivors. Output matches
+    similarity.cosine_topk's shape (query_id, neighbor_id, cosine, rank)."""
+    from .dedup import _dot, _norm
+
+    base = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
+    cand = shortlist.select("query_id", "neighbor_id")
+    scored = (cand
+              .join(base.select(F.col(id_col).alias("query_id"),
+                                F.col("v").alias("qv")), "query_id")
+              .join(base.select(F.col(id_col).alias("neighbor_id"),
+                                F.col("v").alias("nv")), "neighbor_id")
+              .select("query_id", "neighbor_id",
+                      (_dot(F.col("qv"), F.col("nv"))
+                       / (_norm(F.col("qv")) * _norm(F.col("nv"))))
+                      .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))

@@ -218,3 +218,49 @@ def test_plan_no_cartesian(emb, codebooks):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_cell_store_roundtrip_dpp_and_rerank(spark, emb, emb_np, codebooks,
+                                             tmp_path):
+    """The on-disk IVFADC lifecycle: pq_cell_index -> write_cell_index ->
+    read_cell_index -> pq_topk_index must (a) return exactly the in-memory
+    pq_topk rows, (b) compile the probe join to dynamic partition pruning
+    on the store scan, and (c) feed pq_rerank, whose exact-cosine re-rank
+    of an ADC shortlist must bring back at least as many true cosine
+    neighbors as the raw ADC head."""
+    from relationaldecomposition_spark.operators import ivf, similarity
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    idx = pq.pq_cell_index(emb, "embedding", "vec_id", codebooks, coarse)
+    path = str(tmp_path / "pqidx")
+    ivf.write_cell_index(idx, path)
+    stored = ivf.read_cell_index(spark, path)
+
+    queries = emb.where(F.col("vec_id").isin(QIDS))
+    disk = pq.pq_topk_index(stored, queries, "embedding", "vec_id", K,
+                            codebooks, coarse, n_probes=8)
+    plan = disk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    mem = pq.pq_topk(emb, "embedding", "vec_id", QIDS, K, m=M,
+                     codebooks=codebooks, coarse_centroid_ids=CIDS,
+                     n_probes=8)
+    canon = lambda df: {(int(r.query_id), int(r.neighbor_id),
+                         round(float(r.adc), 9), int(r.rank))
+                        for r in df.collect()}
+    assert canon(disk) == canon(mem)
+
+    # IVFADC-R: exact re-rank of a deep ADC shortlist recovers cosine
+    # neighbors the raw ADC head misses (>= because tiny gate data)
+    exact = similarity.cosine_topk(emb, "embedding", "vec_id",
+                                   QIDS, K).toPandas()
+    truth = set(zip(exact.query_id, exact.neighbor_id))
+    shortlist = pq.pq_topk_index(stored, queries, "embedding", "vec_id",
+                                 50, codebooks, coarse, n_probes=8)
+    rr = pq.pq_rerank(shortlist, emb, "embedding", "vec_id", K).toPandas()
+    adc_head = mem.toPandas()
+    hits_rr = len(truth & set(zip(rr.query_id, rr.neighbor_id)))
+    hits_adc = len(truth & set(zip(adc_head.query_id,
+                                   adc_head.neighbor_id)))
+    assert hits_rr >= hits_adc
+    assert hits_rr / len(truth) >= 0.5, hits_rr / len(truth)
