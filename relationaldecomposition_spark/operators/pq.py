@@ -357,11 +357,16 @@ def pq_rerank(shortlist: DataFrame, df: DataFrame, vec_col: str,
 
     base = df.select(F.col(id_col), _as_double(vec_col).alias("v"))
     cand = shortlist.select("query_id", "neighbor_id")
-    scored = (cand
-              .join(base.select(F.col(id_col).alias("query_id"),
-                                F.col("v").alias("qv")), "query_id")
-              .join(base.select(F.col(id_col).alias("neighbor_id"),
-                                F.col("v").alias("nv")), "neighbor_id")
+    # broadcast the candidate-sized side both times: the raw-vector table
+    # is scanned map-side twice (semi-join-shaped lookups), never shuffled
+    scored = (base.select(F.col(id_col).alias("query_id"),
+                          F.col("v").alias("qv"))
+              .join(F.broadcast(cand), "query_id")
+              .join(F.broadcast(base.select(
+                  F.col(id_col).alias("neighbor_id"),
+                  F.col("v").alias("nv"))
+                  .join(F.broadcast(cand.select("neighbor_id").distinct()),
+                        "neighbor_id")), "neighbor_id")
               .select("query_id", "neighbor_id",
                       (_dot(F.col("qv"), F.col("nv"))
                        / (_norm(F.col("qv")) * _norm(F.col("nv"))))
