@@ -60,6 +60,9 @@ def pq_seed_codebooks(df: DataFrame, vec_col: str, id_col: str, m: int,
     `code_ids` (positional codes keep the LUT an array lookup and align
     both engines' tie-breaks). One codebook-sized collect, shared with the
     coarse quantizer when the same seeds serve both roles."""
+    if len(set(code_ids)) != len(code_ids):
+        raise ValueError("code_ids must be distinct (duplicate seeds would "
+                         "alias codes and skew every tie-break)")
     seeds = seed_centroids(df, vec_col, id_col, code_ids)
     dim = len(seeds[0][1])
     sub = _check_geometry(dim, m)
@@ -290,10 +293,18 @@ def _adc_rank(index: DataFrame, id_col: str, q: DataFrame,
                             1, n_probes)).alias("p"))
                .select("query_id", F.col("p.cell").alias("cell")))
     luts = q.select("query_id", _lut_expr("qv", codebooks).alias("luts"))
-    adc = F.aggregate(
-        F.zip_with(F.col("codes"), F.col("luts"),
-                   lambda c, lut: F.element_at(lut, c + F.lit(1))),
-        F.lit(0.0), lambda a, b: a + b)
+    # width guard: zip_with NULL-pads a mismatched codes array (e.g. a
+    # store encoded under a different M), and NULL adc would sort FIRST in
+    # the rank window — fail loudly instead of ranking garbage
+    adc = F.when(
+        F.size(F.col("codes")) == F.lit(len(codebooks)),
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("luts"),
+                       lambda c, lut: F.element_at(lut, c + F.lit(1))),
+            F.lit(0.0), lambda a, b: a + b)
+    ).otherwise(F.raise_error(F.lit(
+        "PQ codes width does not match the codebook's M — was this index "
+        "encoded under a different codebook geometry?")))
     scored = (index.join(F.broadcast(qprobes), "cell")
               .where(F.col(id_col) != F.col("query_id"))
               .join(F.broadcast(luts), "query_id")

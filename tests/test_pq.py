@@ -264,3 +264,21 @@ def test_cell_store_roundtrip_dpp_and_rerank(spark, emb, emb_np, codebooks,
                                    adc_head.neighbor_id)))
     assert hits_rr >= hits_adc
     assert hits_rr / len(truth) >= 0.5, hits_rr / len(truth)
+
+
+def test_width_guard_fails_loudly(spark, emb, codebooks):
+    """A store encoded under a different M must raise, not NULL-pad the
+    zip_with and rank garbage (NULL adc would sort first in the window)."""
+    from relationaldecomposition_spark.operators import ivf
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    idx = pq.pq_cell_index(emb, "embedding", "vec_id", codebooks, coarse)
+    wrong_m = pq.pq_seed_codebooks(emb, "embedding", "vec_id", 4, CIDS)
+    queries = emb.where(F.col("vec_id").isin(QIDS))
+    bad = pq.pq_topk_index(idx, queries, "embedding", "vec_id", K,
+                           wrong_m, coarse, n_probes=8)
+    with pytest.raises(Exception, match="codebook geometry"):
+        bad.collect()
+
+    with pytest.raises(ValueError, match="distinct"):
+        pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, CIDS + [CIDS[0]])
