@@ -46,9 +46,9 @@ SF10_QUERIES = ["entropy_batch32", "lsh_dedup", "dedup_pipeline",
                 # r8/r9 additions: the hier incremental face and the
                 # duplicate-span rewrite
                 "semdedup_incr_hier", "remove_dup_spans",
-                # r10 additions: perceptual-hash image dedup and the
-                # multi-probe hier pair face
-                "image_phash", "semdedup_hier_p2"]
+                # r10 additions: perceptual-hash image dedup, the
+                # multi-probe hier pair face, and IVF-PQ
+                "image_phash", "semdedup_hier_p2", "pq_topk"]
 
 SEMDEDUP_TAU = 0.35
 TARGET_CELL = 500  # the documented sizing law: one cell per ~500 vectors
