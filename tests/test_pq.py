@@ -282,3 +282,65 @@ def test_width_guard_fails_loudly(spark, emb, codebooks):
 
     with pytest.raises(ValueError, match="distinct"):
         pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, CIDS + [CIDS[0]])
+
+
+def test_random_geometries_match_python_oracle(spark):
+    """Seeded-RNG property sweep (the suite's bounded hypothesis pattern):
+    random corpora across degenerate-to-o76 geometries — m=1 (whole-vector
+    quantization), K=2 (binary codes), k past the candidate count,
+    single-probe — each compared row-exactly against a pure-python replay
+    of seed slicing, coarse probing, encoding, ADC, and ranking."""
+    import random
+
+    from pyspark.sql import Row
+
+    rng = random.Random(20260816)
+    cases = [  # (m, n_seeds, dim, n_rows, k, n_probes)
+        (1, 2, 8, 25, 3, 2),
+        (2, 4, 8, 30, 5, 1),
+        (4, 3, 16, 40, 50, 3),
+        (8, 5, 64, 35, 4, 5),
+    ]
+    for m, n_seeds, dim, n, k, n_probes in cases:
+        vecs = {i: [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+                for i in range(n)}
+        seed_ids = rng.sample(sorted(vecs), n_seeds)
+        qids = rng.sample(sorted(vecs), 3)
+        df = spark.createDataFrame(
+            [Row(vid=i, emb=v) for i, v in vecs.items()])
+
+        got = pq.pq_topk(df, "emb", "vid", qids, k, m=m,
+                         code_ids=seed_ids, coarse_centroid_ids=seed_ids,
+                         n_probes=n_probes)
+        got_set = {(int(r.query_id), int(r.neighbor_id),
+                    round(float(r.adc), 9), int(r.rank))
+                   for r in got.collect()}
+
+        # pure-python replay
+        sub = dim // m
+        np_v = {i: np.asarray(v, dtype=np.float64)
+                for i, v in vecs.items()}
+        cbs = [[np_v[c][s * sub:(s + 1) * sub] for c in seed_ids]
+               for s in range(m)]
+        cents = [(c, np_v[c]) for c in seed_ids]
+
+        def probe(v, p):
+            ranked = sorted(cents, key=lambda t: (
+                float(np.sum((v - t[1]) ** 2)), t[0]))
+            return [t[0] for t in ranked[:p]]
+
+        assign = {i: probe(v, 1)[0] for i, v in np_v.items()}
+        codes = {i: [min(range(len(cb)), key=lambda j: (
+            float(np.sum((v[s * sub:(s + 1) * sub] - cb[j]) ** 2)), j))
+            for s, cb in enumerate(cbs)] for i, v in np_v.items()}
+        want = set()
+        for q in qids:
+            cells = set(probe(np_v[q], n_probes))
+            cand = [i for i, c in assign.items() if c in cells and i != q]
+            scored = sorted((sum(
+                float(np.sum((np_v[q][s * sub:(s + 1) * sub]
+                              - cbs[s][c]) ** 2))
+                for s, c in enumerate(codes[i])), i) for i in cand)
+            for rank, (adc, i) in enumerate(scored[:k], start=1):
+                want.add((q, i, round(adc, 9), rank))
+        assert got_set == want, (m, n_seeds, dim, n, k, n_probes)
