@@ -180,8 +180,16 @@ def main(argv=None) -> int:
         if args.skew:
             out = apply_skew(name, out)
         dest = f"{args.dest}/{name}.parquet"
-        out.coalesce(max(1, args.factor // 2)) \
-           .write.mode("overwrite").parquet(dest)
+        # PIN the file count: the replica expansion inherits the source's
+        # 1-3 input partitions, and coalesce can only shrink — round-9/10
+        # regenerations landed 60M-row tables in 3 files, capping scan
+        # parallelism at ~3 tasks and silently skewing cross-round sf10
+        # comparisons (entropy_batch32 "regressed" 64->77 s on identical
+        # code purely from layout luck). Deterministic layout = comparable
+        # rows: many small files is the realistic big-table shape (scan
+        # parallelism comes from file count at 100 TB too).
+        n_files = 1 if name in COPY_TABLES else max(32, min(256, args.factor))
+        out.repartition(n_files).write.mode("overwrite").parquet(dest)
         print(f"{name}: {spark.read.parquet(dest).count()} rows -> {dest}")
     spark.stop()
     return 0
