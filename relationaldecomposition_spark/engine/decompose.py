@@ -40,6 +40,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from functools import reduce
 
@@ -111,8 +112,6 @@ class DecompositionValidator:
     """Spurious-tuple counting for a set of clusters over one relation."""
 
     def __init__(self, df: DataFrame, broadcast_max_rows: int = BROADCAST_MAX_ROWS):
-        import threading
-
         self.schema_cols = tuple(df.columns)
         # validation-path semantics: dedup the base once, keep it hot
         self.base = df.distinct().persist()
@@ -136,7 +135,13 @@ class DecompositionValidator:
             if ent is None:
                 ent = {"df": project_cluster(self.base, c,
                                              self.schema_cols).persist(),
-                       "refs": 0, "count": None}
+                       "refs": 0, "count": None,
+                       # serializes the FIRST materialization: two schema
+                       # validations sharing a cluster would otherwise
+                       # count the same persisted frame concurrently and
+                       # double-compute its partitions ("Block already
+                       # exists" BlockManager warnings, wasted work)
+                       "mlock": threading.Lock()}
                 self._projs[c] = ent
             ent["refs"] += 1
             return ent
@@ -208,12 +213,17 @@ class DecompositionValidator:
                 ent = entries[c]
                 if ent["count"] is not None:
                     return ent["count"]
-                if group is not None:
-                    sc.setJobGroup(group, desc, interruptOnCancel=True)
-                n = projs[c].count()
-                # benign race: concurrent first counts compute the same
-                # value over the same cached frame
-                ent["count"] = n
+                # double-checked per-entry lock: only ONE thread runs the
+                # materializing count; concurrent validations sharing the
+                # cluster wait and reuse the cached blocks instead of
+                # re-computing them (BlockManager "already exists" race)
+                with ent["mlock"]:
+                    if ent["count"] is not None:
+                        return ent["count"]
+                    if group is not None:
+                        sc.setJobGroup(group, desc, interruptOnCancel=True)
+                    n = projs[c].count()
+                    ent["count"] = n
                 return n
 
             with ThreadPoolExecutor(max_workers=min(8, len(cl))) as pool:
