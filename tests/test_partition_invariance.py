@@ -24,6 +24,9 @@ CHECK = [
     "o51_pack_sequences",
     "o52_rebalance_mixture",
     "o37_skew_report",
+    # r10: ADC ranking — float tie-breaks + window rank under a
+    # broadcast-join plan family
+    "o76_pq_topk",
 ]
 
 
