@@ -387,3 +387,57 @@ def pq_rerank(shortlist: DataFrame, df: DataFrame, vec_col: str,
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def pq_collision_stream(stream: DataFrame, index: DataFrame, vec_col: str,
+                        id_col: str,
+                        codebooks: list[list[list[float]]],
+                        coarse_centroids: list[tuple[int, list[float]]],
+                        tau_adc: float, n_probes: int = 1,
+                        ts_col: str = "ts",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming face of the PQ code store: (id, ts) of streamed embeddings
+    whose asymmetric distance to some indexed row in their probed cells is
+    <= tau_adc — the PQ twin of `ivf.semdedup_collision_stream`, with the
+    static side reading the CODE store (M bytes per indexed row) instead
+    of raw vectors. The streamed vector stays exact (it is the ADC query):
+    its LUT and coarse probe are row-local literal-codebook expressions,
+    the probe is a stream-static equi-join on cell, the ADC gate a
+    row-local expression, and the one-flag-per-id rule a watermarked
+    dedup. On a batch frame the SAME plan runs with a groupBy-min in
+    place of the watermark dedup (how tests pin stream == batch).
+
+    `tau_adc` is a squared-L2 distance (smaller = nearer), matching
+    pq_topk's `adc` column. Same repeated-id caveat as
+    semdedup_collision_stream: the guarantee is over the flagged ID SET;
+    the streaming face keeps the first-arriving ts, the batch face
+    min(ts)."""
+    if not 1 <= n_probes <= len(coarse_centroids):
+        raise ValueError(f"n_probes must be in [1, {len(coarse_centroids)}]")
+    probed = (stream.select(F.col(id_col), F.col(ts_col),
+                            _as_double(vec_col).alias("qv"))
+              .withColumn("luts", _lut_expr("qv", codebooks))
+              .select(id_col, ts_col, "luts",
+                      F.explode(F.slice(
+                          ivf._dist_structs("qv", coarse_centroids),
+                          1, n_probes)).alias("p"))
+              .select(id_col, ts_col, "luts",
+                      F.col("p.cell").alias("cell")))
+    idx = index.select(F.col(id_col).alias("_iid"), "codes", "cell")
+    adc = F.when(
+        F.size(F.col("codes")) == F.lit(len(codebooks)),
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("luts"),
+                       lambda c, lut: F.element_at(lut, c + F.lit(1))),
+            F.lit(0.0), lambda a, b: a + b)
+    ).otherwise(F.raise_error(F.lit(
+        "PQ codes width does not match the codebook's M — was this index "
+        "encoded under a different codebook geometry?")))
+    hits = (probed.join(idx, "cell")
+            .where(F.col(id_col) != F.col("_iid"))
+            .where(adc <= F.lit(float(tau_adc)))
+            .select(id_col, ts_col))
+    if hits.isStreaming:
+        return (hits.withWatermark(ts_col, watermark)
+                    .dropDuplicatesWithinWatermark([id_col]))
+    return hits.groupBy(id_col).agg(F.min(ts_col).alias(ts_col))

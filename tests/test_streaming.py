@@ -364,3 +364,60 @@ def test_semdedup_collision_stream_repeated_ids_id_set_parity(
     assert len(got) == len(batch_by_id)  # one flag per id either way
     valid_ts = {(r[0], r[2]) for r in new_rows}
     assert all((r["vec_id"], r["ts"]) in valid_ts for r in got)
+
+
+def test_pq_collision_stream_batch_parity(spark, tmp_path):
+    """The stream-static PQ code-store probe must flag exactly the rows the
+    batch twin flags — the CODE-sized static side's twin of
+    test_semdedup_collision_stream_batch_parity. Planted geometry: clones
+    of SEED rows have ~zero ADC (seed slices reconstruct the seed
+    exactly), everything else sits at O(1) quantization error."""
+    import datetime
+
+    from relationaldecomposition_spark.operators import ivf, pq
+
+    t0 = datetime.datetime(2026, 1, 1)
+    dim = 8
+
+    def vec(seed):
+        import random
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    corpus_rows = [(i, vec(i)) for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "vec_id bigint, v array<double>")
+    seed_ids = [0, 5, 10, 15]
+    coarse = ivf.seed_centroids(corpus, "v", "vec_id", seed_ids)
+    cbs = pq.pq_seed_codebooks(corpus, "v", "vec_id", 2, seed_ids)
+    idx = pq.pq_cell_index(corpus, "v", "vec_id", cbs, coarse)
+
+    new_rows = (
+        # near-clones of the SEED rows: ADC vs the seed's own codes is
+        # ~||clone - seed||^2 ~ 1e-4 * |v|^2 — far under tau
+        [(100 + k, [x * 1.01 for x in corpus_rows[s][1]],
+          t0 + datetime.timedelta(minutes=k))
+         for k, s in enumerate(seed_ids)] +
+        # negated seeds: squared distance ~4|v|^2 — far over tau
+        [(200 + k, [-x for x in corpus_rows[s][1]],
+          t0 + datetime.timedelta(minutes=k))
+         for k, s in enumerate(seed_ids)])
+    new = spark.createDataFrame(
+        new_rows, "vec_id bigint, v array<double>, ts timestamp")
+
+    batch = {(r["vec_id"], r["ts"])
+             for r in pq.pq_collision_stream(
+                 new, idx, "v", "vec_id", cbs, coarse,
+                 tau_adc=0.05).collect()}
+    assert {i for i, _ in batch} == {100, 101, 102, 103}
+
+    src = tmp_path / "pq_src"
+    new.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    out = _run_stream(
+        spark,
+        pq.pq_collision_stream(stream, idx, "v", "vec_id", cbs, coarse,
+                               tau_adc=0.05),
+        "pq_collisions", tmp_path, mode="append")
+    got = {(r["vec_id"], r["ts"]) for r in out.collect()}
+    assert got == batch
