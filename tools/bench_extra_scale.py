@@ -76,19 +76,31 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
     step_coarse = max(1, n // k1)
     coarse_ids = list(range(0, step_coarse * k1, step_coarse))
 
-    t0 = time.time()
     cents = ivf.seed_centroids(emb, "embedding", "vec_id", flat_ids)
-    flat_pairs = ivf.semdedup_pairs(emb, "embedding", "vec_id", cents,
-                                    SEMDEDUP_TAU, max_cell=MAX_CELL,
-                                    kernel="gram").count()
-    t_flat = time.time() - t0
-
-    t0 = time.time()
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", coarse_ids)
-    hier_pairs = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id",
-                                         coarse, k2, SEMDEDUP_TAU,
-                                         max_cell=MAX_CELL,
-                                         kernel="gram").count()
+
+    def flat():
+        return ivf.semdedup_pairs(emb, "embedding", "vec_id", cents,
+                                  SEMDEDUP_TAU, max_cell=MAX_CELL,
+                                  kernel="gram").count()
+
+    def hier():
+        return ivf.semdedup_pairs_hier(emb, "embedding", "vec_id",
+                                       coarse, k2, SEMDEDUP_TAU,
+                                       max_cell=MAX_CELL,
+                                       kernel="gram").count()
+
+    # one untimed warm pass of EACH face: whichever face runs first in a
+    # cold session otherwise pays the whole-stage-codegen/Arrow JIT bill
+    # (a standalone --skip-sf10 run once measured flat 3.2x its own warm
+    # time from exactly this)
+    flat()
+    hier()
+    t0 = time.time()
+    flat_pairs = flat()
+    t_flat = time.time() - t0
+    t0 = time.time()
+    hier_pairs = hier()
     t_hier = time.time() - t0
 
     return {
@@ -101,8 +113,9 @@ def _semdedup_flat_vs_hier(spark, sf_dir: str) -> dict:
                  "assignment + per-cell gram pair matmul). VERDICT of the "
                  "round-5 hier-vs-flat question: once assignment and pair "
                  "scoring are vectorized, FLAT wins at every "
-                 "broadcastable codebook size (sf10: flat 11s vs hier 16s "
-                 "vs 656/636s for the round-5 expression kernels) — "
+                 "broadcastable codebook size (see the sibling flat_sec/"
+                 "hier_sec fields; the round-5 expression kernels measured "
+                 "656/636s on the same sf10 workload) — "
                  "hier's extra shuffles (route window + sub-codebook "
                  "join) cost more than the O(n*cells*dim)->O(n*(K1+k2)*"
                  "dim) assignment saving, which BLAS made ~free. The "
