@@ -88,10 +88,21 @@ def _code_structs(vname: str, s: int, sub: int,
 
 
 def _codes_expr(vname: str, codebooks: list[list[list[float]]]) -> Column:
+    m = len(codebooks)
     sub = len(codebooks[0][0])
-    return F.array(*[
+    codes = F.array(*[
         F.element_at(_code_structs(vname, s, sub, cb), 1)["j"]
-        for s, cb in enumerate(codebooks)]).alias("codes")
+        for s, cb in enumerate(codebooks)])
+    # geometry guard: a codebook wider than the data makes F.slice return
+    # short subvectors and zip_with NULL-pad the distance — struct
+    # comparison then treats NULL as smallest and assigns a wrong code
+    # SILENTLY. Fail loudly on any row whose width is not m*sub.
+    return F.when(
+        F.size(F.col(vname)) == F.lit(m * sub), codes
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"PQ codebook geometry (m={m}, sub={sub}) does not match "
+              "the vector width "),
+        F.size(F.col(vname)).cast("string")))).alias("codes")
 
 
 def pq_encode(df: DataFrame, vec_col: str, id_col: str,
@@ -103,8 +114,7 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
     centroid visit — the production face once K·D outgrows interpreted-HOF
     economics, same split as ivf.ivf_topk's kernels)."""
     if kernel == "np":
-        return _np_encoded(df, vec_col, id_col, codebooks) \
-            .select(id_col, "codes")
+        return _np_encoded(df, vec_col, id_col, codebooks)
     if kernel != "expr":
         raise ValueError(f"unknown encode kernel: {kernel!r}")
     return (df.select(F.col(id_col), _as_double(vec_col).alias("_v"))
@@ -113,15 +123,19 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
 
 def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
                 codebooks: list[list[list[float]]],
-                coarse: list[tuple[int, list[float]]] | None = None
-                ) -> DataFrame:
-    """(id, v, codes[, cell]): BLAS twin of the expression face — one
+                coarse: list[tuple[int, list[float]]] | None = None,
+                include_v: bool = False) -> DataFrame:
+    """(id[, v], codes[, cell]): BLAS twin of the expression face — one
     mapInPandas pass computing every subspace argmin (and, when `coarse`
     is given, the full-dim coarse cell) per Arrow batch. Codes scan
     ascending-j with np.argmin's first-minimum rule, reproducing the
     expression path's (distance, j) tie-break up to the same ~ulp
     BLAS-vs-sequential caveat as ivf._np_assigned (pinned identical on the
-    gate data by tests/test_pq.py)."""
+    gate data by tests/test_pq.py). `include_v` keeps the raw vector in
+    the output; encode-only callers leave it off so each row's D doubles
+    are NOT serialized back through Arrow just to be pruned (column
+    pruning cannot reach inside a Python UDF — the whole point of this
+    pass is emitting M bytes per row, not D floats)."""
     import numpy as np
 
     from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
@@ -131,9 +145,10 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
     sub = len(codebooks[0][0])
     cmats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     c2s = [(c * c).sum(axis=1) for c in cmats]
-    fields = [df.schema[id_col],
-              StructField("v", ArrayType(DoubleType())),
-              StructField("codes", ArrayType(IntegerType()))]
+    fields = [df.schema[id_col]]
+    if include_v:
+        fields.append(StructField("v", ArrayType(DoubleType())))
+    fields.append(StructField("codes", ArrayType(IntegerType())))
     if coarse is not None:
         ordered = sorted(coarse)
         ccids = np.array([c for c, _ in ordered], dtype=np.int64)
@@ -149,6 +164,10 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
                 continue
             x = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if x.shape[1] != m * sub:
+                raise ValueError(
+                    f"PQ codebook geometry (m={m}, sub={sub}) does not "
+                    f"match the vector width {x.shape[1]}")
             codes = np.empty((len(x), m), dtype=np.int32)
             for s in range(m):
                 xs = x[:, s * sub:(s + 1) * sub]
@@ -156,9 +175,10 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
                 # np.argmin keeps the FIRST minimum -> lowest j on ties
                 codes[:, s] = np.argmin(
                     c2s[s] - 2.0 * (xs @ cmats[s].T), axis=1)
-            cols = {id_col: pdf[id_col],
-                    "v": list(x),
-                    "codes": list(codes)}
+            cols = {id_col: pdf[id_col]}
+            if include_v:
+                cols["v"] = list(x)
+            cols["codes"] = list(codes)
             if coarse is not None:
                 sc = cc2 - 2.0 * (x @ ccmat.T)
                 cols["cell"] = ccids[np.argmin(sc, axis=1)]
@@ -180,7 +200,7 @@ def pq_lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
     m = len(codebooks)
     sub = len(codebooks[0][0])
     for _ in range(iters):
-        enc = _np_encoded(df, vec_col, id_col, codebooks)
+        enc = _np_encoded(df, vec_col, id_col, codebooks, include_v=True)
         means = (enc.select(F.posexplode("codes").alias("s", "j"), "v")
                  .select("s", "j",
                          F.posexplode(F.slice(
@@ -220,7 +240,7 @@ def _lut_expr(qname: str, codebooks: list[list[list[float]]]) -> Column:
 
 
 def pq_topk(df: DataFrame, vec_col: str, id_col: str,
-            query_ids: list[int], k: int = 5, m: int = 8,
+            query_ids: list[int], k: int = 5, m: int | None = None,
             code_ids: list[int] | None = None,
             codebooks: list[list[list[float]]] | None = None,
             coarse_centroid_ids: list[int] | None = None,
@@ -244,10 +264,16 @@ def pq_topk(df: DataFrame, vec_col: str, id_col: str,
     if codebooks is None:
         if not code_ids:
             raise ValueError("need code_ids or codebooks")
-        codebooks = pq_seed_codebooks(df, vec_col, id_col, m, code_ids)
+        codebooks = pq_seed_codebooks(df, vec_col, id_col,
+                                      8 if m is None else m, code_ids)
         if lloyd_iters:
             codebooks = pq_lloyd_refine(df, vec_col, id_col, codebooks,
                                         lloyd_iters)
+    elif m is not None and m != len(codebooks):
+        # trained-artifact reuse must fail loudly on mismatch, not let
+        # len(codebooks) silently override the caller's m
+        raise ValueError(f"m={m} conflicts with the provided codebooks' "
+                         f"M={len(codebooks)}")
     m = len(codebooks)
     if coarse_centroids is None:
         if not coarse_centroid_ids:
@@ -276,6 +302,31 @@ def pq_topk(df: DataFrame, vec_col: str, id_col: str,
                      n_probes, k)
 
 
+def _adc_expr(codebooks: list[list[list[float]]]) -> Column:
+    """Guarded ADC score over (codes, luts): sum over subspaces of
+    LUT[s][code_s], left-to-right ascending s. The guard checks BOTH axes
+    of the codebook geometry: width (M — zip_with NULL-pads a mismatched
+    codes array) and code RANGE (K — an index encoded under the same M but
+    a LARGER K passes a length-only check, and element_at(lut, c+1) then
+    returns NULL out-of-bounds under non-ANSI semantics). Either way a
+    NULL adc would sort FIRST in the ascending rank window (or silently
+    drop collisions on the stream face) — fail loudly instead."""
+    m, k = len(codebooks), len(codebooks[0])
+    ok = (
+        (F.size(F.col("codes")) == F.lit(m))
+        & F.forall(F.col("codes"),
+                   lambda c: (c >= F.lit(0)) & (c < F.lit(k))))
+    return F.when(
+        ok,
+        F.aggregate(
+            F.zip_with(F.col("codes"), F.col("luts"),
+                       lambda c, lut: F.element_at(lut, c + F.lit(1))),
+            F.lit(0.0), lambda a, b: a + b)
+    ).otherwise(F.raise_error(F.lit(
+        f"PQ codes do not match the codebook geometry (M={m}, K={k}) — "
+        "was this index encoded under a different codebook?")))
+
+
 def _adc_rank(index: DataFrame, id_col: str, q: DataFrame,
               codebooks: list[list[list[float]]],
               coarse_centroids: list[tuple[int, list[float]]],
@@ -293,18 +344,7 @@ def _adc_rank(index: DataFrame, id_col: str, q: DataFrame,
                             1, n_probes)).alias("p"))
                .select("query_id", F.col("p.cell").alias("cell")))
     luts = q.select("query_id", _lut_expr("qv", codebooks).alias("luts"))
-    # width guard: zip_with NULL-pads a mismatched codes array (e.g. a
-    # store encoded under a different M), and NULL adc would sort FIRST in
-    # the rank window — fail loudly instead of ranking garbage
-    adc = F.when(
-        F.size(F.col("codes")) == F.lit(len(codebooks)),
-        F.aggregate(
-            F.zip_with(F.col("codes"), F.col("luts"),
-                       lambda c, lut: F.element_at(lut, c + F.lit(1))),
-            F.lit(0.0), lambda a, b: a + b)
-    ).otherwise(F.raise_error(F.lit(
-        "PQ codes width does not match the codebook's M — was this index "
-        "encoded under a different codebook geometry?")))
+    adc = _adc_expr(codebooks)
     scored = (index.join(F.broadcast(qprobes), "cell")
               .where(F.col(id_col) != F.col("query_id"))
               .join(F.broadcast(luts), "query_id")
@@ -424,15 +464,7 @@ def pq_collision_stream(stream: DataFrame, index: DataFrame, vec_col: str,
               .select(id_col, ts_col, "luts",
                       F.col("p.cell").alias("cell")))
     idx = index.select(F.col(id_col).alias("_iid"), "codes", "cell")
-    adc = F.when(
-        F.size(F.col("codes")) == F.lit(len(codebooks)),
-        F.aggregate(
-            F.zip_with(F.col("codes"), F.col("luts"),
-                       lambda c, lut: F.element_at(lut, c + F.lit(1))),
-            F.lit(0.0), lambda a, b: a + b)
-    ).otherwise(F.raise_error(F.lit(
-        "PQ codes width does not match the codebook's M — was this index "
-        "encoded under a different codebook geometry?")))
+    adc = _adc_expr(codebooks)
     hits = (probed.join(idx, "cell")
             .where(F.col(id_col) != F.col("_iid"))
             .where(adc <= F.lit(float(tau_adc)))

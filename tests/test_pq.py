@@ -280,8 +280,49 @@ def test_width_guard_fails_loudly(spark, emb, codebooks):
     with pytest.raises(Exception, match="codebook geometry"):
         bad.collect()
 
+    # same M, SMALLER K: a length-only width guard passes, element_at
+    # then reads the LUT out of bounds -> NULL adc sorts first and ranks
+    # garbage silently. The guard must also check code VALUE bounds.
+    # (the store was encoded with K=len(CIDS) codes; query it with
+    # codebooks truncated to K=2 entries per subspace)
+    wrong_k = [cb[:2] for cb in codebooks]
+    bad_k = pq.pq_topk_index(idx, queries, "embedding", "vec_id", K,
+                             wrong_k, coarse, n_probes=8)
+    with pytest.raises(Exception, match="codebook"):
+        bad_k.collect()
+
     with pytest.raises(ValueError, match="distinct"):
         pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, CIDS + [CIDS[0]])
+
+
+def test_geometry_guard_on_encode(spark, emb, codebooks):
+    """A codebook wider than the data must raise on BOTH encode kernels,
+    not NULL-pad F.slice/zip_with and assign a wrong code silently."""
+    short = emb.select("vec_id",
+                       F.slice("embedding", 1, 32).alias("embedding"))
+    for kernel in ("expr", "np"):
+        with pytest.raises(Exception, match="vector width"):
+            pq.pq_encode(short, "embedding", "vec_id", codebooks,
+                         kernel=kernel).collect()
+
+
+def test_m_codebooks_conflict(emb, codebooks):
+    """An explicit m that disagrees with provided codebooks fails loudly
+    instead of len(codebooks) silently overriding it."""
+    with pytest.raises(ValueError, match="conflicts"):
+        pq.pq_topk(emb, "embedding", "vec_id", QIDS, K, m=M + 1,
+                   codebooks=codebooks, coarse_centroid_ids=CIDS)
+
+
+def test_np_encode_prunes_raw_vector(emb, codebooks):
+    """Encode-only BLAS outputs carry no raw-vector column: each row's D
+    doubles must not ride back through Arrow just to be dropped."""
+    enc = pq.pq_encode(emb, "embedding", "vec_id", codebooks, kernel="np")
+    assert enc.columns == ["vec_id", "codes"]
+    from relationaldecomposition_spark.operators import ivf
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    idx = pq.pq_cell_index(emb, "embedding", "vec_id", codebooks, coarse)
+    assert idx.columns == ["vec_id", "codes", "cell"]
 
 
 def test_random_geometries_match_python_oracle(spark):
