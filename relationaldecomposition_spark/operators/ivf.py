@@ -820,21 +820,42 @@ def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
 def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
                         k2: int, tau: float,
-                        kernel: str = "expr") -> DataFrame:
+                        kernel: str = "expr",
+                        route_probes: int = 1) -> DataFrame:
     """Greedy survivor set over the hierarchical cells (min-id
     representative, same policy as semdedup_apply). Returns (id, cell,
-    kept)."""
+    kept) — exactly one row per id.
+
+    ``route_probes`` > 1 closes the end-to-end recall gap the pair face
+    already measured (SCALING.json hier_multiprobe_r10): the DROP set is
+    derived from pairs generated under each vector's p nearest routes
+    (the same pair plane as semdedup_pairs_hier at the same p — pinned by
+    tests), while the reported ``cell`` stays the PRIMARY (_rk = 1)
+    assignment, identical to the default output, so survivor rows remain
+    unique per id (the distinct-partner discipline semdedup_incremental
+    enforces). Default 1 keeps the o57 oracle bit-stable."""
     if kernel == "gram":
-        base = _np_assigned_hier(df, vec_col, id_col, coarse, k2)
+        base = _np_assigned_hier(df, vec_col, id_col, coarse, k2,
+                                 route_probes=route_probes)
     else:
         df = _fresh(df)
         assigned = assign_cells_hier(df, vec_col, id_col, coarse,
                                      route_sub_codebook(df, vec_col,
-                                                        id_col, coarse, k2))
+                                                        id_col, coarse, k2),
+                                     route_probes=route_probes)
         base = assigned.withColumn("n", _norm(F.col("v")))
-    dropped = (_cell_pairs(base, id_col, tau, kernel=kernel)
+    if route_probes == 1:
+        primary = base
+        pair_base = base
+    else:
+        # one shared probed subtree: pairs see every probed cell, the
+        # survivor rows only the primary assignment (recomputed map-only
+        # scan — the pair join dominates; no cache left behind)
+        primary = base.where(F.col("_rk") == 1)
+        pair_base = base.drop("_rk")
+    dropped = (_cell_pairs(pair_base, id_col, tau, kernel=kernel)
                .select(F.col("id_b").alias(id_col)).distinct())
-    return (base.select(id_col, "cell")
+    return (primary.select(id_col, "cell")
             .join(dropped.withColumn("_drop", F.lit(True)),
                   id_col, "left")
             .select(F.col(id_col), F.col("cell"),

@@ -436,6 +436,36 @@ def test_semdedup_hier_apply_matches_pair_policy(emb, h_coarse):
         assert r.kept == (r.vec_id not in dropped)
 
 
+def test_semdedup_hier_apply_multi_probe_matches_pair_face(emb, h_coarse):
+    """route_probes=2 on the apply face (round-10 verdict ask #3): the
+    drop set must be exactly the pair face's id_b set AT THE SAME p, the
+    output must stay unique per id, and the reported cell must be the
+    PRIMARY (p=1) assignment — so the end-to-end dedup inherits the pair
+    face's measured recall without changing the survivor-row shape."""
+    pairs = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                    H_SUB_K, SD_TAU,
+                                    route_probes=2).toPandas()
+    dropped = set(pairs.id_b)
+    single = ivf.semdedup_apply_hier(emb, "embedding", "vec_id", h_coarse,
+                                     H_SUB_K, SD_TAU).toPandas()
+    for kernel in ("expr", "gram"):
+        out = ivf.semdedup_apply_hier(emb, "embedding", "vec_id", h_coarse,
+                                      H_SUB_K, SD_TAU, kernel=kernel,
+                                      route_probes=2).toPandas()
+        assert len(out) == emb.count()
+        assert out.vec_id.is_unique
+        for r in out.itertuples():
+            assert r.kept == (r.vec_id not in dropped)
+        # primary cell assignment identical to the single-probe face
+        cells = dict(zip(out.vec_id, out.cell))
+        assert cells == dict(zip(single.vec_id, single.cell))
+    # multi-probe can only widen the drop set (pairs across route
+    # boundaries), never shrink it
+    assert dropped >= set(
+        ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", h_coarse,
+                                H_SUB_K, SD_TAU).toPandas().id_b)
+
+
 def test_semdedup_hier_deterministic_under_repartition(emb, h_coarse):
     a = sorted(map(tuple, ivf.semdedup_pairs_hier(
         emb, "embedding", "vec_id", h_coarse, H_SUB_K, SD_TAU).collect()))

@@ -1,18 +1,18 @@
-"""Measure PQ ranking quality at scale (SCALING.json `pq_quality_r10`):
-recall@R of the true L2 nearest neighbor under ADC ranking on the sf10
-scale embeddings (200k rows), probing every coarse cell to isolate
-quantization quality from probe recall, across the two levers the module
-header names — codebook size K and Lloyd refinement — plus the IVFADC-R
-pipeline recall (ADC shortlist -> exact-cosine re-rank) against the exact
-cosine top-k verifier.
+"""Measure PQ ranking quality at scale (SCALING.json `pq_quality_r*`):
+recall@R of the true L2 nearest neighbor under ADC ranking, probing every
+coarse cell to isolate quantization quality from probe recall, across the
+two levers the module header names — codebook size K and Lloyd refinement —
+plus the IVFADC-R pipeline recall (ADC shortlist -> exact-cosine re-rank)
+against the exact cosine top-k verifier.
 
-The scale corpus is replica-structured (tools/gen_scale_data.py rotates
-vectors per replica), so unlike the uniform-random gate rows it HAS
-planted structure: each original row's rotated copies are far, but the
-within-replica geometry repeats — closer to a real embedding corpus than
-the gate data, and the regime where K/Lloyd levers should move recall.
+Regimes: the sf10 scale corpus (`--dir .data/sf10`) is rotation-replicated
+near-uniform random vectors — PQ's ADVERSARIAL regime (distance
+concentration). The clustered fixture (`tools/gen_clustered_embeddings.py`,
+`--dir .data/clustered200k`) is the realistic regime with planted
+mixture-of-Gaussians geometry; round 11 measures both side by side.
 
-Usage: python tools/bench_pq_quality.py [--dir .data/sf10] [--out SCALING.json]
+Usage: python tools/bench_pq_quality.py [--dir .data/sf10]
+           [--out SCALING.json] [--label pq_quality_r11] [--note TEXT]
 """
 
 from __future__ import annotations
@@ -33,7 +33,7 @@ from relationaldecomposition_spark.operators import ivf, pq  # noqa: E402
 from relationaldecomposition_spark.session import get_spark  # noqa: E402
 
 M = 8
-QIDS = list(range(10))
+QIDS = list(range(10))  # default; --queries N widens to range(N)
 COARSE_IDS = list(range(0, 480, 30))      # 16 coarse cells (the o16/o76 set)
 K16_IDS = COARSE_IDS                      # K=16 sub-codebooks (the o76 set)
 K64_IDS = list(range(0, 1920, 30))        # K=64: 4x codes, same id stride
@@ -42,10 +42,23 @@ TOPK = 5
 
 
 def main(argv=None) -> int:
+    global QIDS
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default=os.path.join(REPO, ".data", "sf10"))
     ap.add_argument("--out", default=os.path.join(REPO, "SCALING.json"))
+    ap.add_argument("--label", default="pq_quality_r11")
+    ap.add_argument("--note", default=None,
+                    help="regime note recorded alongside the numbers")
+    ap.add_argument("--queries", type=int, default=len(QIDS),
+                    help="number of query ids (0..N-1); more = finer "
+                         "recall granularity")
+    ap.add_argument("--k256", action="store_true",
+                    help="add K=256 sub-codebooks (Jegou TPAMI'11's "
+                         "standard size) to the lever sweep")
+    ap.add_argument("--shortlists", type=int, nargs="*", default=[SHORTLIST],
+                    help="IVFADC-R shortlist sizes to sweep")
     args = ap.parse_args(argv)
+    QIDS = list(range(args.queries))
 
     spark = get_spark("bench-pq-quality")
     emb = spark.read.parquet(os.path.join(args.dir, "embeddings.parquet"))
@@ -73,21 +86,34 @@ def main(argv=None) -> int:
             [int(ids[j]) for j in corder if int(ids[j]) != q][:TOPK])
 
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", COARSE_IDS)
+    # ground-truth cluster labels, when the corpus has them (the clustered
+    # fixture): measures whether ADC ROUTES to the right cluster even when
+    # near-tied within-cluster ranks reorder
+    labels = None
+    if "label" in emb.columns:
+        lpdf = emb.select("vec_id", "label").toPandas()
+        labels = dict(zip(lpdf.vec_id.astype(int), lpdf.label.astype(int)))
 
     def recall_at(codebooks, r):
         got = pq.pq_topk(emb, "embedding", "vec_id", QIDS, r, m=M,
                          codebooks=codebooks, coarse_centroids=coarse,
                          n_probes=len(coarse), kernel="np").toPandas()
         byq = got.groupby("query_id")["neighbor_id"].apply(set).to_dict()
-        return round(sum(nn_l2[q] in byq.get(q, set())
-                         for q in QIDS) / len(QIDS), 2)
+        rec = round(sum(nn_l2[q] in byq.get(q, set())
+                        for q in QIDS) / len(QIDS), 2)
+        if labels is None:
+            return rec, None
+        prec = round(sum(labels[int(n)] == labels[q]
+                         for q in QIDS for n in byq.get(q, set()))
+                     / sum(len(byq.get(q, set())) for q in QIDS), 3)
+        return rec, prec
 
-    def rerank_recall(codebooks):
+    def rerank_recall(codebooks, shortlist):
         idx = pq.pq_cell_index(emb, "embedding", "vec_id", codebooks,
                                coarse)
         queries = emb.where(F.col("vec_id").isin(QIDS))
         short = pq.pq_topk_index(idx, queries, "embedding", "vec_id",
-                                 SHORTLIST, codebooks, coarse,
+                                 shortlist, codebooks, coarse,
                                  n_probes=len(coarse))
         rr = pq.pq_rerank(short, emb, "embedding", "vec_id",
                           TOPK).toPandas()
@@ -97,33 +123,52 @@ def main(argv=None) -> int:
 
     out: dict = {"rows": int(n_rows), "m": M, "queries": len(QIDS),
                  "probe": "all coarse cells (ranking quality isolated)"}
-    for label, seed_ids, iters in [("k16_seed", K16_IDS, 0),
-                                   ("k16_lloyd2", K16_IDS, 2),
-                                   ("k64_seed", K64_IDS, 0),
-                                   ("k64_lloyd2", K64_IDS, 2)]:
+    levers = [("k16_seed", K16_IDS, 0), ("k16_lloyd2", K16_IDS, 2),
+              ("k64_seed", K64_IDS, 0), ("k64_lloyd2", K64_IDS, 2)]
+    if args.k256:
+        k256_ids = list(range(0, 2560, 10))
+        levers += [("k256_seed", k256_ids, 0), ("k256_lloyd2", k256_ids, 2)]
+    best_cbs, best_label = None, None
+    for label, seed_ids, iters in levers:
         cbs = pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, seed_ids)
         if iters:
             cbs = pq.pq_lloyd_refine(emb, "embedding", "vec_id", cbs,
                                      iters)
+        r10, p10 = recall_at(cbs, 10)
+        r100, p100 = recall_at(cbs, 100)
         out[label] = {"K": len(seed_ids),
-                      "recall_nn_at_10": recall_at(cbs, 10),
-                      "recall_nn_at_100": recall_at(cbs, 100)}
+                      "recall_nn_at_10": r10, "recall_nn_at_100": r100}
+        if p10 is not None:
+            out[label]["cluster_precision_at_10"] = p10
+            out[label]["cluster_precision_at_100"] = p100
         print(json.dumps({label: out[label]}), flush=True)
+        best_cbs, best_label = cbs, label
 
-    # the shipped pipeline: o76 config + IVFADC-R refinement
+    # the shipped pipeline: IVFADC-R refinement — o76's K=16 seed config
+    # at the default shortlist, plus the sweep over --shortlists on the
+    # best lever (the re-rank budget is the remaining recall lever once
+    # ADC routes to the right neighborhood)
     cbs16 = pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, K16_IDS)
     out["ivfadc_r_k16_seed"] = {
         "shortlist": SHORTLIST,
-        "recall_cos_top5": rerank_recall(cbs16),
+        "recall_cos_top5": rerank_recall(cbs16, SHORTLIST),
         "note": ("ADC shortlist from the on-disk index shape, exact-cosine "
                  "re-rank (pq_rerank) vs the exact cosine top-5 verifier")}
     print(json.dumps({"ivfadc_r_k16_seed": out["ivfadc_r_k16_seed"]}),
           flush=True)
+    if args.shortlists != [SHORTLIST]:
+        sweep = {str(s): rerank_recall(best_cbs, s) for s in args.shortlists}
+        out[f"ivfadc_r_{best_label}_shortlist_sweep"] = sweep
+        print(json.dumps({f"ivfadc_r_{best_label}_shortlist_sweep": sweep}),
+              flush=True)
 
     spark.stop()
+    out["dir"] = args.dir
+    if args.note:
+        out["note"] = args.note
     with open(args.out) as f:
         rec = json.load(f)
-    rec["pq_quality_r10"] = out
+    rec[args.label] = out
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=1)
     return 0
