@@ -124,7 +124,8 @@ def pq_encode(df: DataFrame, vec_col: str, id_col: str,
 def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
                 codebooks: list[list[list[float]]],
                 coarse: list[tuple[int, list[float]]] | None = None,
-                include_v: bool = False) -> DataFrame:
+                include_v: bool = False,
+                carry: tuple[str, ...] = ()) -> DataFrame:
     """(id[, v], codes[, cell]): BLAS twin of the expression face — one
     mapInPandas pass computing every subspace argmin (and, when `coarse`
     is given, the full-dim coarse cell) per Arrow batch. Codes scan
@@ -135,7 +136,9 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
     the output; encode-only callers leave it off so each row's D doubles
     are NOT serialized back through Arrow just to be pruned (column
     pruning cannot reach inside a Python UDF — the whole point of this
-    pass is emitting M bytes per row, not D floats)."""
+    pass is emitting M bytes per row, not D floats). ``carry`` names
+    extra input columns passed through untouched (the hier face carries
+    its (route, cell) assignment alongside the codes)."""
     import numpy as np
 
     from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
@@ -146,6 +149,7 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
     cmats = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     c2s = [(c * c).sum(axis=1) for c in cmats]
     fields = [df.schema[id_col]]
+    fields += [df.schema[c] for c in carry]
     if include_v:
         fields.append(StructField("v", ArrayType(DoubleType())))
     fields.append(StructField("codes", ArrayType(IntegerType())))
@@ -176,6 +180,8 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
                 codes[:, s] = np.argmin(
                     c2s[s] - 2.0 * (xs @ cmats[s].T), axis=1)
             cols = {id_col: pdf[id_col]}
+            for c in carry:
+                cols[c] = pdf[c]
             if include_v:
                 cols["v"] = list(x)
             cols["codes"] = list(codes)
@@ -184,7 +190,7 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
                 cols["cell"] = ccids[np.argmin(sc, axis=1)]
             yield pd.DataFrame(cols)
 
-    return df.select(id_col, vec_col).mapInPandas(encode, out)
+    return df.select(id_col, *carry, vec_col).mapInPandas(encode, out)
 
 
 def pq_lloyd_refine(df: DataFrame, vec_col: str, id_col: str,
@@ -393,6 +399,128 @@ def pq_topk_index(index: DataFrame, queries: DataFrame, vec_col: str,
                        _as_double(vec_col).alias("qv"))
     return _adc_rank(index, id_col, q, codebooks, coarse_centroids,
                      n_probes, k)
+
+
+def pq_cell_index_hier(df: DataFrame, vec_col: str, id_col: str,
+                       codebooks: list[list[list[float]]],
+                       coarse: list[tuple[int, list[float]]],
+                       subs: DataFrame,
+                       route_probes: int = 1) -> DataFrame:
+    """(id, codes, cell, route): the MILLION-CELL on-disk IVFADC index —
+    PQ codes under two-level routing. `ivf.write_cell_index`'s own sizing
+    law says the hier regime partitions the store by ROUTE (K1
+    directories) with cells pruned by parquet min/max inside each route's
+    files; this face produces exactly that shape: coarse route + sub-cell
+    from the persisted (route, cb) codebook (`ivf.hier_codebook`), PQ
+    codes from the same raw-vector pass. Two chained map-only Arrow
+    kernels over ONE scan (Spark pipelines them in a single stage); no
+    raw vectors in the output — the store stays M codes + two longs per
+    row. ``route_probes`` > 1 stores each id under its p nearest routes
+    (up to p rows per id; probe faces reduce per (query, neighbor)).
+
+    Write with ``ivf.write_cell_index(idx, path, partition_col="route")``
+    and probe with ``pq_topk_index_hier``."""
+    from . import ivf as _ivf
+
+    assigned = _ivf._np_assign_with_subs(df, vec_col, id_col, coarse, subs,
+                                         route_probes=route_probes)
+    if route_probes > 1:
+        assigned = assigned.drop("_rk")
+    enc = _np_encoded(assigned, "v", id_col, codebooks,
+                      carry=("route", "cell"))
+    return enc.select(id_col, "codes", "cell", "route")
+
+
+def _collect_subs(subs: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """{route: [(cell, centroid)]} from a (route, cb) codebook frame —
+    one codebook-sized collect (K1·k2·dim doubles), the same driver
+    constant every hier face already holds."""
+    return {int(r["route"]): [(int(e["cell"]), [float(x) for x in e["cv"]])
+                              for e in r["cb"]]
+            for r in subs.collect()}
+
+
+def _hier_query_probes(qrows, coarse, subs_map, n_probes: int,
+                       route_probes: int):
+    """[(query_id, route, cell)]: per query, rank the sub-cells of its
+    ``route_probes`` nearest coarse routes by squared L2 to the
+    sub-centroid and keep the ``n_probes`` globally nearest, tie-broken
+    on (distance, route, cell). Driver-side numpy over query-count ×
+    probed-cell candidates — queries are a handful of rows and the
+    result doubles as the STATIC pushdown lists for the store scan."""
+    import numpy as np
+
+    ordered = sorted(coarse)
+    cids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.asarray([v for _, v in ordered], dtype=np.float64)
+    out = []
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        d = ((cmat - q) ** 2).sum(axis=1)
+        rorder = np.lexsort((cids, d))[:route_probes]
+        cand = []
+        for ri in rorder:
+            route = int(cids[ri])
+            for cell, cv in subs_map.get(route, []):
+                dd = float(((q - np.asarray(cv, dtype=np.float64)) ** 2)
+                           .sum())
+                cand.append((dd, route, cell))
+        cand.sort()
+        out.extend((qid, route, cell)
+                   for _, route, cell in cand[:n_probes])
+    return out
+
+
+def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
+                       id_col: str, k: int,
+                       codebooks: list[list[list[float]]],
+                       coarse: list[tuple[int, list[float]]],
+                       subs: DataFrame, n_probes: int = 4,
+                       route_probes: int = 2) -> DataFrame:
+    """ADC top-k against a ROUTE-PARTITIONED `pq_cell_index_hier` store.
+    The probe set — each query's n_probes nearest (route, cell) pairs
+    under route_probes coarse routes — is computed driver-side from the
+    query batch and the persisted sub-codebook, then applied to the scan
+    as STATIC predicates: `route IN (...)` prunes whole partition
+    directories (K1-sized, the hier twin of the flat store's dynamic
+    partition pruning) and `cell IN (...)` pushes into parquet row-group
+    min/max inside the surviving routes — so a probe physically reads
+    O(probed cells) regardless of store size OR cell count (a
+    million-cell store no longer needs a million directories). Candidate
+    scoring is the same broadcast-LUT ADC as `pq_topk_index`; a
+    route_probes>1 STORE can surface the same (query, neighbor) once per
+    shared probe, so candidates reduce per pair before ranking (min adc —
+    the values are identical, codes don't vary by probe row)."""
+    if n_probes < 1:
+        raise ValueError("n_probes must be >= 1")
+    if not 1 <= route_probes <= len(coarse):
+        raise ValueError(f"route_probes must be in [1, {len(coarse)}]")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("qv"))
+    qrows = [(r["query_id"], list(r["qv"])) for r in q.collect()]
+    probes = _hier_query_probes(qrows, coarse, _collect_subs(subs),
+                                n_probes, route_probes)
+    spark = index.sparkSession
+    qprobes = spark.createDataFrame(
+        probes, schema="query_id long, route long, cell long")
+    routes = sorted({r for _, r, _ in probes})
+    cells = sorted({c for _, _, c in probes})
+    pruned = index.where(F.col("route").isin(routes)
+                         & F.col("cell").isin(cells))
+    luts = q.select("query_id", _lut_expr("qv", codebooks).alias("luts"))
+    adc = _adc_expr(codebooks)
+    scored = (pruned.join(F.broadcast(qprobes), ["route", "cell"])
+              .where(F.col(id_col) != F.col("query_id"))
+              .join(F.broadcast(luts), "query_id")
+              .select("query_id", F.col(id_col).alias("neighbor_id"),
+                      adc.alias("adc"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.min("adc").alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc", "rank"))
 
 
 def pq_rerank(shortlist: DataFrame, df: DataFrame, vec_col: str,

@@ -266,6 +266,70 @@ def test_cell_store_roundtrip_dpp_and_rerank(spark, emb, emb_np, codebooks,
     assert hits_rr / len(truth) >= 0.5, hits_rr / len(truth)
 
 
+def test_hier_route_partitioned_store(spark, emb, codebooks, tmp_path):
+    """The million-cell on-disk regime (round-10 verdict ask #4): PQ codes
+    under two-level routing, store partitioned by ROUTE with the cell
+    predicate pushed into parquet min/max. Pins (a) the plan — static
+    route partition filter + pushed In(cell) filter, (b) parity: probing
+    every (route, cell) must reproduce the flat probe-all pq_topk ranking
+    exactly (same codebooks => same ADC, candidates = everyone), and
+    (c) partial probes return adc values consistent with the all-probe
+    map."""
+    from relationaldecomposition_spark.operators import ivf
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse, 4,
+                             kernel="gram")
+    idx = pq.pq_cell_index_hier(emb, "embedding", "vec_id", codebooks,
+                                coarse, subs)
+    assert idx.columns == ["vec_id", "codes", "cell", "route"]
+    path = str(tmp_path / "pqhier")
+    ivf.write_cell_index(idx, path, partition_col="route")
+    stored = ivf.read_cell_index(spark, path, partition_col="route")
+    queries = emb.where(F.col("vec_id").isin(QIDS))
+
+    # (a) plan pins on a partial probe
+    part = pq.pq_topk_index_hier(stored, queries, "embedding", "vec_id",
+                                 K, codebooks, coarse, subs,
+                                 n_probes=3, route_probes=2)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "In(cell" in plan, plan
+    pf = plan[plan.index("PartitionFilters"):][:400]
+    assert "route" in pf, pf
+    assert "CartesianProduct" not in plan
+
+    # (b) probe-everything parity with the flat in-memory face
+    n_cells = sum(len(r["cb"]) for r in subs.collect())
+    full = pq.pq_topk_index_hier(stored, queries, "embedding", "vec_id",
+                                 K, codebooks, coarse, subs,
+                                 n_probes=n_cells,
+                                 route_probes=len(coarse))
+    mem = pq.pq_topk(emb, "embedding", "vec_id", QIDS, K, m=M,
+                     codebooks=codebooks, coarse_centroids=coarse,
+                     n_probes=len(coarse))
+    canon = lambda df: {(int(r.query_id), int(r.neighbor_id),
+                         round(float(r.adc), 9), int(r.rank))
+                        for r in df.collect()}
+    assert canon(full) == canon(mem)
+
+    # (c) partial-probe adc values agree with the all-probe scoring
+    all_adc = {(int(r.query_id), int(r.neighbor_id)): round(float(r.adc), 9)
+               for r in full.collect()}
+    for r in part.collect():
+        key = (int(r.query_id), int(r.neighbor_id))
+        if key in all_adc:
+            assert round(float(r.adc), 9) == all_adc[key]
+
+    # (d) a route_probes>1 STORE keeps (query, neighbor) unique
+    idx2 = pq.pq_cell_index_hier(emb, "embedding", "vec_id", codebooks,
+                                 coarse, subs, route_probes=2)
+    got = pq.pq_topk_index_hier(idx2, queries, "embedding", "vec_id",
+                                K, codebooks, coarse, subs,
+                                n_probes=8, route_probes=2).toPandas()
+    assert not got.duplicated(["query_id", "neighbor_id"]).any()
+    assert (got.groupby("query_id")["rank"].max() <= K).all()
+
+
 def test_width_guard_fails_loudly(spark, emb, codebooks):
     """A store encoded under a different M must raise, not NULL-pad the
     zip_with and rank garbage (NULL adc would sort first in the window)."""
