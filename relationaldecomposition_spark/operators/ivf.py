@@ -1175,7 +1175,22 @@ def compact_cell_index(spark, path: str, partition_col: str = "cell",
     the rewrite is proportional to the over-cap data only.
 
     Returns {"cells_total", "compacted_cells", "files_before",
-    "files_after"}."""
+    "files_after"}.
+
+    Concurrent readers (round-10 verdict ask #7, behavior pinned in
+    tests/test_gram.py::test_probe_during_compaction_semantics): the
+    dynamic partition overwrite DELETES the over-cap cells' old files,
+    and `spark.read.parquet` captures the store's file listing in the
+    plan's InMemoryFileIndex at BUILD time — so ANY reader created
+    before the compaction (acted on or not) fails its next action over a
+    compacted cell with `SparkException [FAILED_READ_FILE.FILE_NOT_
+    EXIST]`. It does NOT silently return stale or partial rows, and
+    `spark.catalog.refreshByPath` does not revive it (that refreshes
+    catalog-cached tables, not a path-read plan). The recovery recipe is
+    to re-create the reader: `read_cell_index(spark, path)` lists fresh
+    and sees the compacted store. Long-running probes should therefore
+    either finish before maintenance windows or catch FAILED_READ_FILE
+    and retry with a fresh reader."""
     if max_files_per_cell < 1:
         raise ValueError("max_files_per_cell must be >= 1")
     stats = cell_store_file_stats(spark, path, partition_col)
