@@ -53,6 +53,37 @@ GUARD_ANN_MAX_BUCKET = 32
 
 
 # ---------------------------------------------------------------------------
+# Registry retirement shortlist (round-10 verdict ask #8)
+# ---------------------------------------------------------------------------
+# The registry sits at the structural capacity of the 50-row/round driver
+# window (100 queries = two full rotations). Adding a query therefore
+# requires retiring one, per the o02 precedent: a STRICT INTERMEDIATE of a
+# gated pipeline, whose oracle is embedded verbatim in a downstream gated
+# query's oracle, documented at the retirement site. Pre-vetted candidates,
+# with the embedding-oracle evidence:
+#
+# 1. o44_semdedup_pairs — _oracle_semdedup("apply") (o45, gated) contains
+#    o44's ENTIRE oracle as its `pairs` CTE (_oracle_semdedup builds both
+#    faces from one base); the apply gate exercises assignment + pair join
+#    + tau filter end-to-end. Operator stays pytest-covered
+#    (tests/test_ivf.py semdedup_* suite).
+# 2. o56_semdedup_hier_pairs — same structure one level up:
+#    _oracle_semdedup_hier("apply") (o57, gated) embeds o56's pairs CTE.
+# 3. o09_token_counts — o32_doc_profile's oracle (sql_document_profile)
+#    embeds sql_token_counts as its `tok` CTE (over the PII-augmented
+#    view; the generator is shared, the gate covers the same expressions).
+# 4. o11_quality — sql_quality_score is o32's `qual` CTE, same reasoning.
+# 5. o12_fingerprint — sql_fingerprint is o32's `fp` CTE, same reasoning.
+#
+# NOT candidates despite surface similarity: o06/o07 (the documented
+# O(n^2) exact verifiers — they are the RECALL ORACLES for the bucketed
+# planes, not intermediates); o10_lang_id (o32 scores only the first
+# LID_PROFILE_MAX_CHARS chars — o10 is the only full-text LID gate);
+# o16_ivf_topk (o76 shares its probe stage but ranks by ADC — the
+# exact-cosine ranking is only gated by o16).
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
 # Spark-side queries
 # ---------------------------------------------------------------------------
 
