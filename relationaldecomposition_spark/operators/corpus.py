@@ -398,35 +398,56 @@ def document_profile(df: DataFrame, text_col: str, id_col: str,
                 "fingerprint"] + [f"n_{name}" for name, _, _ in PII_RULES]
         return lang_id(sigs, text_col, id_col, keep=keep,
                        max_chars=lid_max_chars)
-    # Batch: fingerprint and lang scoring ride their vectorized kernels
-    # (bit-identical integers — py_fingerprint_batch / np_lang_pred; the
-    # HOF fingerprint expression alone measured as expensive as every
-    # other signal combined, and the declarative lang join added two
-    # shuffles). FUSED into ONE pandas UDF so the text column crosses
-    # the JVM->Arrow->Python boundary once, not once per signal; the
-    # whole profile is a single map-only stage — zero Exchanges (pinned
-    # in tests/test_corpus.py).
+    # Batch: fingerprint, lang scoring AND the BPE-ish token count ride
+    # one fused pandas UDF (bit-identical values — py_fingerprint_batch /
+    # np_lang_pred / Python re over BPE_ISH_RE, pinned against the JVM
+    # regexp face in tests/test_corpus.py), so the text column crosses
+    # the JVM->Arrow->Python boundary once; the whole profile is a single
+    # map-only stage — zero Exchanges (pinned in tests/test_corpus.py).
+    #
+    # Why bpe_tokens is Python here while token_counts' standalone face
+    # stays a JVM regexp_count (round-11 profiling,
+    # SCALING.json:doc_profile_components_r11): interleaving the BPE-ish
+    # regex with the PII EMAIL regex per row in ONE interpreted
+    # projection deoptimizes java.util.regex's shared hot paths (two
+    # heavyweight patterns with different Pattern-node graphs make the
+    # matcher's call sites megamorphic) — bpe+email measured 26.4 s at
+    # sf10 vs 7.6+2.0 s separately, with heap size, codegen flags and
+    # pattern count all ruled out (bpe+bpe, bpe+phone, bpe+ipv4 are
+    # additive). Moving the BPE count across the Arrow boundary isolates
+    # the regex engines and took the fused profile 33.4 -> 11.2 s.
     from pyspark.sql.functions import pandas_udf
 
-    from .text import np_lang_pred, py_fingerprint_batch
+    from .text import BPE_ISH_RE, np_lang_pred, py_fingerprint_batch
 
     # no type hints: the Series -> DataFrame struct-return signature is
     # not hint-inferable in PySpark 4.1; the returnType drives inference
-    @pandas_udf("struct<fingerprint:bigint,pred_lang:string>")
-    def _fp_lang(texts):
+    @pandas_udf("struct<fingerprint:bigint,pred_lang:string,"
+                "bpe_tokens:bigint>")
+    def _fp_lang_bpe(texts):
+        import re
+
         import pandas as pd
+        # re.ASCII: Java regex and DuckDB RE2 read \s as ASCII whitespace;
+        # Python's default unicode \s would mis-class e.g. \xa0 in the
+        # [^A-Za-z0-9\s] arm
+        pat = re.compile(BPE_ISH_RE, re.ASCII)
         return pd.DataFrame({
             "fingerprint": pd.Series(py_fingerprint_batch(texts),
                                      dtype="int64"),
             "pred_lang": pd.Series(np_lang_pred(texts.tolist(),
                                                 lid_max_chars),
                                    dtype="object"),
+            "bpe_tokens": pd.Series([len(pat.findall(t)) for t in texts],
+                                    dtype="int64"),
         })
 
+    ws_tokens, _, n_chars = token_count_cols(c)
     return df.select(F.col(id_col),
-                     *token_count_cols(c), quality_col(c),
-                     _fp_lang(c).alias("_fl"), *pii_count_cols(c)) \
-             .select(F.col(id_col), "ws_tokens", "bpe_tokens", "n_chars",
+                     ws_tokens, n_chars, quality_col(c),
+                     _fp_lang_bpe(c).alias("_fl"), *pii_count_cols(c)) \
+             .select(F.col(id_col), "ws_tokens",
+                     F.col("_fl.bpe_tokens").alias("bpe_tokens"), "n_chars",
                      "quality", F.col("_fl.fingerprint").alias("fingerprint"),
                      *[F.col(f"n_{name}") for name, _, _ in PII_RULES],
                      F.col("_fl.pred_lang").alias("pred_lang"))
