@@ -1106,7 +1106,8 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
 
 def write_cell_index(index: DataFrame, path: str,
                      partition_col: str = "cell",
-                     mode: str = "overwrite") -> None:
+                     mode: str = "overwrite",
+                     sort_within: tuple[str, ...] = ()) -> None:
     """Persist an ``ivf_cell_index``/``_hier`` output PARTITIONED BY its
     cell — the on-disk form of the continuous-ingest contract. Against a
     store written this way, ``semdedup_incremental``'s touched-cell
@@ -1124,7 +1125,20 @@ def write_cell_index(index: DataFrame, path: str,
     its rows to the touched cells' directories. Appends accumulate one
     small file per (batch, touched cell) — run ``compact_cell_index``
     when per-cell file counts grow past a threshold, or DPP-pruned reads
-    degrade with ingest count."""
+    degrade with ingest count.
+
+    ``sort_within`` is the hier-store layout lever: for a ROUTE-
+    partitioned store (``pq_cell_index_hier``), pass ``("cell",)`` to
+    hash-cluster each route into its own tasks and sort rows by cell
+    within them — parquet row groups then cover narrow cell ranges, so
+    ``pq_topk_index_hier``'s pushed `cell IN (...)` predicate prunes
+    row groups via min/max instead of scanning every row of the probed
+    routes (measured in SCALING.json pq_hier_store_r11). One extra
+    shuffle at index-build time; pointless for the flat store, where the
+    partition directory IS the cell."""
+    if sort_within:
+        index = (index.repartition(F.col(partition_col))
+                 .sortWithinPartitions(partition_col, *sort_within))
     index.write.mode(mode).partitionBy(partition_col).parquet(path)
 
 
