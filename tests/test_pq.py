@@ -320,6 +320,18 @@ def test_hier_route_partitioned_store(spark, emb, codebooks, tmp_path):
         if key in all_adc:
             assert round(float(r.adc), 9) == all_adc[key]
 
+    # (b2) the cell-sorted layout (write_cell_index sort_within) returns
+    # identical rows — layout is a pruning lever, never a semantics one
+    path2 = str(tmp_path / "pqhier_sorted")
+    ivf.write_cell_index(idx, path2, partition_col="route",
+                         sort_within=("cell",))
+    sorted_store = ivf.read_cell_index(spark, path2, partition_col="route")
+    full2 = pq.pq_topk_index_hier(sorted_store, queries, "embedding",
+                                  "vec_id", K, codebooks, coarse, subs,
+                                  n_probes=n_cells,
+                                  route_probes=len(coarse))
+    assert canon(full2) == canon(mem)
+
     # (d) a route_probes>1 STORE keeps (query, neighbor) unique
     idx2 = pq.pq_cell_index_hier(emb, "embedding", "vec_id", codebooks,
                                  coarse, subs, route_probes=2)
