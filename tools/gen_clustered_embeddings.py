@@ -32,58 +32,22 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np  # noqa: E402
-from pyspark.sql import functions as F  # noqa: E402
-
 from relationaldecomposition_spark.session import get_spark  # noqa: E402
 
-_U_BITS = 1 << 24  # 24-bit uniforms: plenty for Box-Muller, exact in double
+from relationaldecomposition_spark.sources.synthetic import (  # noqa: E402
+    clustered_embeddings as build_df)
 
 
-def _u(salt: int, seed: int, d) -> F.Column:
-    """Uniform in (0,1) from (vec_id, dim, seed, salt) — counter-based, so
-    the value is a pure function of the row id (partitioning-invariant)."""
-    h = F.xxhash64(F.col("vec_id"), d, F.lit(seed), F.lit(salt))
-    return (F.pmod(h, F.lit(_U_BITS)).cast("double") + F.lit(0.5)) \
-        / F.lit(float(_U_BITS))
-
-
-def build(spark, rows: int, dim: int, clusters: int, sigma: float,
-          seed: int):
-    rng = np.random.default_rng(seed)
-    centers = rng.standard_normal((clusters, dim))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    centers_lit = F.expr("array(" + ",".join(
-        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
-        for c in centers) + ")")
-
-    df = spark.range(rows).select(F.col("id").alias("vec_id"))
-    label = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed)),
-                   F.lit(clusters)).cast("int")
-    dims = F.sequence(F.lit(0), F.lit(dim - 1))
-    two_pi = 2.0 * math.pi
-    noise = F.transform(dims, lambda d: (
-        F.sqrt(F.lit(-2.0) * F.log(_u(1, seed, d)))
-        * F.cos(F.lit(two_pi) * _u(2, seed, d))))
-    out = (df.withColumn("label", label)
-           .withColumn("_c", F.element_at(centers_lit,
-                                          F.col("label") + F.lit(1)))
-           .withColumn("_x", F.zip_with(
-               "_c", noise, lambda c, z: c + F.lit(float(sigma)) * z))
-           .withColumn("_n", F.sqrt(F.aggregate(
-               F.transform("_x", lambda y: y * y),
-               F.lit(0.0), lambda a, b: a + b)))
-           .select("vec_id",
-                   F.transform("_x", lambda y: (y / F.col("_n"))
-                               .cast("float")).alias("embedding"),
-                   "label"))
-    return out
+def build(spark, rows, dim, clusters, sigma, seed):
+    """Thin wrapper kept for script-local naming; the generator itself is
+    library code (sources/synthetic.clustered_embeddings)."""
+    return build_df(spark, rows, dim=dim, clusters=clusters, sigma=sigma,
+                    seed=seed)
 
 
 def main(argv=None) -> int:
