@@ -380,7 +380,7 @@ def document_profile(df: DataFrame, text_col: str, id_col: str,
     (pinned in tests/test_langid.py). Pass None for full-text scoring.
     The DuckDB twin (sql_document_profile) is generated with the same
     value, so the faces stay value-identical."""
-    from .text import (fingerprint_arrow_col, lang_id, quality_col,
+    from .text import (fp_bpe_arrow_col, lang_id, quality_col,
                        token_count_cols)
     if not df.isStreaming:
         # single-split small inputs would run every fused signal on one
@@ -391,9 +391,18 @@ def document_profile(df: DataFrame, text_col: str, id_col: str,
             df = df.repartition(par)
     c = F.col(text_col)
     if df.isStreaming:
-        sigs = df.select(F.col(id_col), c,
-                         *token_count_cols(c), quality_col(c),
-                         fingerprint_arrow_col(c), *pii_count_cols(c))
+        # the BPE-ish count rides the fingerprint's Arrow kernel
+        # (fp_bpe_arrow_col) for regex-engine isolation — same finding as
+        # the batch face below
+        ws_tokens, _, n_chars = token_count_cols(c)
+        sigs = (df.select(F.col(id_col), c, ws_tokens, n_chars,
+                          quality_col(c), fp_bpe_arrow_col(c).alias("_fb"),
+                          *pii_count_cols(c))
+                .select(F.col(id_col), c, "ws_tokens",
+                        F.col("_fb.bpe_tokens").alias("bpe_tokens"),
+                        "n_chars", "quality",
+                        F.col("_fb.fingerprint").alias("fingerprint"),
+                        *[F.col(f"n_{name}") for name, _, _ in PII_RULES]))
         keep = ["ws_tokens", "bpe_tokens", "n_chars", "quality",
                 "fingerprint"] + [f"n_{name}" for name, _, _ in PII_RULES]
         return lang_id(sigs, text_col, id_col, keep=keep,

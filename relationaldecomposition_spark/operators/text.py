@@ -994,6 +994,36 @@ def fingerprint_arrow_col(c, shingle_k: int = 3, seed: int = 7):
     return _fp(c).alias("fingerprint")
 
 
+def fp_bpe_arrow_col(c, shingle_k: int = 3, seed: int = 7):
+    """struct<fingerprint, bpe_tokens>: fingerprint_arrow_col fused with
+    the BPE-ish token count in ONE Arrow crossing. The BPE count rides
+    the Python side for the same reason corpus.document_profile's batch
+    face moved it there (round-11 profiling): co-residency of the
+    BPE_ISH regex with the PII email regex in one JVM projection
+    deoptimizes java.util.regex's shared hot paths (~3x the whole fused
+    scan); Python re with re.ASCII is value-identical (\\s = ASCII
+    whitespace, matching Java regex and DuckDB RE2). Map-only,
+    streaming-safe — the stream face of document_profile uses this so
+    profile-on-ingest gets the same isolation."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    k, s = shingle_k, seed
+
+    @pandas_udf("struct<fingerprint:bigint,bpe_tokens:bigint>")
+    def _fb(texts):
+        pat = re.compile(BPE_ISH_RE, re.ASCII)
+        return pd.DataFrame({
+            "fingerprint": pd.Series(py_fingerprint_batch(texts, k, s),
+                                     dtype="int64"),
+            "bpe_tokens": pd.Series([len(pat.findall(t)) for t in texts],
+                                    dtype="int64"),
+        })
+
+    return _fb(c)
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str,
                 shingle_k: int = 3, seed: int = 7,
                 kernel: str = "expr") -> DataFrame:
