@@ -523,6 +523,73 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
             .select("query_id", "neighbor_id", "adc", "rank"))
 
 
+def pq_collision_stream_hier(stream: DataFrame, index: DataFrame,
+                             vec_col: str, id_col: str,
+                             codebooks: list[list[list[float]]],
+                             coarse: list[tuple[int, list[float]]],
+                             subs: DataFrame, tau_adc: float,
+                             route_probes: int = 1,
+                             cells_per_route: int = 1,
+                             ts_col: str = "ts",
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Streaming face of the ROUTE-PARTITIONED PQ code store
+    (`pq_cell_index_hier`): (id, ts) of streamed embeddings whose
+    asymmetric distance to some indexed row in their probed (route, cell)
+    pairs is <= tau_adc — `pq_collision_stream`'s twin for the
+    million-cell regime, completing batch/disk/stream symmetry.
+
+    Probe shape: the batch probe (`pq_topk_index_hier`) ranks n_probes
+    cells GLOBALLY driver-side from the collected query batch; a stream
+    has no batch to collect, so the probe is fully ROW-LOCAL — the
+    ``route_probes`` nearest coarse routes come from the literal-codebook
+    expression, the (route, cb) sub-codebook arrives by a stream-static
+    equi-join on route (broadcast, K1 rows), and the top
+    ``cells_per_route`` cells within each probed route are an array_sort
+    + slice over the joined cb column. route_probes x cells_per_route
+    probes per row, every stage stream-legal (two stream-static joins,
+    an explode, row-local expressions, then the watermarked one-flag-
+    per-id dedup). On a batch frame the SAME plan runs with groupBy-min
+    in place of the watermark dedup (how tests pin stream == batch).
+
+    Same ADC guard (`_adc_expr`) and repeated-id caveat as
+    pq_collision_stream: the guarantee is over the flagged ID SET."""
+    if not 1 <= route_probes <= len(coarse):
+        raise ValueError(f"route_probes must be in [1, {len(coarse)}]")
+    if cells_per_route < 1:
+        raise ValueError("cells_per_route must be >= 1")
+    routed = (stream.select(F.col(id_col), F.col(ts_col),
+                            _as_double(vec_col).alias("qv"))
+              .withColumn("luts", _lut_expr("qv", codebooks))
+              .select(id_col, ts_col, "luts", "qv",
+                      F.explode(F.slice(
+                          F.transform(ivf._dist_structs("qv", coarse),
+                                      lambda s: s["cell"]),
+                          1, route_probes)).alias("route")))
+    best = F.slice(F.array_sort(F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col("qv"), c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, b: a + b).alias("d"),
+            c["cell"].alias("cell")))), 1, cells_per_route)
+    probed = (routed.join(F.broadcast(subs), "route")
+              .select(id_col, ts_col, "luts", "route",
+                      F.explode(best).alias("_pc"))
+              .select(id_col, ts_col, "luts", "route",
+                      F.col("_pc.cell").alias("cell")))
+    idx = index.select(F.col(id_col).alias("_iid"), "codes", "route",
+                       "cell")
+    adc = _adc_expr(codebooks)
+    hits = (probed.join(idx, ["route", "cell"])
+            .where(F.col(id_col) != F.col("_iid"))
+            .where(adc <= F.lit(float(tau_adc)))
+            .select(id_col, ts_col))
+    if hits.isStreaming:
+        return (hits.withWatermark(ts_col, watermark)
+                    .dropDuplicatesWithinWatermark([id_col]))
+    return hits.groupBy(id_col).agg(F.min(ts_col).alias(ts_col))
+
+
 def pq_rerank(shortlist: DataFrame, df: DataFrame, vec_col: str,
               id_col: str, k: int) -> DataFrame:
     """Exact-cosine re-rank of an ADC shortlist (Jégou TPAMI'11 §V-A's

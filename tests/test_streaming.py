@@ -421,3 +421,68 @@ def test_pq_collision_stream_batch_parity(spark, tmp_path):
         "pq_collisions", tmp_path, mode="append")
     got = {(r["vec_id"], r["ts"]) for r in out.collect()}
     assert got == batch
+
+
+def test_pq_collision_stream_hier_batch_parity(spark, tmp_path):
+    """The hier twin: stream-static probe of the ROUTE-PARTITIONED PQ
+    code store (pq_cell_index_hier) — row-local route + per-route cell
+    probes, ADC gate, one flag per id. Same planted geometry as the flat
+    test; stream must equal the batch face exactly."""
+    import datetime
+
+    from relationaldecomposition_spark.operators import ivf, pq
+
+    t0 = datetime.datetime(2026, 1, 1)
+    dim = 8
+
+    def vec(seed):
+        import random
+        rng = random.Random(seed)
+        return [rng.uniform(-1, 1) for _ in range(dim)]
+
+    corpus_rows = [(i, vec(i)) for i in range(20)]
+    corpus = spark.createDataFrame(corpus_rows,
+                                   "vec_id bigint, v array<double>")
+    seed_ids = [0, 5, 10, 15]
+    coarse = ivf.seed_centroids(corpus, "v", "vec_id", seed_ids)
+    cbs = pq.pq_seed_codebooks(corpus, "v", "vec_id", 2, seed_ids)
+    subs = ivf.hier_codebook(corpus, "v", "vec_id", coarse, 2,
+                             kernel="gram")
+    idx = pq.pq_cell_index_hier(corpus, "v", "vec_id", cbs, coarse, subs)
+
+    new_rows = (
+        [(100 + k, [x * 1.01 for x in corpus_rows[s][1]],
+          t0 + datetime.timedelta(minutes=k))
+         for k, s in enumerate(seed_ids)] +
+        [(200 + k, [-x for x in corpus_rows[s][1]],
+          t0 + datetime.timedelta(minutes=k))
+         for k, s in enumerate(seed_ids)])
+    new = spark.createDataFrame(
+        new_rows, "vec_id bigint, v array<double>, ts timestamp")
+
+    kw = dict(tau_adc=0.05, route_probes=2, cells_per_route=2)
+    batch = {(r["vec_id"], r["ts"])
+             for r in pq.pq_collision_stream_hier(
+                 new, idx, "v", "vec_id", cbs, coarse, subs,
+                 **kw).collect()}
+    # clones of seeds collide (a seed's own route/cell holds its exact
+    # codes -> ADC ~ 0); negated seeds sit ~4|v|^2 away
+    assert {i for i, _ in batch} == {100, 101, 102, 103}
+
+    src = tmp_path / "pq_hier_src"
+    new.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(new.schema).parquet(str(src))
+    out = _run_stream(
+        spark,
+        pq.pq_collision_stream_hier(stream, idx, "v", "vec_id", cbs,
+                                    coarse, subs, **kw),
+        "pq_hier_collisions", tmp_path, mode="append")
+    got = {(r["vec_id"], r["ts"]) for r in out.collect()}
+    assert got == batch
+
+    with pytest.raises(ValueError, match="route_probes"):
+        pq.pq_collision_stream_hier(new, idx, "v", "vec_id", cbs, coarse,
+                                    subs, tau_adc=0.05, route_probes=99)
+    with pytest.raises(ValueError, match="cells_per_route"):
+        pq.pq_collision_stream_hier(new, idx, "v", "vec_id", cbs, coarse,
+                                    subs, tau_adc=0.05, cells_per_route=0)
