@@ -342,6 +342,69 @@ def test_hier_route_partitioned_store(spark, emb, codebooks, tmp_path):
     assert (got.groupby("query_id")["rank"].max() <= K).all()
 
 
+def test_hier_store_lifecycle_append_compact_probe(spark, emb, codebooks,
+                                                   tmp_path):
+    """The o74 lifecycle on the ROUTE-partitioned PQ store: build from
+    half the corpus, append the rest in batches (same codebooks — the
+    continuous-ingest contract), compact with partition_col='route',
+    then probe: rows survive byte-identical, per-route file counts are
+    bounded, and the probe equals a single-shot index over the full
+    corpus."""
+    from relationaldecomposition_spark.operators import ivf
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse, 4,
+                             kernel="gram")
+    path = str(tmp_path / "pqhier_life")
+    base = emb.where(F.col("vec_id") % 3 == 0)
+    ivf.write_cell_index(
+        pq.pq_cell_index_hier(base, "embedding", "vec_id", codebooks,
+                              coarse, subs),
+        path, partition_col="route")
+    for m in (1, 2):
+        batch = emb.where(F.col("vec_id") % 3 == m)
+        ivf.write_cell_index(
+            pq.pq_cell_index_hier(batch, "embedding", "vec_id", codebooks,
+                                  coarse, subs),
+            path, partition_col="route", mode="append")
+    res = ivf.compact_cell_index(spark, path, partition_col="route",
+                                 max_files_per_cell=1)
+    assert res["compacted_cells"] > 0
+    stats = ivf.cell_store_file_stats(spark, path, partition_col="route")
+    assert max(n for n, _ in stats.values()) == 1
+
+    stored = ivf.read_cell_index(spark, path, partition_col="route")
+    oneshot = pq.pq_cell_index_hier(emb, "embedding", "vec_id", codebooks,
+                                    coarse, subs)
+    canon = lambda df: {(int(r.vec_id), tuple(r.codes), int(r.cell),
+                         int(r.route)) for r in df.collect()}
+    assert canon(stored) == canon(oneshot)
+
+    queries = emb.where(F.col("vec_id").isin(QIDS))
+    disk = pq.pq_topk_index_hier(stored, queries, "embedding", "vec_id",
+                                 K, codebooks, coarse, subs,
+                                 n_probes=4, route_probes=2)
+    mem = pq.pq_topk_index_hier(oneshot, queries, "embedding", "vec_id",
+                                K, codebooks, coarse, subs,
+                                n_probes=4, route_probes=2)
+    c = lambda df: {(int(r.query_id), int(r.neighbor_id),
+                     round(float(r.adc), 9), int(r.rank))
+                    for r in df.collect()}
+    assert c(disk) == c(mem)
+
+    # IVFADC-R composes with the hier store: exact re-rank of a deep
+    # hier-probe shortlist keeps the (query_id, neighbor_id, cosine,
+    # rank) contract and one row per rank
+    short = pq.pq_topk_index_hier(stored, queries, "embedding", "vec_id",
+                                  30, codebooks, coarse, subs,
+                                  n_probes=8, route_probes=2)
+    rr = pq.pq_rerank(short, emb, "embedding", "vec_id", K).toPandas()
+    assert list(rr.columns) == ["query_id", "neighbor_id", "cosine",
+                                "rank"]
+    assert (rr.groupby("query_id")["rank"].max() <= K).all()
+    assert not rr.duplicated(["query_id", "rank"]).any()
+
+
 def test_width_guard_fails_loudly(spark, emb, codebooks):
     """A store encoded under a different M must raise, not NULL-pad the
     zip_with and rank garbage (NULL adc would sort first in the window)."""
