@@ -56,38 +56,47 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
     `max_bucket` forwards the LSH hot-bucket guard for boilerplate-heavy
     corpora.
 
-    `persist_stages=True` persists each stage's survivor frame so that
-    evaluating the funnel AND the packed output computes every stage once
-    instead of re-deriving each stage's prefix per funnel row (the lazy
-    default re-evaluates a 6-stage prefix chain ~quadratically: measured
-    25 s -> ~10 s at sf0.1). The caller owns the storage: pass
-    `persisted_out` (a list; every persisted stage frame is appended) and
-    unpersist them after the outputs are materialized, or call
-    `df.sparkSession.catalog.clearCache()` if nothing else in the session
-    is cached."""
-    def _keep(frame: DataFrame) -> DataFrame:
+    `persist_stages=True` persists each stage's SURVIVOR-ID frame (not
+    the full-text frame) so that evaluating the funnel AND the packed
+    output computes every stage once instead of re-deriving each stage's
+    prefix per funnel row (the lazy default re-evaluates a 6-stage prefix
+    chain ~quadratically: measured 25 s -> ~10 s at sf0.1). Downstream
+    stages reconstruct their input as base-scan ⋈ ids — every stage is a
+    row-subset of `docs` with unchanged schema, so the join-back is
+    exact. Why ids, not frames (round-11 A/B at sf10): caching three
+    full-text stage copies measured 61 s with ±20% run-to-run swings
+    (text churning through the block store) vs 45 s ± 0.4 s for
+    id-persist; and at 100 TB caching the corpus text is infeasible
+    anyway — survivor ids are the stage state that scales, the text
+    column always comes from the columnar scan. The caller owns the
+    storage: pass `persisted_out` (a list; every persisted id frame is
+    appended) and unpersist them after the outputs are materialized, or
+    call `df.sparkSession.catalog.clearCache()` if nothing else in the
+    session is cached."""
+    def _keep(frame: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(reconstructed stage, count frame): persist the survivor ids,
+        return docs ⋈ ids for downstream stages and the tiny id frame for
+        the funnel count."""
         if not persist_stages:
-            return frame
-        frame = frame.persist()
+            return frame, frame
+        ids = frame.select(id_col).persist()
         if persisted_out is not None:
-            persisted_out.append(frame)
-        return frame
+            persisted_out.append(ids)
+        return docs.join(ids, id_col), ids
 
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
     cur = docs
 
     survivors = (exact_dedup(cur, [text_col], id_col)
                  .select(F.col("keep_id").alias(id_col)))
-    cur = cur.join(survivors, id_col)
-    cur = _keep(cur)
-    stages.append(("exact_dedup", cur))
+    cur, cnt = _keep(cur.join(survivors, id_col))
+    stages.append(("exact_dedup", cnt))
 
     pairs = lsh_candidate_pairs(cur, text_col, id_col,
                                 min_est=lsh_min_est,
                                 max_bucket=max_bucket, skew_mode="split")
-    cur = apply_dedup(cur, connected_components(pairs), id_col)
-    cur = _keep(cur)
-    stages.append(("near_dedup", cur))
+    cur, cnt = _keep(apply_dedup(cur, connected_components(pairs), id_col))
+    stages.append(("near_dedup", cnt))
 
     keep_q = (quality_score(cur, text_col, id_col)
               .where(F.col("quality") >= quality_min).select(id_col))
@@ -101,20 +110,19 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
                   .where(F.col("xent").isNull()
                          | (F.col("xent") <= xent_max)).select(id_col))
         cur = cur.join(keep_x, id_col)
-    cur = _keep(cur)
-    stages.append(("quality", cur))
+    cur, cnt = _keep(cur)
+    stages.append(("quality", cnt))
 
     if benchmark is not None:
         clean = (decontaminate(cur, text_col, id_col, benchmark)
                  .where(F.col("contaminated") == 0).select(id_col))
-        cur = cur.join(clean, id_col)
-        cur = _keep(cur)
-        stages.append(("decontaminated", cur))
+        cur, cnt = _keep(cur.join(clean, id_col))
+        stages.append(("decontaminated", cnt))
 
     if source_col is not None and mixture:
-        cur = rebalance_to_mixture(cur, id_col, source_col, mixture)
-        cur = _keep(cur)
-        stages.append(("rebalanced", cur))
+        cur, cnt = _keep(rebalance_to_mixture(cur, id_col, source_col,
+                                              mixture))
+        stages.append(("rebalanced", cnt))
 
     packed = pack_sequences(cur, text_col, id_col, pack_target, pack_shards)
 
