@@ -342,6 +342,34 @@ def test_hier_route_partitioned_store(spark, emb, codebooks, tmp_path):
     assert (got.groupby("query_id")["rank"].max() <= K).all()
 
 
+def test_hier_query_probes_matches_bruteforce(emb, emb_np):
+    """The driver-side probe selection (_hier_query_probes) against an
+    independent brute-force replay: for each query, the n_probes
+    globally-nearest (route, cell) pairs among its route_probes nearest
+    routes, ties (distance, route, cell) ascending."""
+    from relationaldecomposition_spark.operators import ivf
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse, 4,
+                             kernel="gram")
+    subs_map = pq._collect_subs(subs)
+    qrows = [(q, list(emb_np[q])) for q in QIDS]
+    got = pq._hier_query_probes(qrows, coarse, subs_map, 3, 2)
+
+    cents = sorted(coarse)
+    exp = []
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        routes = sorted(
+            ((float(((q - np.asarray(cv)) ** 2).sum()), cid)
+             for cid, cv in cents))[:2]
+        cand = sorted(
+            (float(((q - np.asarray(cv)) ** 2).sum()), r, cell)
+            for _, r in routes for cell, cv in subs_map[r])
+        exp.extend((qid, r, cell) for _, r, cell in cand[:3])
+    assert got == exp
+
+
 def test_hier_store_lifecycle_append_compact_probe(spark, emb, codebooks,
                                                    tmp_path):
     """The o74 lifecycle on the ROUTE-partitioned PQ store: build from
