@@ -441,14 +441,18 @@ def document_profile(df: DataFrame, text_col: str, id_col: str,
         # Python's default unicode \s would mis-class e.g. \xa0 in the
         # [^A-Za-z0-9\s] arm
         pat = re.compile(BPE_ISH_RE, re.ASCII)
+        # None/NaN text -> NULL bpe_tokens (nullable Int64), matching the
+        # JVM regexp_count face this kernel replaced (ADVICE r11); the
+        # sibling kernels already tolerate None (-1 / empty-profile)
         return pd.DataFrame({
             "fingerprint": pd.Series(py_fingerprint_batch(texts),
                                      dtype="int64"),
             "pred_lang": pd.Series(np_lang_pred(texts.tolist(),
                                                 lid_max_chars),
                                    dtype="object"),
-            "bpe_tokens": pd.Series([len(pat.findall(t)) for t in texts],
-                                    dtype="int64"),
+            "bpe_tokens": pd.Series(
+                [None if pd.isna(t) else len(pat.findall(t))
+                 for t in texts], dtype="Int64"),
         })
 
     ws_tokens, _, n_chars = token_count_cols(c)

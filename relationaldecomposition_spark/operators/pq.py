@@ -96,8 +96,13 @@ def _codes_expr(vname: str, codebooks: list[list[list[float]]]) -> Column:
     # geometry guard: a codebook wider than the data makes F.slice return
     # short subvectors and zip_with NULL-pad the distance — struct
     # comparison then treats NULL as smallest and assigns a wrong code
-    # SILENTLY. Fail loudly on any row whose width is not m*sub.
-    return F.when(
+    # SILENTLY. Fail loudly on any row whose width is not m*sub. A NULL
+    # vector propagates NULL codes (the pre-guard semantics, e.g. from an
+    # outer join): without the explicit branch, size(NULL) = NULL makes
+    # the when-condition fall through to raise_error whose concat'd
+    # message is ITSELF NULL — an unreadable failure (ADVICE r11).
+    return F.when(F.col(vname).isNull(),
+                  F.lit(None).cast("array<int>")).when(
         F.size(F.col(vname)) == F.lit(m * sub), codes
     ).otherwise(F.raise_error(F.concat(
         F.lit(f"PQ codebook geometry (m={m}, sub={sub}) does not match "

@@ -1014,11 +1014,15 @@ def fp_bpe_arrow_col(c, shingle_k: int = 3, seed: int = 7):
     @pandas_udf("struct<fingerprint:bigint,bpe_tokens:bigint>")
     def _fb(texts):
         pat = re.compile(BPE_ISH_RE, re.ASCII)
+        # None/NaN text -> NULL bpe_tokens (nullable Int64), matching the
+        # JVM regexp_count face this kernel replaced; fingerprint keeps
+        # py_fingerprint_batch's -1 empty-text sentinel (ADVICE r11)
         return pd.DataFrame({
             "fingerprint": pd.Series(py_fingerprint_batch(texts, k, s),
                                      dtype="int64"),
-            "bpe_tokens": pd.Series([len(pat.findall(t)) for t in texts],
-                                    dtype="int64"),
+            "bpe_tokens": pd.Series(
+                [None if pd.isna(t) else len(pat.findall(t))
+                 for t in texts], dtype="Int64"),
         })
 
     return _fb(c)

@@ -239,6 +239,28 @@ class TestDocumentProfile:
             for c in ("n_email", "n_phone", "n_ipv4"):
                 assert p[c] == pii[i][c]
 
+    def test_null_text_row_tolerated(self, spark):
+        """ADVICE r11: a NULL text row must not crash the fused Arrow
+        kernel (len(pat.findall(None)) raised TypeError) and bpe_tokens
+        must keep NULL parity with the JVM regexp_count face it replaced
+        — on BOTH the batch fused UDF and the stream-face fp_bpe kernel."""
+        from relationaldecomposition_spark.operators import text as t
+        docs = spark.createDataFrame(
+            [Row(doc_id=1, text="hello world, test!"),
+             Row(doc_id=2, text=None)])
+        prof = {r["doc_id"]: r for r in
+                corpus.document_profile(docs, "text", "doc_id").collect()}
+        tok = {r["doc_id"]: r for r in
+               t.token_counts(docs, "text", "doc_id").collect()}
+        assert prof[2]["bpe_tokens"] is None
+        assert tok[2]["bpe_tokens"] is None
+        assert prof[1]["bpe_tokens"] == tok[1]["bpe_tokens"] > 0
+        fb = {r["doc_id"]: r["fb"] for r in docs.select(
+            "doc_id", t.fp_bpe_arrow_col(F.col("text")).alias("fb"))
+            .collect()}
+        assert fb[2]["bpe_tokens"] is None
+        assert fb[1]["bpe_tokens"] == tok[1]["bpe_tokens"]
+
     def test_fused_plan_never_shuffles_text(self, spark):
         """Fusion invariant (round-6 form): with both vectorized kernels
         (Arrow fingerprint + np lang scoring) the entire fused profile is

@@ -473,6 +473,22 @@ def test_geometry_guard_on_encode(spark, emb, codebooks):
                          kernel=kernel).collect()
 
 
+def test_null_vector_propagates_null_codes(spark, codebooks):
+    """ADVICE r11: a NULL vector row (e.g. from an outer join) must come
+    out of the expression encode as NULL codes — the pre-guard semantics —
+    not die inside the geometry guard's raise_error with a message that is
+    itself NULL (size(NULL) made both the when-condition and the concat'd
+    message NULL)."""
+    dim = M * len(codebooks[0][0])
+    rows = [(1, [0.5] * dim), (2, None)]
+    df = spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["codes"]
+           for r in pq.pq_encode(df, "embedding", "vec_id", codebooks,
+                                 kernel="expr").collect()}
+    assert got[2] is None
+    assert got[1] is not None and len(got[1]) == M
+
+
 def test_m_codebooks_conflict(emb, codebooks):
     """An explicit m that disagrees with provided codebooks fails loudly
     instead of len(codebooks) silently overriding it."""

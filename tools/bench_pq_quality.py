@@ -128,7 +128,7 @@ def main(argv=None) -> int:
     if args.k256:
         k256_ids = list(range(0, 2560, 10))
         levers += [("k256_seed", k256_ids, 0), ("k256_lloyd2", k256_ids, 2)]
-    best_cbs, best_label = None, None
+    best_cbs, best_label, best_r100 = None, None, float("-inf")
     for label, seed_ids, iters in levers:
         cbs = pq.pq_seed_codebooks(emb, "embedding", "vec_id", M, seed_ids)
         if iters:
@@ -142,7 +142,9 @@ def main(argv=None) -> int:
             out[label]["cluster_precision_at_10"] = p10
             out[label]["cluster_precision_at_100"] = p100
         print(json.dumps({label: out[label]}), flush=True)
-        best_cbs, best_label = cbs, label
+        # argmax over recall@100, not last-lever-wins (ADVICE r11)
+        if r100 > best_r100:
+            best_cbs, best_label, best_r100 = cbs, label, r100
 
     # the shipped pipeline: IVFADC-R refinement — o76's K=16 seed config
     # at the default shortlist, plus the sweep over --shortlists on the
