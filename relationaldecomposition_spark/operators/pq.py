@@ -476,12 +476,66 @@ def _hier_query_probes(qrows, coarse, subs_map, n_probes: int,
     return out
 
 
+def _rank_tail(scored: DataFrame, k: int) -> DataFrame:
+    """(query_id, neighbor_id, adc) -> per-query ascending top-k with the
+    (adc, neighbor_id) tie-break shared by every ADC face."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "adc", "rank"))
+
+
+def _hier_probe_frame(q: DataFrame, codebooks: list[list[list[float]]],
+                      coarse: list[tuple[int, list[float]]],
+                      subs: DataFrame, n_probes: int,
+                      route_probes: int) -> DataFrame:
+    """(query_id, luts, route, cell): the DISTRIBUTED twin of
+    `_hier_query_probes` — the same two-level probe selection (per query,
+    the n_probes globally nearest sub-cells of its route_probes nearest
+    coarse routes, ties (distance, route, cell) ascending) computed as
+    DataFrame operations so the query batch NEVER collects to the driver.
+    Coarse routing is the literal-codebook expression (row-local); the
+    (route, cb) sub-codebook arrives by a broadcast equi-join on route
+    (K1 rows — the same broadcast the stream face rides); the global
+    top-n_probes is one groupBy(query_id) over route_probes k2-length
+    candidate arrays (flatten → array_sort → slice — shuffle payload is
+    probe-candidate structs, ~route_probes·k2 doubles per query, never
+    the corpus). Each probe row carries the query's LUT (M·K doubles),
+    trading n_probes× LUT duplication for not re-joining queries later —
+    the LUT is codebook-sized, not corpus-sized."""
+    routes = F.transform(
+        F.slice(ivf._dist_structs("qv", coarse), 1, route_probes),
+        lambda s: s["cell"])
+    cands = F.transform(
+        F.col("cb"),
+        lambda c: F.struct(
+            F.aggregate(F.zip_with(F.col("qv"), c["cv"],
+                                   lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0), lambda a, b: a + b).alias("d"),
+            F.col("route").alias("route"),
+            c["cell"].alias("cell")))
+    qr = (q.select("query_id", "qv", F.explode(routes).alias("route"))
+          .join(F.broadcast(subs), "route")
+          .select("query_id", "qv", cands.alias("cands")))
+    agg = (qr.groupBy("query_id")
+           .agg(F.slice(F.array_sort(F.flatten(F.collect_list("cands"))),
+                        1, n_probes).alias("probes"),
+                F.first("qv").alias("qv")))
+    return (agg.select("query_id",
+                       _lut_expr("qv", codebooks).alias("luts"),
+                       F.explode("probes").alias("p"))
+            .select("query_id", "luts", F.col("p.route").alias("route"),
+                    F.col("p.cell").alias("cell")))
+
+
 def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
                        id_col: str, k: int,
                        codebooks: list[list[list[float]]],
                        coarse: list[tuple[int, list[float]]],
                        subs: DataFrame, n_probes: int = 4,
-                       route_probes: int = 2) -> DataFrame:
+                       route_probes: int = 2,
+                       broadcast_queries: bool = True) -> DataFrame:
     """ADC top-k against a ROUTE-PARTITIONED `pq_cell_index_hier` store.
     The probe set — each query's n_probes nearest (route, cell) pairs
     under route_probes coarse routes — is computed driver-side from the
@@ -495,13 +549,44 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
     scoring is the same broadcast-LUT ADC as `pq_topk_index`; a
     route_probes>1 STORE can surface the same (query, neighbor) once per
     shared probe, so candidates reduce per pair before ranking (min adc —
-    the values are identical, codes don't vary by probe row)."""
+    the values are identical, codes don't vary by probe row).
+
+    ``broadcast_queries=False`` switches to the DISTRIBUTED probe face:
+    probe selection runs as DataFrame ops (`_hier_probe_frame`) and
+    candidates arrive by a shuffle equi-join on (route, cell) — no
+    driver-side query collect, the face for service-scale query batches;
+    see the inline crossover note. Both faces return identical rows
+    (pytest-pinned)."""
     if n_probes < 1:
         raise ValueError("n_probes must be >= 1")
     if not 1 <= route_probes <= len(coarse):
         raise ValueError(f"route_probes must be in [1, {len(coarse)}]")
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("qv"))
+    adc = _adc_expr(codebooks)
+    if not broadcast_queries:
+        # DISTRIBUTED probe face (round-11 verdict ask #4): the query
+        # batch never touches the driver — probe selection is the
+        # DataFrame twin (_hier_probe_frame) and candidates arrive by a
+        # shuffle equi-join on (route, cell). The price is pruning: with
+        # no driver-known probe set there are no static route/cell
+        # predicates, so the STORE scan is not directory-pruned — right
+        # for service-scale query sets (millions of queries), where scan
+        # cost amortizes over the batch and a driver collect would be
+        # the actual bottleneck. The crossover: use the default collect
+        # face while the batch fits comfortably on the driver (it also
+        # prunes the store to O(probed cells)); switch to this face when
+        # the batch is itself data-sized. Value parity is pinned in
+        # tests/test_pq.py::test_join_probe_face_matches_collect_face.
+        probes = _hier_probe_frame(q, codebooks, coarse, subs,
+                                   n_probes, route_probes)
+        scored = (index.join(probes, ["route", "cell"])
+                  .where(F.col(id_col) != F.col("query_id"))
+                  .select("query_id", F.col(id_col).alias("neighbor_id"),
+                          adc.alias("adc"))
+                  .groupBy("query_id", "neighbor_id")
+                  .agg(F.min("adc").alias("adc")))
+        return _rank_tail(scored, k)
     qrows = [(r["query_id"], list(r["qv"])) for r in q.collect()]
     probes = _hier_query_probes(qrows, coarse, _collect_subs(subs),
                                 n_probes, route_probes)
@@ -513,7 +598,6 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
     pruned = index.where(F.col("route").isin(routes)
                          & F.col("cell").isin(cells))
     luts = q.select("query_id", _lut_expr("qv", codebooks).alias("luts"))
-    adc = _adc_expr(codebooks)
     scored = (pruned.join(F.broadcast(qprobes), ["route", "cell"])
               .where(F.col(id_col) != F.col("query_id"))
               .join(F.broadcast(luts), "query_id")
@@ -521,11 +605,7 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
                       adc.alias("adc"))
               .groupBy("query_id", "neighbor_id")
               .agg(F.min("adc").alias("adc")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc").asc(), F.col("neighbor_id").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "adc", "rank"))
+    return _rank_tail(scored, k)
 
 
 def pq_collision_stream_hier(stream: DataFrame, index: DataFrame,

@@ -342,6 +342,44 @@ def test_hier_route_partitioned_store(spark, emb, codebooks, tmp_path):
     assert (got.groupby("query_id")["rank"].max() <= K).all()
 
 
+def test_join_probe_face_matches_collect_face(spark, emb, codebooks):
+    """The distributed probe face (broadcast_queries=False — round-11
+    verdict ask #4): probe selection as DataFrame ops + a (route, cell)
+    equi-join must return EXACTLY the collect face's rows — on a
+    route_probes=1 store, a route_probes=2 store (the per-pair min-adc
+    reduce), partial probes, and probe-everything — and its plan must
+    contain no driver-derived static IN lists (the whole point: nothing
+    in it depends on collecting the query batch)."""
+    from relationaldecomposition_spark.operators import ivf
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse, 4,
+                             kernel="gram")
+    queries = emb.where(F.col("vec_id").isin(QIDS))
+    canon = lambda df: {(int(r.query_id), int(r.neighbor_id),
+                         round(float(r.adc), 9), int(r.rank))
+                        for r in df.collect()}
+    n_cells = sum(len(r["cb"]) for r in subs.collect())
+    for store_probes in (1, 2):
+        idx = pq.pq_cell_index_hier(emb, "embedding", "vec_id", codebooks,
+                                    coarse, subs,
+                                    route_probes=store_probes)
+        for np_, rp in ((3, 2), (n_cells, len(coarse))):
+            a = pq.pq_topk_index_hier(idx, queries, "embedding", "vec_id",
+                                      K, codebooks, coarse, subs,
+                                      n_probes=np_, route_probes=rp)
+            b = pq.pq_topk_index_hier(idx, queries, "embedding", "vec_id",
+                                      K, codebooks, coarse, subs,
+                                      n_probes=np_, route_probes=rp,
+                                      broadcast_queries=False)
+            assert canon(a) == canon(b), (store_probes, np_, rp)
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the collect face's static pruning predicates must NOT appear —
+    # this face is defined by not knowing the probe set driver-side
+    assert "cell IN" not in plan and "In(cell" not in plan
+
+
 def test_hier_query_probes_matches_bruteforce(emb, emb_np):
     """The driver-side probe selection (_hier_query_probes) against an
     independent brute-force replay: for each query, the n_probes
