@@ -622,3 +622,41 @@ def test_probe_during_compaction_semantics(emb, tmp_path):
         unacted.count()
     # recovery recipe: a fresh reader
     assert ivf.read_cell_index(spark, path).count() == n_true
+
+
+def test_probe_cell_store_recovers_across_compaction(emb, tmp_path):
+    """The recovery recipe as CODE (round-11 verdict ask #6):
+    probe_cell_store seeded with a reader planned BEFORE a compaction
+    must return the correct rows where the raw reader's action raises
+    FAILED_READ_FILE — and must not swallow unrelated failures."""
+    import pytest
+
+    spark = emb.sparkSession
+    corpus = emb.where(F.col("vec_id") % 5 == 0)
+    cents = ivf.seed_centroids(corpus, "embedding", "vec_id", H_CIDS)
+    path = str(tmp_path / "recoverstore")
+    ivf.write_cell_index(
+        ivf.ivf_cell_index(corpus, "embedding", "vec_id", cents), path)
+    ivf.write_cell_index(
+        ivf.ivf_cell_index(emb.where(F.col("vec_id") % 5 == 1),
+                           "embedding", "vec_id", cents),
+        path, mode="append")
+
+    probe = lambda df: df.groupBy("cell").count()
+    expected = {(r["cell"], r["count"]) for r in
+                probe(ivf.read_cell_index(spark, path)).collect()}
+
+    # plan a reader, compact between plan and action
+    stale = ivf.read_cell_index(spark, path)
+    assert ivf.compact_cell_index(spark, path,
+                                  max_files_per_cell=1)["compacted_cells"]
+    with pytest.raises(Exception, match="FAILED_READ_FILE"):
+        probe(stale).collect()
+    got = ivf.probe_cell_store(spark, path, probe, index=stale)
+    assert {(r["cell"], r["count"]) for r in got} == expected
+
+    # unrelated failures propagate, not retried-and-masked
+    with pytest.raises(Exception, match="CANNOT_RESOLVE|cannot.*resolve|"
+                                        "UNRESOLVED"):
+        ivf.probe_cell_store(spark, path,
+                             lambda df: df.select("no_such_column"))
