@@ -79,3 +79,72 @@ def clustered_embeddings(spark: SparkSession, rows: int, dim: int = 64,
                     F.transform("_x", lambda y: (y / F.col("_n"))
                                 .cast("float")).alias("embedding"),
                     "label"))
+
+
+def hierarchical_embeddings(spark: SparkSession, rows: int, dim: int = 64,
+                            routes: int = 8, subs_per_route: int = 8,
+                            sigma_route: float = 0.14,
+                            sigma: float = 0.08,
+                            seed: int = 20260816) -> DataFrame:
+    """(vec_id, embedding: array<float>, route_label, sub_label, label):
+    a PLANTED TWO-LEVEL manifold — clusters of clusters (round-11 verdict
+    ask #5). `clustered_embeddings` covers flat mixture geometry; real
+    embedding corpora also have hierarchy (topics containing subtopics),
+    which is exactly the regime where a two-level router can make ROUTE
+    mistakes at route boundaries — the honest test bed for
+    `hier_codebook` routing and `route_probes` recovery.
+
+    Construction (same counter-based expression discipline as
+    `clustered_embeddings`, one projection, partition-invariant):
+
+    - `routes` route centers: seeded standard normals, L2-normalized.
+    - `subs_per_route` sub-centers per route: normalize(route_center +
+      sigma_route * g), g seeded normals — the planted sub-structure,
+      E[cos(sub, route)] ~ 1/sqrt(1 + sigma_route^2 * dim).
+    - each row: route/sub labels from independent xxhash64 streams;
+      point = normalize(sub_center + sigma * z). Defaults at dim 64 put
+      E[cos] within-sub ~0.71, within-route-cross-sub ~0.3, cross-route
+      ~0 — near-dup pairs (tau ~0.45) live inside subs with a
+      within-route tail.
+
+    `label` = route_label * subs_per_route + sub_label (the flat planted
+    component, comparable to `clustered_embeddings.label`)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    rc = rng.standard_normal((routes, dim))
+    rc /= np.linalg.norm(rc, axis=1, keepdims=True)
+    sc = rc[:, None, :] + sigma_route * rng.standard_normal(
+        (routes, subs_per_route, dim))
+    sc = sc.reshape(routes * subs_per_route, dim)
+    sc /= np.linalg.norm(sc, axis=1, keepdims=True)
+    centers_lit = F.expr("array(" + ",".join(
+        "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+        for c in sc) + ")")
+
+    df = spark.range(rows).select(F.col("id").alias("vec_id"))
+    route = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed), F.lit(11)),
+                   F.lit(routes)).cast("int")
+    sub = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(seed), F.lit(13)),
+                 F.lit(subs_per_route)).cast("int")
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    two_pi = 2.0 * math.pi
+    noise = F.transform(dims, lambda d: (
+        F.sqrt(F.lit(-2.0) * F.log(_u(3, seed, d)))
+        * F.cos(F.lit(two_pi) * _u(4, seed, d))))
+    return (df.withColumn("route_label", route)
+            .withColumn("sub_label", sub)
+            .withColumn("label",
+                        (F.col("route_label") * F.lit(subs_per_route)
+                         + F.col("sub_label")).cast("int"))
+            .withColumn("_c", F.element_at(centers_lit,
+                                           F.col("label") + F.lit(1)))
+            .withColumn("_x", F.zip_with(
+                "_c", noise, lambda c, z: c + F.lit(float(sigma)) * z))
+            .withColumn("_n", F.sqrt(F.aggregate(
+                F.transform("_x", lambda y: y * y),
+                F.lit(0.0), lambda a, b: a + b)))
+            .select("vec_id",
+                    F.transform("_x", lambda y: (y / F.col("_n"))
+                                .cast("float")).alias("embedding"),
+                    "route_label", "sub_label", "label"))
