@@ -245,10 +245,22 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
             F.lit(float(KMV_THRESHOLD_SAFETY * k)) * F.lit(float(HASH_SPACE))
             / F.greatest(F.col("_n"), F.lit(1)).cast("double")) \
             .cast("long").alias("_t")
+        # the estimate pass is a PRUNING heuristic — it needs a distinct
+        # COUNT, not the hash values, so it runs on the RAW column and
+        # skips the md5 chain entirely (measured 4.4 -> 1.1 s at sf10,
+        # round-12 profiling; ACD ignores NULLs either way). With a
+        # ``prehashed`` (typically persisted) frame the hashed read is
+        # the cheaper scan, so it keeps estimating over _h. Extra
+        # null/NaN-keyed groups in the raw estimate are inert: `clean`
+        # carries no such rows, so they match nothing downstream.
         if group_cols:
-            th = (clean.groupBy(*group_cols)
-                  .agg(F.approx_count_distinct("_h").alias("_n"))
-                  .select(*group_cols, cut))
+            if prehashed is not None:
+                est = clean.groupBy(*group_cols).agg(
+                    F.approx_count_distinct("_h").alias("_n"))
+            else:
+                est = df.groupBy(*group_cols).agg(
+                    F.approx_count_distinct(value_col).alias("_n"))
+            th = est.select(*group_cols, cut)
             flt = (clean.join(F.broadcast(th), list(group_cols))
                    .where(F.col("_h") <= F.col("_t")).drop("_t"))
             kept1 = k_smallest(flt)
@@ -267,8 +279,10 @@ def kmv_distinct(df: DataFrame, group_cols: list[str], value_col: str,
             refill = clean.join(F.broadcast(sus), list(group_cols),
                                 "left_semi")
         else:
-            th = (clean.agg(F.approx_count_distinct("_h").alias("_n"))
-                  .select(cut))
+            est = (clean.agg(F.approx_count_distinct("_h").alias("_n"))
+                   if prehashed is not None else
+                   df.agg(F.approx_count_distinct(value_col).alias("_n")))
+            th = est.select(cut)
             flt = (clean.crossJoin(F.broadcast(th))
                    .where(F.col("_h") <= F.col("_t")).drop("_t"))
             kept1 = k_smallest(flt)

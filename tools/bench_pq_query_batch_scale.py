@@ -1,0 +1,90 @@
+"""Query-batch scaling of the two hier-PQ probe faces (round-11 verdict
+ask #4): the default COLLECT face pulls the query batch to the driver to
+compute static route/cell pushdown lists — right for probe-sized batches
+— while the JOIN face (broadcast_queries=False) keeps the batch
+distributed. This measures both over a fixed store as the query batch
+grows (1k -> 100k synthetic queries), expecting the collect face's
+driver-side numpy probe selection (O(batch x routes) single-threaded,
+plus a batch-sized collect) to grow linearly while the join face stays
+executor-parallel.
+
+Store: hierarchical_embeddings(100k, dim=64) under an 8x64-cell hier
+codebook, PQ M=8/K=16 — persisted route-partitioned like o77. Queries:
+fresh rows from the same fixture (disjoint id range).
+
+Usage: SPARK_GRAFT_CPUS=32 python tools/bench_pq_query_batch_scale.py
+Prints one JSON line (recorded as SCALING.json pq_query_batch_r12).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+from relationaldecomposition_spark.operators import ivf, pq  # noqa: E402
+from relationaldecomposition_spark.session import get_spark  # noqa: E402
+from relationaldecomposition_spark.sources.synthetic import (  # noqa: E402
+    hierarchical_embeddings)
+
+STORE_ROWS = 100_000
+DIM = 64
+ROUTES, K2 = 8, 8
+M = 8
+BATCHES = (1_000, 10_000, 100_000)
+N_PROBES, ROUTE_PROBES = 4, 2
+K = 5
+
+
+def main():
+    spark = get_spark("pq-batch-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = hierarchical_embeddings(spark, STORE_ROWS + max(BATCHES),
+                                  dim=DIM, routes=ROUTES,
+                                  subs_per_route=K2)
+    corpus = emb.where(f"vec_id < {STORE_ROWS}").persist()
+    corpus.count()
+    k1_ids = list(range(0, STORE_ROWS, STORE_ROWS // ROUTES))
+    seed_ids = list(range(0, STORE_ROWS, STORE_ROWS // 16))[:16]
+    coarse = ivf.seed_centroids(corpus, "embedding", "vec_id", k1_ids)
+    subs = ivf.hier_codebook(corpus, "embedding", "vec_id", coarse,
+                             K2).localCheckpoint(eager=True)
+    cbs = pq.pq_seed_codebooks(corpus, "embedding", "vec_id", M, seed_ids)
+    path = tempfile.mkdtemp(prefix="pq_batch_scale_")
+    ivf.write_cell_index(
+        pq.pq_cell_index_hier(corpus, "embedding", "vec_id", cbs, coarse,
+                              subs),
+        path, partition_col="route", sort_within=("cell",))
+    stored = ivf.read_cell_index(spark, path, partition_col="route")
+
+    out = {"store_rows": STORE_ROWS, "dim": DIM,
+           "router": f"k1={ROUTES} k2={K2}",
+           "n_probes": N_PROBES, "route_probes": ROUTE_PROBES,
+           "batches": {}}
+    # warm both faces once (JIT + python workers)
+    for bq in (True, False):
+        pq.pq_topk_index_hier(
+            stored, emb.where(f"vec_id >= {STORE_ROWS} "
+                              f"AND vec_id < {STORE_ROWS + 200}"),
+            "embedding", "vec_id", K, cbs, coarse, subs,
+            n_probes=N_PROBES, route_probes=ROUTE_PROBES,
+            broadcast_queries=bq).count()
+    for n in BATCHES:
+        queries = emb.where(f"vec_id >= {STORE_ROWS} "
+                            f"AND vec_id < {STORE_ROWS + n}")
+        row = {}
+        for name, bq in (("collect_face", True), ("join_face", False)):
+            t0 = time.time()
+            cnt = pq.pq_topk_index_hier(
+                stored, queries, "embedding", "vec_id", K, cbs, coarse,
+                subs, n_probes=N_PROBES, route_probes=ROUTE_PROBES,
+                broadcast_queries=bq).count()
+            row[name] = round(time.time() - t0, 2)
+            row[f"{name}_rows"] = cnt
+        out["batches"][str(n)] = row
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
