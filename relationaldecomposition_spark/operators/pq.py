@@ -450,29 +450,59 @@ def _hier_query_probes(qrows, coarse, subs_map, n_probes: int,
     """[(query_id, route, cell)]: per query, rank the sub-cells of its
     ``route_probes`` nearest coarse routes by squared L2 to the
     sub-centroid and keep the ``n_probes`` globally nearest, tie-broken
-    on (distance, route, cell). Driver-side numpy over query-count ×
-    probed-cell candidates — queries are a handful of rows and the
-    result doubles as the STATIC pushdown lists for the store scan."""
+    on (distance, route, cell). Driver-side numpy, VECTORIZED over the
+    whole query batch (round-12: the per-query Python loop made the
+    collect face choke at ~100k queries on loop overhead alone, long
+    before driver memory mattered) — distances keep the loop form's
+    elementwise (q−c)² pairwise summation, so tie-breaks are bitwise
+    identical to the brute-force replay
+    (tests/test_pq.py::test_hier_query_probes_matches_bruteforce).
+    The result doubles as the STATIC pushdown lists for the store scan;
+    for batches past driver scale, use the join face
+    (``broadcast_queries=False``) instead."""
     import numpy as np
 
+    if not qrows:
+        return []
     ordered = sorted(coarse)
     cids = np.array([c for c, _ in ordered], dtype=np.int64)
     cmat = np.asarray([v for _, v in ordered], dtype=np.float64)
+    nr, dim = cmat.shape
+    k2max = max((len(v) for v in subs_map.values()), default=0)
+    if k2max == 0:
+        return []
+    pad = np.iinfo(np.int64).max
+    scell = np.full((nr, k2max), pad, dtype=np.int64)
+    scent = np.zeros((nr, k2max, dim))
+    svalid = np.zeros((nr, k2max), dtype=bool)
+    for ri, rid in enumerate(cids):
+        for j, (cell, cv) in enumerate(subs_map.get(int(rid), [])):
+            scell[ri, j], scent[ri, j], svalid[ri, j] = cell, cv, True
+    qids = [q for q, _ in qrows]
+    qmat = np.asarray([v for _, v in qrows], dtype=np.float64)
     out = []
-    for qid, qv in qrows:
-        q = np.asarray(qv, dtype=np.float64)
-        d = ((cmat - q) ** 2).sum(axis=1)
-        rorder = np.lexsort((cids, d))[:route_probes]
-        cand = []
-        for ri in rorder:
-            route = int(cids[ri])
-            for cell, cv in subs_map.get(route, []):
-                dd = float(((q - np.asarray(cv, dtype=np.float64)) ** 2)
-                           .sum())
-                cand.append((dd, route, cell))
-        cand.sort()
-        out.extend((qid, route, cell)
-                   for _, route, cell in cand[:n_probes])
+    chunk = 2048  # bounds the (m, p, k2max, dim) temp at ~tens of MB
+    for lo in range(0, len(qmat), chunk):
+        q = qmat[lo:lo + chunk]
+        d = ((q[:, None, :] - cmat[None]) ** 2).sum(-1)       # (m, nr)
+        # cids ascend, so a STABLE argsort on d = order by (d, cid) —
+        # the loop form's lexsort((cids, d))
+        rsel = np.argsort(d, axis=1, kind="stable")[:, :route_probes]
+        dd = ((q[:, None, None, :] - scent[rsel]) ** 2).sum(-1)
+        m = len(q)
+        ddf = np.where(svalid[rsel], dd, np.inf).reshape(m, -1)
+        cellf = scell[rsel].reshape(m, -1)
+        routef = np.ascontiguousarray(np.broadcast_to(
+            cids[rsel][..., None], scell[rsel].shape)).reshape(m, -1)
+        order = np.lexsort((cellf, routef, ddf), axis=1)[:, :n_probes]
+        ddo = np.take_along_axis(ddf, order, 1)
+        ro = np.take_along_axis(routef, order, 1)
+        co = np.take_along_axis(cellf, order, 1)
+        for i in range(m):
+            nv = min(n_probes, int(np.isfinite(ddo[i]).sum()))
+            qid = qids[lo + i]
+            out.extend((qid, int(ro[i, j]), int(co[i, j]))
+                       for j in range(nv))
     return out
 
 

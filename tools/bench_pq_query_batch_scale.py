@@ -28,9 +28,11 @@ from relationaldecomposition_spark.session import get_spark  # noqa: E402
 from relationaldecomposition_spark.sources.synthetic import (  # noqa: E402
     hierarchical_embeddings)
 
-STORE_ROWS = 100_000
+STORE_ROWS = 50_000
 DIM = 64
-ROUTES, K2 = 8, 8
+ROUTES, K2 = 8, 50     # 400 cells -> ~125 rows/cell: candidate volume
+                       # (batch x n_probes x occupancy) stays face-
+                       # comparable without dominating the measurement
 M = 8
 BATCHES = (1_000, 10_000, 100_000)
 N_PROBES, ROUTE_PROBES = 4, 2
@@ -58,6 +60,8 @@ def main():
         path, partition_col="route", sort_within=("cell",))
     stored = ivf.read_cell_index(spark, path, partition_col="route")
 
+    print(f"store built: {stored.count()} rows", file=sys.stderr,
+          flush=True)
     out = {"store_rows": STORE_ROWS, "dim": DIM,
            "router": f"k1={ROUTES} k2={K2}",
            "n_probes": N_PROBES, "route_probes": ROUTE_PROBES,
@@ -82,6 +86,8 @@ def main():
                 broadcast_queries=bq).count()
             row[name] = round(time.time() - t0, 2)
             row[f"{name}_rows"] = cnt
+            print(f"batch {n} {name}: {row[name]}s", file=sys.stderr,
+                  flush=True)
         out["batches"][str(n)] = row
     print(json.dumps(out))
 
