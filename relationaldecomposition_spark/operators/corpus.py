@@ -513,11 +513,18 @@ def tfidf_topk(df: DataFrame, text_col: str, id_col: str,
     tf = (df.select(F.col(id_col),
                     F.explode(tokens(F.col(text_col))).alias("token"))
             .groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf")))
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    # document frequency via a COUNT WINDOW over the token, not a
+    # groupBy + join-back: the join shape evaluates the whole tf subtree
+    # (explode + corpus-token aggregation) twice — once as the dfreq
+    # build, once as the probe — and shuffles both sides on token (the
+    # same double-evaluation remove_duplicate_spans had; round-12
+    # profiling law). dfreq = rows per token in tf, identical values.
+    wt = Window.partitionBy("token")
     score = round6(F.col("tf") * F.log(F.lit(float(n_docs))
                                        / F.col("dfreq").cast("double"))) \
         .alias("tfidf")
-    scored = tf.join(dfreq, "token").select(F.col(id_col), "token", score)
+    scored = (tf.withColumn("dfreq", F.count(F.lit(1)).over(wt))
+                .select(F.col(id_col), "token", score))
     w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
