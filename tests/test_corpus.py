@@ -358,6 +358,30 @@ class TestVocabulary:
         assert "TakeOrderedAndProject" in plan
 
 
+class TestSingleEvaluationPins:
+    """Round-12 double-evaluation law: dfreq/LM counts come from a count
+    window over ONE evaluation of the exploded-token subtree, never a
+    groupBy + join-back that pays the explode twice. Pin the plan shape:
+    exactly one Generate (explode) node feeds the scoring path."""
+
+    @staticmethod
+    def _n_generate(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("Generate ")
+
+    def test_tfidf_single_explode(self, spark):
+        assert self._n_generate(
+            corpus.tfidf_topk(_docs(spark, FIX), "text", "doc_id")) == 1
+
+    def test_xent_two_explodes_scoring_plus_stats(self, spark):
+        # the single-row (T, V) stats aggregate is a separate legitimate
+        # pass; the SCORING path itself holds one explode (was three
+        # total under the vocab join-back shape)
+        assert self._n_generate(
+            corpus.unigram_xent_score(_docs(spark, FIX), "text",
+                                      "doc_id")) == 2
+
+
 
 class TestCorpusReport:
     def test_rollup_matches_profile(self, spark):

@@ -109,6 +109,21 @@ def test_simhash_pairs_validation_guard_and_plan(spark, docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_duplicate_spans_single_evaluation_plan(spark):
+    """Round-12 double-evaluation law pin: duplicated starts come from a
+    count window over the shingle hash — ONE evaluation of the
+    explode+window+md5 occ subtree (the groupBy + self-semi-join shape
+    paid it twice, measured 22.0 -> 13.2 s at sf10). duplicate_spans: one
+    Generate total; remove_duplicate_spans: three (the shingle explode
+    plus the legitimate token-stream and boundary-event explodes)."""
+    docs = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                 "doc_id long, text string")
+    n = lambda df: df._jdf.queryExecution().executedPlan() \
+        .toString().count("Generate ")
+    assert n(dedup.duplicate_spans(docs, "text", "doc_id")) == 1
+    assert n(dedup.remove_duplicate_spans(docs, "text", "doc_id")) == 3
+
+
 def test_duplicate_spans_brute_force(spark):
     """duplicate_spans equals a per-doc python re-derivation, including
     within-doc repeats, short docs, and null text."""
