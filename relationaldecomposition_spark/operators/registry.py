@@ -92,6 +92,10 @@ GUARD_ANN_MAX_BUCKET = 32
 # rather than shortlist item #1 (o44, r11-green). The shortlist above
 # stays valid as EVIDENCE of duplicate oracles; check the donor's window
 # membership each round before using it.
+#
+# Round-13 note: the r13 rotation-debt set will be the r11-green 50,
+# which contains ALL FIVE shortlist entries (o44, o56, o09, o11, o12) —
+# any of them is a window-legal donor next round.
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
