@@ -408,6 +408,51 @@ def test_hier_query_probes_matches_bruteforce(emb, emb_np):
     assert got == exp
 
 
+def test_hier_query_probes_random_geometries():
+    """Property sweep for the VECTORIZED probe selection (round 12): the
+    chunked-numpy path must equal a per-query pure-python replay across
+    random geometries, including the edges the loop form never had —
+    ragged sub-codebooks (routes with different cell counts), probed
+    routes MISSING from the codebook entirely, n_probes past the
+    available cells, and route_probes = all routes. Seeded RNG (the
+    suite's bounded-hypothesis pattern)."""
+    rng = np.random.default_rng(20261212)
+    for trial in range(20):
+        dim = int(rng.integers(2, 9))
+        nr = int(rng.integers(1, 6))
+        coarse = [(int(rng.integers(0, 1000)) * 7 + i,
+                   list(rng.normal(size=dim)))
+                  for i in range(nr)]
+        subs_map = {}
+        for cid, _ in coarse:
+            k2 = int(rng.integers(0, 5))
+            if k2 == 0 and rng.random() < 0.5:
+                continue  # route absent from the codebook entirely
+            subs_map[cid] = [(int(rng.integers(0, 10000)) * 11 + j,
+                              list(rng.normal(size=dim)))
+                             for j in range(k2)]
+        nq = int(rng.integers(1, 30))
+        qrows = [(q, list(rng.normal(size=dim))) for q in range(nq)]
+        n_probes = int(rng.integers(1, 8))
+        route_probes = int(rng.integers(1, nr + 1))
+
+        got = pq._hier_query_probes(qrows, coarse, subs_map, n_probes,
+                                    route_probes)
+
+        cents = sorted(coarse)
+        exp = []
+        for qid, qv in qrows:
+            q = np.asarray(qv, dtype=np.float64)
+            routes = sorted(
+                ((float(((q - np.asarray(cv)) ** 2).sum()), cid)
+                 for cid, cv in cents))[:route_probes]
+            cand = sorted(
+                (float(((q - np.asarray(cv)) ** 2).sum()), r, cell)
+                for _, r in routes for cell, cv in subs_map.get(r, []))
+            exp.extend((qid, r, cell) for _, r, cell in cand[:n_probes])
+        assert got == exp, (trial, dim, nr, n_probes, route_probes)
+
+
 def test_hier_store_lifecycle_append_compact_probe(spark, emb, codebooks,
                                                    tmp_path):
     """The o74 lifecycle on the ROUTE-partitioned PQ store: build from
