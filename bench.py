@@ -292,6 +292,16 @@ def build_queries(spark, sf_dir: str):
                        coarse_centroid_ids=list(range(0, 480, 30)),
                        n_probes=8, kernel="np"))
 
+    def pq_hier_store_q():
+        # round-12 o77: the million-cell on-disk regime end-to-end —
+        # hier codebook -> route-partitioned cell-sorted PQ store on
+        # disk -> static-pruned probe (the round-11 flagship store,
+        # driver-gated this round; store rebuilt per run so the row
+        # tracks the FULL build+write+read+probe cost)
+        from relationaldecomposition_spark.operators.registry import (
+            q_o77_pq_hier_topk)
+        _force(q_o77_pq_hier_topk(spark, sf_dir))
+
     def lsh_dedup():
         docs = load_table(spark, sf_dir, "documents")
         _force(lsh_candidate_pairs(docs, "text", "doc_id"))
@@ -617,6 +627,8 @@ def build_queries(spark, sf_dir: str):
         "image_phash": image_phash_q,
         "semdedup_hier_p2": semdedup_hier_p2,
         "pq_topk": pq_topk_q,
+        # round-12 addition
+        "pq_hier_store": pq_hier_store_q,
     }
 
 
