@@ -48,7 +48,10 @@ SF10_QUERIES = ["entropy_batch32", "lsh_dedup", "dedup_pipeline",
                 "semdedup_incr_hier", "remove_dup_spans",
                 # r10 additions: perceptual-hash image dedup, the
                 # multi-probe hier pair face, and IVF-PQ
-                "image_phash", "semdedup_hier_p2", "pq_topk"]
+                "image_phash", "semdedup_hier_p2", "pq_topk",
+                # r12 addition: the route-partitioned on-disk PQ store
+                # end-to-end (build + write + read + static-pruned probe)
+                "pq_hier_store"]
 
 SEMDEDUP_TAU = 0.35
 TARGET_CELL = 500  # the documented sizing law: one cell per ~500 vectors
