@@ -18,10 +18,11 @@ Scale notes (100 TB):
   aggregations (both map-side combining) — never a per-row O(len^2)
   higher-order-function loop, so a single pathological 1 GB document
   costs O(len) per stage, not O(len^2) on one core.
-- tfidf_topk: document-frequency aggregation map-side combines to
-  vocabulary size; the tf<->df join is token-keyed (sort-merge at scale,
-  AQE broadcasts it when the vocabulary is small); the top-k window
-  partitions by document — no global sort.
+- tfidf_topk: document frequency is a COUNT WINDOW over the token key on
+  the distinct (doc, token) tf frame — one evaluation of the tokenize
+  subtree and one shuffle (the round-12 shared-subtree law; the former
+  groupBy + token-keyed tf<->df join-back evaluated and shuffled it
+  twice); the top-k window partitions by document — no global sort.
 """
 
 from __future__ import annotations

@@ -1280,11 +1280,24 @@ def probe_cell_store(spark, path: str, probe,
     try:
         return probe(df).collect()
     except Exception as e:
+        # Require the COMBINED marker: Spark raises the stale-listing
+        # failure as error class FAILED_READ_FILE.FILE_NOT_EXIST, so both
+        # substrings appear together. Either alone is a different failure
+        # (e.g. a mistyped store path raises PATH_NOT_FOUND / "does not
+        # exist" without FAILED_READ_FILE) and retrying it just pays a
+        # pointless second listing and reports the retry's error instead
+        # of the original (ADVICE r12).
         msg = str(e)
-        if "FAILED_READ_FILE" not in msg and "FILE_NOT_EXIST" not in msg:
+        if "FAILED_READ_FILE" not in msg or "FILE_NOT_EXIST" not in msg:
             raise
-        fresh = read_cell_index(spark, path, partition_col)
-        return probe(fresh).collect()
+        try:
+            fresh = read_cell_index(spark, path, partition_col)
+            return probe(fresh).collect()
+        except Exception as retry_err:
+            # a second listing failure means compaction is running
+            # CONTINUOUSLY against this store; surface the ORIGINAL
+            # stale-listing error as the cause, not just the retry's
+            raise retry_err from e
 
 
 def semdedup_collision_stream(stream: DataFrame, index: DataFrame,

@@ -171,28 +171,49 @@ def _np_encoded(df: DataFrame, vec_col: str, id_col: str,
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.asarray(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            if x.shape[1] != m * sub:
-                raise ValueError(
-                    f"PQ codebook geometry (m={m}, sub={sub}) does not "
-                    f"match the vector width {x.shape[1]}")
-            codes = np.empty((len(x), m), dtype=np.int32)
-            for s in range(m):
-                xs = x[:, s * sub:(s + 1) * sub]
-                # argmin of |c|^2 - 2 x.c == argmin squared distance;
-                # np.argmin keeps the FIRST minimum -> lowest j on ties
-                codes[:, s] = np.argmin(
-                    c2s[s] - 2.0 * (xs @ cmats[s].T), axis=1)
+            # NULL vectors propagate NULL codes (and NULL v/cell) —
+            # kernel parity with the expression face's explicit NULL
+            # branch in _codes_expr (ADVICE r12: the np kernel used to
+            # crash on a ragged asarray instead). Width errors stay loud
+            # on the non-null rows, same message as the expr face.
+            null = pdf[vec_col].isna().to_numpy()
+            n = len(pdf)
+            codes_full: list = [None] * n
+            v_full: list = [None] * n
+            cell_full: list = [None] * n
+            nz = np.flatnonzero(~null)
+            if len(nz):
+                x = np.asarray([np.asarray(pdf[vec_col].iloc[i],
+                                           dtype=np.float64) for i in nz])
+                if x.ndim != 2 or x.shape[1] != m * sub:
+                    width = "ragged" if x.ndim != 2 else x.shape[1]
+                    raise ValueError(
+                        f"PQ codebook geometry (m={m}, sub={sub}) does "
+                        f"not match the vector width {width}")
+                codes = np.empty((len(x), m), dtype=np.int32)
+                for s in range(m):
+                    xs = x[:, s * sub:(s + 1) * sub]
+                    # argmin of |c|^2 - 2 x.c == argmin squared distance;
+                    # np.argmin keeps the FIRST minimum -> lowest j on ties
+                    codes[:, s] = np.argmin(
+                        c2s[s] - 2.0 * (xs @ cmats[s].T), axis=1)
+                if coarse is not None:
+                    cells = ccids[np.argmin(cc2 - 2.0 * (x @ ccmat.T),
+                                            axis=1)]
+                for i, pos in enumerate(nz):
+                    codes_full[pos] = codes[i]
+                    if include_v:
+                        v_full[pos] = x[i]
+                    if coarse is not None:
+                        cell_full[pos] = int(cells[i])
             cols = {id_col: pdf[id_col]}
             for c in carry:
                 cols[c] = pdf[c]
             if include_v:
-                cols["v"] = list(x)
-            cols["codes"] = list(codes)
+                cols["v"] = v_full
+            cols["codes"] = codes_full
             if coarse is not None:
-                sc = cc2 - 2.0 * (x @ ccmat.T)
-                cols["cell"] = ccids[np.argmin(sc, axis=1)]
+                cols["cell"] = pd.array(cell_full, dtype="Int64")
             yield pd.DataFrame(cols)
 
     return df.select(id_col, *carry, vec_col).mapInPandas(encode, out)
@@ -459,7 +480,9 @@ def _hier_query_probes(qrows, coarse, subs_map, n_probes: int,
     (tests/test_pq.py::test_hier_query_probes_matches_bruteforce).
     The result doubles as the STATIC pushdown lists for the store scan;
     for batches past driver scale, use the join face
-    (``broadcast_queries=False``) instead."""
+    (``broadcast_queries=False``) instead. Distances here sum PAIRWISE
+    (numpy) while the join face folds left-to-right — see the FP parity
+    caveat on `_hier_probe_frame`."""
     import numpy as np
 
     if not qrows:
@@ -533,7 +556,23 @@ def _hier_probe_frame(q: DataFrame, codebooks: list[list[list[float]]],
     probe-candidate structs, ~route_probes·k2 doubles per query, never
     the corpus). Each probe row carries the query's LUT (M·K doubles),
     trading n_probes× LUT duplication for not re-joining queries later —
-    the LUT is codebook-sized, not corpus-sized."""
+    the LUT is codebook-sized, not corpus-sized.
+
+    FP parity caveat (ADVICE r12): this face folds probe-selection
+    distances left-to-right (F.aggregate — the same order as the DuckDB
+    oracle's list_sum fold), while the collect face sums numpy pairwise;
+    on a pair of candidate cells whose TRUE distances differ by less than
+    the two summation orders' ulp drift, the faces could select different
+    probe cells, so the pinned 'both faces return identical rows' contract
+    is empirical on the gate data, not an FP guarantee. The repo's round6
+    discipline is deliberately NOT applied here: rounding selection
+    distances would have to reach ivf._dist_structs (shared by the cell
+    assignment of every IVF operator and their oracles) and the o77
+    DuckDB twin in the same change, and a boundary-straddling true tie
+    would merely move the fragility to the rounding edge. Near-tie probe
+    divergence is benign for RESULTS only when the k-th neighbor is not
+    unique to the divergent cell — callers needing hard cross-face
+    determinism should pass the same face on both sides."""
     routes = F.transform(
         F.slice(ivf._dist_structs("qv", coarse), 1, route_probes),
         lambda s: s["cell"])

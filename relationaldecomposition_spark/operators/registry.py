@@ -2349,7 +2349,14 @@ def q_o77_pq_hier_topk(spark, sf_dir):
                              HIER_SUB_K).localCheckpoint(eager=True)
     codebooks = pq.pq_seed_codebooks(emb, "embedding", "vec_id", PQ_M,
                                      IVF_CENTROID_IDS)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    # per-RUN store path: keyed by (sf_dir, Spark applicationId) so two
+    # concurrent gate/bench runs over the same sf_dir never race each
+    # other's overwrite-vs-read (ADVICE r12); app-scoped reruns within one
+    # session reuse (and overwrite) their own directory, which is the
+    # bench.py median-of-3 shape.
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:10]
     path = os.path.join(tempfile.gettempdir(),
                         f"rd_spark_pq_hier_store_{tag}")
     ivf.write_cell_index(

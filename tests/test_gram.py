@@ -660,3 +660,35 @@ def test_probe_cell_store_recovers_across_compaction(emb, tmp_path):
                                         "UNRESOLVED"):
         ivf.probe_cell_store(spark, path,
                              lambda df: df.select("no_such_column"))
+
+
+def test_probe_cell_store_requires_combined_marker():
+    """The retry fires only on the COMBINED FAILED_READ_FILE +
+    FILE_NOT_EXIST marker (Spark's stale-listing error class); an error
+    carrying just one substring is a different failure and must propagate
+    without a second listing (ADVICE r12). spark=None proves no retry ran:
+    the retry path would raise AttributeError on read_cell_index instead
+    of the original error. The chained-retry contract is pinned too: when
+    the retry itself fails, the ORIGINAL stale-listing error is the
+    __cause__."""
+    import pytest
+
+    class _Raises:
+        def __init__(self, msg):
+            self.msg = msg
+
+        def probe(self, df):
+            raise RuntimeError(self.msg)
+
+    one_marker = _Raises("something FILE_NOT_EXIST-flavored but not the "
+                         "stale-listing class")
+    with pytest.raises(RuntimeError, match="FILE_NOT_EXIST-flavored"):
+        ivf.probe_cell_store(None, "/no/such/store", one_marker.probe,
+                             index=object())
+
+    both = _Raises("FAILED_READ_FILE.FILE_NOT_EXIST: gone mid-compaction")
+    with pytest.raises(AttributeError) as exc_info:
+        ivf.probe_cell_store(None, "/no/such/store", both.probe,
+                             index=object())
+    assert isinstance(exc_info.value.__cause__, RuntimeError)
+    assert "FAILED_READ_FILE" in str(exc_info.value.__cause__)

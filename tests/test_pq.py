@@ -565,11 +565,36 @@ def test_null_vector_propagates_null_codes(spark, codebooks):
     dim = M * len(codebooks[0][0])
     rows = [(1, [0.5] * dim), (2, None)]
     df = spark.createDataFrame(rows, f"vec_id long, embedding array<double>")
-    got = {r["vec_id"]: r["codes"]
-           for r in pq.pq_encode(df, "embedding", "vec_id", codebooks,
-                                 kernel="expr").collect()}
-    assert got[2] is None
-    assert got[1] is not None and len(got[1]) == M
+    for kernel in ("expr", "np"):  # kernel PARITY on the NULL edge
+        got = {r["vec_id"]: r["codes"]
+               for r in pq.pq_encode(df, "embedding", "vec_id", codebooks,
+                                     kernel=kernel).collect()}
+        assert got[2] is None, kernel
+        assert got[1] is not None and len(got[1]) == M, kernel
+
+
+def test_null_vector_null_cell_np_hier(spark, codebooks):
+    """The np kernel's coarse face (used by the hier encode) must give a
+    NULL cell — not a crash — for a NULL vector, and the all-NULL batch
+    edge must survive (no rows reach the matmul)."""
+    from relationaldecomposition_spark.operators import ivf
+    from relationaldecomposition_spark.operators.pq import _np_encoded
+
+    dim = M * len(codebooks[0][0])
+    rows = [(1, [0.5] * dim), (2, None), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse = [(7, [0.0] * dim), (9, [1.0] * dim)]
+    got = {r["vec_id"]: (r["codes"], r["cell"])
+           for r in _np_encoded(df, "embedding", "vec_id", codebooks,
+                                coarse=coarse).collect()}
+    assert got[2] == (None, None) and got[3] == (None, None)
+    codes1, cell1 = got[1]
+    assert len(codes1) == M and cell1 in (7, 9)
+    # all-NULL frame: every output row NULL, no matmul crash
+    all_null = df.where(F.col("vec_id") > 1)
+    out = _np_encoded(all_null, "embedding", "vec_id", codebooks,
+                      coarse=coarse).collect()
+    assert [(r["codes"], r["cell"]) for r in out] == [(None, None)] * 2
 
 
 def test_m_codebooks_conflict(emb, codebooks):
