@@ -653,6 +653,35 @@ def _run_calibration(spark) -> None:
         .agg(F.bit_xor(F.xxhash64("k", "s"))).collect())
 
 
+# Pinned input for the IO-weighted sentinel: ALWAYS sf0.1 lineitem,
+# regardless of $SPARK_GRAFT_SF_DIR, so the sentinel's work is fixed
+# across rounds and across the scaling sweep's sf points.
+_CAL_IO_DIR = "/root/testdata/sf0.1"
+
+
+def _run_calibration_io(spark) -> None:
+    """IO-weighted host sentinel (round-12 verdict ask #3). The fixed-work
+    CPU sentinel (`_run_calibration`) whipsawed 1.28x between
+    identical-code runs in r11 AND r12 — bigger than any real cross-round
+    signal — while the bench queries' own profile is parquet scan + keyed
+    shuffle, not pure codegen arithmetic. This twin measures exactly that
+    profile over a PINNED file (sf0.1 lineitem, ~600k rows x 16 cols):
+    full-width scan -> suppkey-keyed shuffle -> order-insensitive digest,
+    looped 4x so steady-state IO/decode dominates session setup. Both
+    sentinels are recorded; cross-round normalization should use whichever
+    correlates better with that round's untouched-query cohort (the judge
+    adjudicates — BENCH carries the data for both)."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(_CAL_IO_DIR, "lineitem.parquet"))
+    cols = li.columns
+    for _ in range(4):
+        (li.groupBy("l_suppkey")
+           .agg(F.count(F.lit(1)).alias("c"),
+                F.bit_xor(F.xxhash64(*cols)).alias("h"))
+           .agg(F.bit_xor(F.xxhash64("l_suppkey", "c", "h"))).collect())
+
+
 def run_bench(spark, sf_dir: str, repeats: int = 1,
               only: list[str] | None = None,
               calibrate: bool = True) -> dict[str, float]:
@@ -687,6 +716,18 @@ def run_bench(spark, sf_dir: str, repeats: int = 1,
         if verbose:
             print(f"[bench] {sf_dir} _calibration: "
                   f"{out['_calibration']:.2f}s", file=sys.stderr, flush=True)
+        if os.path.exists(os.path.join(_CAL_IO_DIR, "lineitem.parquet")):
+            _run_calibration_io(spark)  # unmeasured warm-up, same rule
+            cal_io = []
+            for _ in range(repeats):
+                t0 = time.time()
+                _run_calibration_io(spark)
+                cal_io.append(time.time() - t0)
+            out["_calibration_io"] = statistics.median(cal_io)
+            if verbose:
+                print(f"[bench] {sf_dir} _calibration_io: "
+                      f"{out['_calibration_io']:.2f}s",
+                      file=sys.stderr, flush=True)
     for name, fn in queries.items():
         samples = []
         for _ in range(repeats):
@@ -744,6 +785,16 @@ def _vs_prev_note(record: dict) -> dict:
         note["normalized_total_ratio"] = None
         note["note"] = ("prior artifact has no calibration row; "
                         "normalization available from round 10 onward")
+    # second, IO-weighted sentinel (round-12 verdict ask #3): recorded
+    # alongside so the judge can normalize by whichever sentinel tracks
+    # that round's untouched-query cohort better
+    prev_cal_io = (prev.get("calibration_io") or {}).get("sec")
+    now_cal_io = record.get("calibration_io", {}).get("sec")
+    if prev_cal_io and now_cal_io:
+        io_ratio = now_cal_io / prev_cal_io
+        note["calibration_io_ratio"] = round(io_ratio, 3)
+        note["normalized_total_ratio_io"] = round(
+            now_total / prev_total / io_ratio, 3)
     return {"vs_prev": note}
 
 
@@ -763,6 +814,7 @@ def main() -> None:
     spark.stop()
 
     calibration = timings.pop("_calibration", None)
+    calibration_io = timings.pop("_calibration_io", None)
     total = sum(timings.values())
     record = {
         "metric": "headline_queries_wall_clock",
@@ -780,6 +832,16 @@ def main() -> None:
                      "ratios by the calibration ratio to remove host "
                      "weather"),
         }
+    if calibration_io is not None:
+        record["calibration_io"] = {
+            "sec": round(calibration_io, 3),
+            "work": ("fixed: 4x (full-width sf0.1 lineitem parquet scan "
+                     "-> suppkey-keyed shuffle digest); the IO-weighted "
+                     "sentinel twin (r12 verdict ask #3) — normalize by "
+                     "whichever sentinel tracks the round's "
+                     "untouched-query cohort"),
+        }
+    if calibration is not None:
         record.update(_vs_prev_note(record))
     # Keep the output to ONE compact JSON line (BENCH_r04 overflowed the
     # driver's capture by embedding all of SCALING.json): reference the scale
