@@ -261,9 +261,10 @@ def repetition_metrics(df: DataFrame, text_col: str, id_col: str,
                     (top > F.lit(top_frac_max)).cast("int").alias("repetitive"))
 
 
-def _repetition_arrow(df: DataFrame, text_col: str, id_col: str,
-                      n: int, top_frac_max: float) -> DataFrame:
-    """Map-only Arrow twin of repetition_metrics (see its docstring).
+def _rep_udf(n: int, top_frac_max: float):
+    """The repetition Arrow kernel as a reusable pandas UDF (text ->
+    struct<n_tokens, dup_token_frac, top_ngram_frac, repetitive>), shared
+    by `_repetition_arrow` and the fused `quality_repetition_profile`.
 
     Parity notes: tokens follow the Spark expression exactly — trim
     strips SPACE only, the split regex \\s is ASCII (same recipe
@@ -314,8 +315,41 @@ def _repetition_arrow(df: DataFrame, text_col: str, id_col: str,
             "dup_token_frac": dup_out, "top_ngram_frac": top_out,
             "repetitive": pd.Series(rep_out, dtype="int32")})
 
-    return (df.select(F.col(id_col), _rep(F.col(text_col)).alias("_r"))
+    return _rep
+
+
+def _repetition_arrow(df: DataFrame, text_col: str, id_col: str,
+                      n: int, top_frac_max: float) -> DataFrame:
+    """Map-only Arrow twin of repetition_metrics (kernel in `_rep_udf`)."""
+    rep = _rep_udf(n, top_frac_max)
+    return (df.select(F.col(id_col), rep(F.col(text_col)).alias("_r"))
             .select(F.col(id_col), F.col("_r.n_tokens").alias("n_tokens"),
+                    F.col("_r.dup_token_frac").alias("dup_token_frac"),
+                    F.col("_r.top_ngram_frac").alias("top_ngram_frac"),
+                    F.col("_r.repetitive").alias("repetitive")))
+
+
+def quality_repetition_profile(df: DataFrame, text_col: str, id_col: str,
+                               n: int = REP_NGRAM_N,
+                               top_frac_max: float = REP_TOP_FRAC_MAX
+                               ) -> DataFrame:
+    """ONE scan computing both per-document curation gates (r12 verdict
+    ask #4): the quality expression (text.quality_col — whole-stage
+    codegen) and the repetition Arrow kernel (`_rep_udf`) in a single
+    projection, so the gate pass reads the survivor text once instead of
+    twice and downstream joins against one (id, quality, repetitive)
+    frame instead of two. Values are EXACTLY the separate operators'
+    faces (same column builders; pinned in tests/test_pipeline.py).
+
+    Returns (id, quality, n_tokens, dup_token_frac, top_ngram_frac,
+    repetitive)."""
+    from .text import quality_col
+
+    c = F.col(text_col)
+    rep = _rep_udf(n, top_frac_max)
+    return (df.select(F.col(id_col), quality_col(c), rep(c).alias("_r"))
+            .select(F.col(id_col), "quality",
+                    F.col("_r.n_tokens").alias("n_tokens"),
                     F.col("_r.dup_token_frac").alias("dup_token_frac"),
                     F.col("_r.top_ngram_frac").alias("top_ngram_frac"),
                     F.col("_r.repetitive").alias("repetitive")))

@@ -19,12 +19,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .operators.corpus import (decontaminate, repetition_metrics,
+from .operators.corpus import (decontaminate, quality_repetition_profile,
                                unigram_xent_score)
 from .operators.dedup import (apply_dedup, connected_components,
                               exact_dedup, lsh_candidate_pairs)
 from .operators.sampling import rebalance_to_mixture
-from .operators.text import pack_sequences, quality_score
+from .operators.text import pack_sequences
 
 
 def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
@@ -98,13 +98,24 @@ def curate_corpus(docs: DataFrame, text_col: str, id_col: str, *,
     cur, cnt = _keep(apply_dedup(cur, connected_components(pairs), id_col))
     stages.append(("near_dedup", cnt))
 
-    keep_q = (quality_score(cur, text_col, id_col)
-              .where(F.col("quality") >= quality_min).select(id_col))
-    # arrow kernel: per-document signals, zero shuffles (value-identical
-    # to the expr oracle face — pinned in tests/test_corpus.py)
-    keep_r = (repetition_metrics(cur, text_col, id_col, kernel="arrow")
-              .where(F.col("repetitive") == 0).select(id_col))
-    cur = cur.join(keep_q, id_col).join(keep_r, id_col)
+    # ONE fused scan for both per-document gates (r12 verdict ask #4):
+    # quality (codegen expression) and repetition (Arrow kernel) ride a
+    # single projection, so the gate pass reads the survivor text once
+    # instead of twice and joins ONE id frame instead of two; the AND of
+    # the two predicates is exactly the former keep_q ⋈ keep_r
+    # intersection (both were unique-id row subsets).
+    keep_qr = (quality_repetition_profile(cur, text_col, id_col)
+               .where((F.col("quality") >= quality_min)
+                      & (F.col("repetitive") == 0)).select(id_col))
+    if persist_stages:
+        # intra-stage id persist: the xent gate below and the stage's
+        # final survivor persist each re-evaluate keep_qr's subtree
+        # otherwise (Spark has no automatic subtree reuse) — same
+        # ids-not-frames law as _keep
+        keep_qr = keep_qr.persist()
+        if persisted_out is not None:
+            persisted_out.append(keep_qr)
+    cur = cur.join(keep_qr, id_col)
     if xent_max is not None:
         keep_x = (unigram_xent_score(cur, text_col, id_col)
                   .where(F.col("xent").isNull()

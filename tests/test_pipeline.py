@@ -102,9 +102,36 @@ def test_persisted_out_collects_stage_frames(spark):
         benchmark=docs.where(F.col("doc_id") % 20 == 7),
         persist_stages=True, persisted_out=held)
     funnel.collect()
-    # input stage is never persisted; exact/near/quality/decontaminated are
-    assert len(held) == 4
+    # input stage is never persisted; exact/near/quality/decontaminated
+    # are, plus the quality stage's INTRA-stage fused-gate id frame
+    # (keep_qr — r12 verdict ask #4)
+    assert len(held) == 5
     assert all(f.storageLevel.useMemory for f in held)
     for f in held:
         f.unpersist()
     assert not any(f.storageLevel.useMemory for f in held)
+
+
+def test_quality_repetition_profile_matches_separate_faces(spark):
+    """The fused gate scan (quality expression + repetition Arrow kernel
+    in one projection) is value-identical to the separate operators it
+    replaced in curate_corpus's quality stage."""
+    from relationaldecomposition_spark.operators.corpus import (
+        quality_repetition_profile, repetition_metrics)
+    from relationaldecomposition_spark.operators.text import quality_score
+    from tests.conftest import load
+
+    docs = load(spark, "documents")
+    fused = {r["doc_id"]: r for r in
+             quality_repetition_profile(docs, "text", "doc_id").collect()}
+    q = {r["doc_id"]: r["quality"]
+         for r in quality_score(docs, "text", "doc_id").collect()}
+    rep = {r["doc_id"]: r for r in
+           repetition_metrics(docs, "text", "doc_id",
+                              kernel="arrow").collect()}
+    assert set(fused) == set(q) == set(rep)
+    for d, row in fused.items():
+        assert row["quality"] == q[d]
+        for c in ("n_tokens", "dup_token_frac", "top_ngram_frac",
+                  "repetitive"):
+            assert row[c] == rep[d][c], (d, c)
