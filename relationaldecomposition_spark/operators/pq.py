@@ -542,21 +542,28 @@ def _rank_tail(scored: DataFrame, k: int) -> DataFrame:
 def _hier_probe_frame(q: DataFrame, codebooks: list[list[list[float]]],
                       coarse: list[tuple[int, list[float]]],
                       subs: DataFrame, n_probes: int,
-                      route_probes: int) -> DataFrame:
-    """(query_id, luts, route, cell): the DISTRIBUTED twin of
+                      route_probes: int,
+                      carry: tuple[str, ...] = ()) -> DataFrame:
+    """(query_id[, carry...], luts, route, cell): the DISTRIBUTED twin of
     `_hier_query_probes` — the same two-level probe selection (per query,
     the n_probes globally nearest sub-cells of its route_probes nearest
     coarse routes, ties (distance, route, cell) ascending) computed as
     DataFrame operations so the query batch NEVER collects to the driver.
     Coarse routing is the literal-codebook expression (row-local); the
-    (route, cb) sub-codebook arrives by a broadcast equi-join on route
-    (K1 rows — the same broadcast the stream face rides); the global
-    top-n_probes is one groupBy(query_id) over route_probes k2-length
-    candidate arrays (flatten → array_sort → slice — shuffle payload is
-    probe-candidate structs, ~route_probes·k2 doubles per query, never
-    the corpus). Each probe row carries the query's LUT (M·K doubles),
-    trading n_probes× LUT duplication for not re-joining queries later —
-    the LUT is codebook-sized, not corpus-sized.
+    (route, cb) sub-codebook arrives by route_probes broadcast equi-joins
+    on route (K1 rows each — route i's join key is the i-th nearest
+    route), so every query row carries its probed routes' candidate
+    arrays SIDE-BY-SIDE and the global top-n_probes is a row-local
+    flatten → array_sort → slice over ~route_probes·k2 candidate structs.
+    ZERO exchanges on the query side (the round-12 shape paid one
+    groupBy(query_id) shuffle of the same structs — r13 rewrite), and
+    every stage is stream-legal (stream-static broadcast joins + row-local
+    expressions), so this frame IS the streaming probe face too
+    (`pq_collision_stream_hier(global_n_probes=...)` rides it; ``carry``
+    threads the event-time column through). Each probe row carries the
+    query's LUT (M·K doubles), trading n_probes× LUT duplication for not
+    re-joining queries later — the LUT is codebook-sized, not
+    corpus-sized.
 
     FP parity caveat (ADVICE r12): this face folds probe-selection
     distances left-to-right (F.aggregate — the same order as the DuckDB
@@ -576,25 +583,42 @@ def _hier_probe_frame(q: DataFrame, codebooks: list[list[list[float]]],
     routes = F.transform(
         F.slice(ivf._dist_structs("qv", coarse), 1, route_probes),
         lambda s: s["cell"])
-    cands = F.transform(
-        F.col("cb"),
-        lambda c: F.struct(
+    out = q.select("query_id", *carry, "qv", routes.alias("_routes"))
+
+    def _cands(i: int) -> Column:
+        # NOTE: close over the route/cb columns OUTSIDE the transform
+        # lambda — a 2-arg lambda would make F.transform pass the array
+        # INDEX as the second argument, shadowing any `i=i` default
+        r_i, cb_i = F.col(f"_r{i}"), F.col(f"_cb{i}")
+        return F.transform(cb_i, lambda c: F.struct(
             F.aggregate(F.zip_with(F.col("qv"), c["cv"],
                                    lambda x, y: (x - y) * (x - y)),
                         F.lit(0.0), lambda a, b: a + b).alias("d"),
-            F.col("route").alias("route"),
+            r_i.alias("route"),
             c["cell"].alias("cell")))
-    qr = (q.select("query_id", "qv", F.explode(routes).alias("route"))
-          .join(F.broadcast(subs), "route")
-          .select("query_id", "qv", cands.alias("cands")))
-    agg = (qr.groupBy("query_id")
-           .agg(F.slice(F.array_sort(F.flatten(F.collect_list("cands"))),
-                        1, n_probes).alias("probes"),
-                F.first("qv").alias("qv")))
-    return (agg.select("query_id",
-                       _lut_expr("qv", codebooks).alias("luts"),
-                       F.explode("probes").alias("p"))
-            .select("query_id", "luts", F.col("p.route").alias("route"),
+
+    cand_arrays = []
+    for i in range(route_probes):
+        # route i's sub-codebook rides its own broadcast join keyed on the
+        # i-th nearest route — left join: a route absent from `subs` (no
+        # sub-cells) contributes no candidates, matching the inner-join
+        # drop of the former groupBy shape
+        subs_i = subs.select(F.col("route").alias(f"_r{i}"),
+                             F.col("cb").alias(f"_cb{i}"))
+        out = out.join(
+            F.broadcast(subs_i),
+            F.element_at(F.col("_routes"), i + 1) == F.col(f"_r{i}"),
+            "left")
+        cand_arrays.append(_cands(i))
+    probes = F.slice(
+        F.array_sort(F.flatten(F.filter(
+            F.array(*cand_arrays), lambda a: a.isNotNull()))),
+        1, n_probes)
+    return (out.select("query_id", *carry, "qv",
+                       F.explode(probes).alias("p"))
+            .select("query_id", *carry,
+                    _lut_expr("qv", codebooks).alias("luts"),
+                    F.col("p.route").alias("route"),
                     F.col("p.cell").alias("cell")))
 
 
@@ -685,30 +709,59 @@ def pq_collision_stream_hier(stream: DataFrame, index: DataFrame,
                              route_probes: int = 1,
                              cells_per_route: int = 1,
                              ts_col: str = "ts",
-                             watermark: str = "10 minutes") -> DataFrame:
+                             watermark: str = "10 minutes",
+                             global_n_probes: int | None = None
+                             ) -> DataFrame:
     """Streaming face of the ROUTE-PARTITIONED PQ code store
     (`pq_cell_index_hier`): (id, ts) of streamed embeddings whose
     asymmetric distance to some indexed row in their probed (route, cell)
     pairs is <= tau_adc — `pq_collision_stream`'s twin for the
     million-cell regime, completing batch/disk/stream symmetry.
 
-    Probe shape: the batch probe (`pq_topk_index_hier`) ranks n_probes
-    cells GLOBALLY driver-side from the collected query batch; a stream
-    has no batch to collect, so the probe is fully ROW-LOCAL — the
-    ``route_probes`` nearest coarse routes come from the literal-codebook
-    expression, the (route, cb) sub-codebook arrives by a stream-static
-    equi-join on route (broadcast, K1 rows), and the top
-    ``cells_per_route`` cells within each probed route are an array_sort
-    + slice over the joined cb column. route_probes x cells_per_route
-    probes per row, every stage stream-legal (two stream-static joins,
-    an explode, row-local expressions, then the watermarked one-flag-
-    per-id dedup). On a batch frame the SAME plan runs with groupBy-min
-    in place of the watermark dedup (how tests pin stream == batch).
+    Probe shape, per-route default: the ``route_probes`` nearest coarse
+    routes come from the literal-codebook expression, the (route, cb)
+    sub-codebook arrives by a stream-static equi-join on route
+    (broadcast, K1 rows), and the top ``cells_per_route`` cells within
+    each probed route are an array_sort + slice over the joined cb
+    column — route_probes x cells_per_route probes per row.
 
-    Same ADC guard (`_adc_expr`) and repeated-id caveat as
-    pq_collision_stream: the guarantee is over the flagged ID SET."""
+    ``global_n_probes`` switches probe selection to the BATCH probe's
+    semantics — the n_probes GLOBALLY nearest sub-cells across the probed
+    routes, ties (distance, route, cell) — by riding `_hier_probe_frame`,
+    whose r13 row-local rewrite is stream-legal (route_probes
+    stream-static broadcast joins + a row-local flatten/sort/slice; no
+    aggregation). This is the streaming twin of the distributed probe
+    face (r12 verdict ask #5): a service-scale streaming query load now
+    probes exactly the cells `pq_topk_index_hier` would, instead of a
+    fixed per-route quota. ``cells_per_route`` is ignored in this mode.
+
+    Every stage in both modes is stream-legal; on a batch frame the SAME
+    plan runs with groupBy-min in place of the watermark dedup (how
+    tests pin stream == batch). Same ADC guard (`_adc_expr`) and
+    repeated-id caveat as pq_collision_stream: the guarantee is over the
+    flagged ID SET."""
     if not 1 <= route_probes <= len(coarse):
         raise ValueError(f"route_probes must be in [1, {len(coarse)}]")
+    if global_n_probes is not None:
+        if global_n_probes < 1:
+            raise ValueError("global_n_probes must be >= 1")
+        q = stream.select(F.col(id_col).alias("query_id"), F.col(ts_col),
+                          _as_double(vec_col).alias("qv"))
+        probed = (_hier_probe_frame(q, codebooks, coarse, subs,
+                                    global_n_probes, route_probes,
+                                    carry=(ts_col,))
+                  .withColumnRenamed("query_id", id_col))
+        idx = index.select(F.col(id_col).alias("_iid"), "codes", "route",
+                           "cell")
+        adc = _adc_expr(codebooks)
+        hits = (probed.join(idx, ["route", "cell"])
+                .where(F.col(id_col) != F.col("_iid"))
+                .where(adc <= F.lit(float(tau_adc)))
+                .select(id_col, ts_col))
+        if hits.isStreaming:
+            return (hits.withWatermark(ts_col, watermark)
+                        .dropDuplicatesWithinWatermark([id_col]))
+        return hits.groupBy(id_col).agg(F.min(ts_col).alias(ts_col))
     if cells_per_route < 1:
         raise ValueError("cells_per_route must be >= 1")
     routed = (stream.select(F.col(id_col), F.col(ts_col),

@@ -380,6 +380,38 @@ def test_join_probe_face_matches_collect_face(spark, emb, codebooks):
     assert "cell IN" not in plan and "In(cell" not in plan
 
 
+def test_hier_probe_frame_matches_driver_selection(spark, emb, emb_np,
+                                                   codebooks):
+    """The r13 row-local rewrite of _hier_probe_frame: (query_id, route,
+    cell) triples must equal _hier_query_probes' driver-side selection
+    exactly (same global top-n_probes, same (d, route, cell) tie-break),
+    with ZERO shuffle exchanges on the query side — the rewrite's point:
+    route_probes broadcast joins + a row-local flatten/sort/slice replace
+    the former groupBy(query_id)."""
+    from relationaldecomposition_spark.operators import ivf
+
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
+    # materialize the sub-codebook (the o77 production shape — it is a
+    # persisted build-time artifact) so the plan assertion below sees the
+    # PROBE path only, not the codebook build's own aggregation
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse, 4,
+                             kernel="gram").localCheckpoint(eager=True)
+    q = (emb.where(F.col("vec_id").isin(QIDS))
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").cast("array<double>").alias("qv")))
+    frame = pq._hier_probe_frame(q, codebooks, coarse, subs,
+                                 n_probes=3, route_probes=2)
+    got = [(int(r["query_id"]), int(r["route"]), int(r["cell"]))
+           for r in frame.collect()]
+    qrows = [(i, list(emb_np[i])) for i in sorted(QIDS)]
+    exp = pq._hier_query_probes(qrows, coarse, pq._collect_subs(subs),
+                                3, 2)
+    assert sorted(got) == sorted(exp)
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_hier_query_probes_matches_bruteforce(emb, emb_np):
     """The driver-side probe selection (_hier_query_probes) against an
     independent brute-force replay: for each query, the n_probes

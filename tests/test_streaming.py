@@ -486,3 +486,24 @@ def test_pq_collision_stream_hier_batch_parity(spark, tmp_path):
     with pytest.raises(ValueError, match="cells_per_route"):
         pq.pq_collision_stream_hier(new, idx, "v", "vec_id", cbs, coarse,
                                     subs, tau_adc=0.05, cells_per_route=0)
+
+    # --- global_n_probes mode (r12 verdict ask #5): probe selection is
+    # the BATCH probe's global top-n semantics via the stream-legal
+    # _hier_probe_frame; stream must equal the batch face exactly, and
+    # the clones must still collide (their own cell is always among the
+    # globally nearest).
+    gkw = dict(tau_adc=0.05, route_probes=2, global_n_probes=3)
+    gbatch = {(r["vec_id"], r["ts"])
+              for r in pq.pq_collision_stream_hier(
+                  new, idx, "v", "vec_id", cbs, coarse, subs,
+                  **gkw).collect()}
+    assert {i for i, _ in gbatch} == {100, 101, 102, 103}
+    gout = _run_stream(
+        spark,
+        pq.pq_collision_stream_hier(stream, idx, "v", "vec_id", cbs,
+                                    coarse, subs, **gkw),
+        "pq_hier_collisions_global", tmp_path, mode="append")
+    assert {(r["vec_id"], r["ts"]) for r in gout.collect()} == gbatch
+    with pytest.raises(ValueError, match="global_n_probes"):
+        pq.pq_collision_stream_hier(new, idx, "v", "vec_id", cbs, coarse,
+                                    subs, tau_adc=0.05, global_n_probes=0)
