@@ -644,6 +644,15 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
     shared probe, so candidates reduce per pair before ranking (min adc —
     the values are identical, codes don't vary by probe row).
 
+    Sizing guidance (measured, SCALING.json pq_store_manifold_r13): on
+    HIERARCHICAL geometry (clusters-of-clusters — real embedding
+    corpora), route_probes=1 caps probe recall well below the ADC
+    ceiling no matter how large n_probes is (0.765 plateau on the
+    planted 8x8 fixture vs 0.925 at route_probes=2) — the lost
+    neighbors live in un-probed ROUTES. Default route_probes=2; 1 is
+    for genuinely flat geometry only. CI pin:
+    tests/test_manifold_quality.py::test_pq_store_probe_needs_route_multiprobe.
+
     ``broadcast_queries=False`` switches to the DISTRIBUTED probe face:
     probe selection runs as DataFrame ops (`_hier_probe_frame`) and
     candidates arrive by a shuffle equi-join on (route, cell) — no

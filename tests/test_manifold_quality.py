@@ -105,6 +105,56 @@ def test_multiprobe_is_required_on_hierarchical_geometry(emb, geo):
     assert r[3] >= 0.9, r[3]              # measured 0.9519
 
 
+def test_pq_store_probe_needs_route_multiprobe(spark, emb, tmp_path):
+    """The o77 store-probe twin of the headline (r12 verdict ask #6,
+    measured at 10k rows in SCALING.json pq_store_manifold_r13): on
+    hierarchical geometry, route_probes=1 PLATEAUS below full probe
+    recall no matter how many sub-cells are probed (the lost neighbors
+    live in un-probed ROUTES), while route_probes=2 recovers most of it.
+    Protocol: pq_cell_index_hier -> route-partitioned store round-trip ->
+    pq_topk_index_hier; recall vs the probe-everything ADC top-k."""
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", K1_IDS)
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse, SUBS,
+                             kernel="gram").localCheckpoint(eager=True)
+    cbs = pq.pq_seed_codebooks(emb, "embedding", "vec_id", 8, FLAT_IDS)
+    store = str(tmp_path / "manifold_store")
+    ivf.write_cell_index(
+        pq.pq_cell_index_hier(emb, "embedding", "vec_id", cbs, coarse,
+                              subs),
+        store, partition_col="route", sort_within=("cell",))
+    stored = ivf.read_cell_index(spark, store, partition_col="route")
+    queries = emb.where(F.col("vec_id") < 20)
+
+    def topk(n_probes, route_probes):
+        got = pq.pq_topk_index_hier(stored, queries, "embedding",
+                                    "vec_id", 10, cbs, coarse, subs,
+                                    n_probes=n_probes,
+                                    route_probes=route_probes).collect()
+        out = {}
+        for r in got:
+            out.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"]))
+        return out
+
+    full = topk(ROUTES * SUBS, ROUTES)
+    denom = sum(len(v) for v in full.values())
+
+    def recall(got):
+        return sum(len(full[q] & got.get(q, set())) for q in full) / denom
+
+    # rp1 plateau: all sub-cells of ONE route cannot beat its ceiling
+    r1_all = recall(topk(SUBS, 1))
+    r1_more = recall(topk(ROUTES * SUBS, 1))
+    assert r1_more <= r1_all + 1e-9, (r1_all, r1_more)
+    # two routes at the SAME total cell budget as the rp1 ceiling probe
+    # (2*SUBS cells) must beat the ceiling — the lost neighbors are in
+    # the second route (measured 0.92 vs 0.815 at CI scale; the 10k
+    # sweep's gap is wider, 0.925 vs 0.765)
+    r2 = recall(topk(2 * SUBS, 2))
+    assert r1_all < 0.9, r1_all           # the single-route ceiling bites
+    assert r2 > r1_all + 0.05, (r2, r1_all)
+
+
 def test_pq_routes_to_true_component_on_manifold(emb, geo):
     """ADC top-10 stays within the query's planted component on the
     hierarchical fixture too (measured 0.96; pinned 0.85)."""
