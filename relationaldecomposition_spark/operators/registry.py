@@ -93,9 +93,11 @@ GUARD_ANN_MAX_BUCKET = 32
 # stays valid as EVIDENCE of duplicate oracles; check the donor's window
 # membership each round before using it.
 #
-# Round-13 note: the r13 rotation-debt set will be the r11-green 50,
-# which contains ALL FIVE shortlist entries (o44, o56, o09, o11, o12) —
-# any of them is a window-legal donor next round.
+# Round-13 note: the r13 rotation-debt set is the r11-green 50, which
+# contained ALL FIVE shortlist entries — round 13 retired #1
+# (o44_semdedup_pairs, window-legal; see the retirement note at its
+# site) for o78_pq_hier_collisions. Remaining pre-vetted candidates:
+# o56, o09, o11, o12 (check window membership each round).
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -1780,19 +1782,21 @@ def _oracle_bloom_semi_join() -> str:
             f"FROM ({inner}) GROUP BY l_returnflag")
 
 
-# o44/o45 SemDeDup: same seed codebook as o16; tau below o06's 0.4 so the
+# o45 SemDeDup: same seed codebook as o16; tau below o06's 0.4 so the
 # within-cell pair set is non-trivial on the near-orthogonal gate vectors
 # (57 pairs at sf0.01; tau=0.4 would leave 11)
 SEMDEDUP_TAU = 0.35
 
-
-def q_o44_semdedup_pairs(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = ivf.seed_centroids(emb, "embedding", "vec_id", IVF_CENTROID_IDS)
-    out = ivf.semdedup_pairs(emb, "embedding", "vec_id", cents, SEMDEDUP_TAU)
-    return out.select(F.col("cell").cast("bigint").alias("cell"),
-                      "id_a", "id_b",
-                      F.round("cosine", ROUND).alias("cosine"))
+# o44_semdedup_pairs RETIRED (round 13): shortlist entry #1 (round-10
+# verdict ask #8) — a STRICT INTERMEDIATE of the gated o45 pipeline whose
+# oracle is embedded VERBATIM in o45's (_oracle_semdedup builds both
+# faces from one base; o44's entire query was o45's `pairs` CTE), so the
+# driver was value-checking the pair set twice. Window-slot law
+# satisfied: o44 is in the round-13 ROTATION-DEBT set (green only in
+# r11), so retiring it frees both a registry slot and a window slot. The
+# operator stays covered: the pairs face is exercised by o45's gate and
+# the tests/test_ivf.py semdedup_* suite. Its slot went to
+# o78_pq_hier_collisions (the r12 verdict's ask #5 surface, driver-gated).
 
 
 def q_o45_semdedup_apply(spark, sf_dir):
@@ -2374,21 +2378,59 @@ def q_o77_pq_hier_topk(spark, sf_dir):
                       F.col("rank").cast("bigint").alias("rank"))
 
 
-def _oracle_pq_hier_topk() -> str:
-    """Twin of o77, replaying every stage from the registered tables:
+# o78: the streamed slice (batch face of pq_collision_stream_hier's
+# global_n_probes mode) and its ADC collision threshold — sits between
+# the sf0.01 gate slice's nearest-neighbor ADCs (~1.0) and the bulk
+# (tau sweep at sf0.01: 0.9 -> 0, 1.0 -> 4, 1.1 -> 13 of 100 flagged).
+PQ_HIER_STREAM_PRED = "vec_id % 5 = 3"
+PQ_HIER_COLLISION_TAU = 1.1
+
+
+def q_o78_pq_hier_collisions(spark, sf_dir):
+    """The streaming PQ service face under the hard gate: batch twin of
+    `pq.pq_collision_stream_hier(global_n_probes=...)` — the r13
+    stream-legal `_hier_probe_frame` (row-local GLOBAL top-n probe
+    selection over route_probes coarse routes, zero query-side
+    exchanges), candidates by a (route, cell) equi-join against the
+    two-level PQ code index, an unrounded ADC <= tau gate, and the
+    one-flag-per-id batch tail (groupBy min ts). Exactly the plan the
+    streaming face runs (stream == batch pinned in
+    tests/test_streaming.py); the DuckDB twin replays routing, encode,
+    LUT, GLOBAL probe selection and the threshold from the registered
+    tables. Returns (vec_id, ts_sec)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
+    subs = ivf.hier_codebook(emb, "embedding", "vec_id", coarse,
+                             HIER_SUB_K).localCheckpoint(eager=True)
+    codebooks = pq.pq_seed_codebooks(emb, "embedding", "vec_id", PQ_M,
+                                     IVF_CENTROID_IDS)
+    index = pq.pq_cell_index_hier(emb, "embedding", "vec_id", codebooks,
+                                  coarse, subs)
+    stream_batch = (emb.where(F.expr(PQ_HIER_STREAM_PRED))
+                    .select("vec_id", "embedding",
+                            F.timestamp_seconds(F.col("vec_id"))
+                            .alias("ts")))
+    out = pq.pq_collision_stream_hier(
+        stream_batch, index, "embedding", "vec_id", codebooks, coarse,
+        subs, tau_adc=PQ_HIER_COLLISION_TAU,
+        route_probes=PQ_HIER_ROUTE_PROBES,
+        global_n_probes=PQ_HIER_N_PROBES)
+    return out.select("vec_id", F.col("ts").cast("long").alias("ts_sec"))
+
+
+def _pq_hier_adc_ctes(qpred: str) -> str:
+    """Shared WITH-body of the o77/o78 twins, through the `adc` CTE:
     o76's PQ encode/LUT CTEs (seed-slice sub-codebooks, per-(vector,
     subspace) argmin with (distance, code) tie-break, s-ascending ADC
     sum) under the o56/o64 two-level routing CTEs (coarse route by
     (distance, cid), per-route sub-seeds = the HIER_SUB_K smallest
     vec_ids, cell assignment by (distance, scid)); the probe set is the
-    two-level selection `pq._hier_query_probes` computes driver-side —
-    per query the PQ_HIER_ROUTE_PROBES nearest routes by (distance, cid),
-    then the PQ_HIER_N_PROBES GLOBALLY nearest sub-cells among them,
-    tie-broken (distance, route, cell). The store write/sort/read
-    lifecycle has no SQL counterpart — its correctness IS what the value
-    comparison checks."""
+    two-level GLOBAL selection — per query the PQ_HIER_ROUTE_PROBES
+    nearest routes by (distance, cid), then the PQ_HIER_N_PROBES globally
+    nearest sub-cells among them, tie-broken (distance, route, cell).
+    ``qpred`` is the query-row predicate over the `vec_id` column (o77:
+    the top-k query ids; o78: the streamed slice)."""
     sub = EMB_DIM // PQ_M
-    qids = ", ".join(map(str, TOPK_QUERY_IDS))
     cid_vals = ", ".join(f"({j}, {c})"
                          for j, c in enumerate(IVF_CENTROID_IDS))
     rids = ", ".join(map(str, HIER_COARSE_IDS))
@@ -2448,7 +2490,7 @@ def _oracle_pq_hier_topk() -> str:
                          AS rn
                        FROM d2) WHERE rn = 1),
       qroute AS (SELECT vec_id AS query_id, cid AS route FROM rrank
-                 WHERE vec_id IN ({qids})
+                 WHERE ({qpred})
                    AND rn <= {PQ_HIER_ROUTE_PROBES}),
       qcells AS (SELECT qr.query_id, qr.route, s.scid::BIGINT AS cell,
                         {sqd_qs} AS dd
@@ -2470,7 +2512,8 @@ def _oracle_pq_hier_topk() -> str:
               WHERE rn = 1),
       lut AS (SELECT q.vec_id AS query_id, cp.s, cp.j, {sqd_q} AS ld
               FROM embeddings q, centsub cp, subsp s
-              WHERE s.s = cp.s AND q.vec_id IN ({qids})),
+              WHERE s.s = cp.s
+                AND ({qpred.replace("vec_id", "q.vec_id")})),
       cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
                FROM qprobe p JOIN assign a
                  ON a.route = p.route AND a.cell = p.cell
@@ -2481,13 +2524,35 @@ def _oracle_pq_hier_topk() -> str:
               JOIN enc en ON en.vec_id = c.neighbor_id
               JOIN lut l ON l.query_id = c.query_id AND l.s = en.s
                         AND l.j = en.code
-              GROUP BY c.query_id, c.neighbor_id)
+              GROUP BY c.query_id, c.neighbor_id)"""
+
+
+def _oracle_pq_hier_topk() -> str:
+    """Twin of o77 (`_pq_hier_adc_ctes` + the top-k tail). The store
+    write/sort/read lifecycle has no SQL counterpart — its correctness IS
+    what the value comparison checks."""
+    qids = ", ".join(map(str, TOPK_QUERY_IDS))
+    return _pq_hier_adc_ctes(f"vec_id IN ({qids})") + f"""
       SELECT query_id, neighbor_id, round(adc, {ROUND}) AS adc, rank
       FROM (SELECT *, row_number() OVER
                 (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC)
                 AS rank
             FROM adc)
       WHERE rank <= {TOPK_K}"""
+
+
+def _oracle_pq_hier_collisions() -> str:
+    """Twin of o78 (`_pq_hier_adc_ctes` + the threshold tail): a streamed
+    id is flagged iff some probed neighbor's UNROUNDED ADC is within
+    PQ_HIER_COLLISION_TAU — the same unrounded compare the Spark face
+    makes (LUT entries are bit-identical across engines per the o77
+    parity, and both sum them s-ascending). ts_sec replays the batch
+    face's min(ts): the gate stream carries one row per id with
+    ts = timestamp_seconds(vec_id), so min(ts) as seconds IS vec_id."""
+    return _pq_hier_adc_ctes(PQ_HIER_STREAM_PRED) + f"""
+      SELECT query_id AS vec_id, query_id AS ts_sec
+      FROM adc WHERE adc <= {PQ_HIER_COLLISION_TAU}
+      GROUP BY query_id"""
 
 
 def _oracle_image_phash_pairs(w: int = PHASH_W, h: int = PHASH_H,
@@ -2585,7 +2650,6 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o31_ppm_pixels": q_o31_ppm_pixels,
     "o42_kmv_distinct": q_o42_kmv_distinct,
     "o43_hll_distinct": q_o43_hll_distinct,
-    "o44_semdedup_pairs": q_o44_semdedup_pairs,
     "o45_semdedup_apply": q_o45_semdedup_apply,
     "o56_semdedup_hier_pairs": q_o56_semdedup_hier_pairs,
     "o57_semdedup_hier_apply": q_o57_semdedup_hier_apply,
@@ -2615,6 +2679,7 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o75_semdedup_multiprobe": q_o75_semdedup_multiprobe,
     "o76_pq_topk": q_o76_pq_topk,
     "o77_pq_hier_topk": q_o77_pq_hier_topk,
+    "o78_pq_hier_collisions": q_o78_pq_hier_collisions,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2692,7 +2757,6 @@ OPERATOR_ORACLES: dict[str, str] = {
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, KMV_K),
     "o43_hll_distinct": sketches.sql_hll_distinct(
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),
-    "o44_semdedup_pairs": _oracle_semdedup("pairs"),
     "o45_semdedup_apply": _oracle_semdedup("apply"),
     "o56_semdedup_hier_pairs": _oracle_semdedup_hier("pairs"),
     "o57_semdedup_hier_apply": _oracle_semdedup_hier("apply"),
@@ -2733,4 +2797,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o75_semdedup_multiprobe": _oracle_semdedup_multiprobe(),
     "o76_pq_topk": _oracle_pq_topk(),
     "o77_pq_hier_topk": _oracle_pq_hier_topk(),
+    "o78_pq_hier_collisions": _oracle_pq_hier_collisions(),
 }

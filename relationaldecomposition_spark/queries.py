@@ -886,22 +886,23 @@ _WINDOW_ROUND13: list[str] = [
     "o27_decontaminate", "o28_pii_redact", "o29_repetition",
     "o30_tfidf_topk", "o31_ppm_pixels", "o32_doc_profile",
     "o38_snapshot_diff", "o39_vocabulary", "o41_corpus_report",
-    "o43_hll_distinct", "o44_semdedup_pairs", "o45_semdedup_apply",
+    "o43_hll_distinct", "o45_semdedup_apply",
     "o46_line_dedup", "o47_bloom_semi_join", "o48_approx_quantiles",
     "o49_fuzzy_decon", "o50_incremental_dedup", "o53_group_top_values",
     "o54_unigram_xent", "o55_random_projection", "o56_semdedup_hier_pairs",
     "o57_semdedup_hier_apply", "o58_bigram_pmi", "o59_band_index_merge",
     "o60_semdedup_gram_pairs", "o62_shard_shuffle", "o68_curation_funnel",
     "o69_decompose_summary", "o70_remove_dup_spans", "o71_temperature_mix",
-    "o72_kmv_threshold",
+    "o72_kmv_threshold", "o78_pq_hier_collisions",
     "s01_windowed_counts",
-    # Exactly 50 entries = the full rotation-debt set; no anchors and no
-    # new-query slot needed this round (the registry stays at 100/100).
-    # If a new query is added mid-round, the window-slot law applies: its
-    # retirement donor must come from THIS list (green only in r11), not
-    # from an r12-green query — see the round-12 note in git history and
-    # the pre-vetted retirement shortlist at the head of
-    # operators/registry.py.
+    # Exactly 50 entries = 49 rotation-debt slots + the round-13 addition
+    # o78_pq_hier_collisions (new, never driver-verified, must be
+    # in-window). Its slot came from RETIRING o44_semdedup_pairs — a
+    # DEBT-SET member per the window-slot law (round 12), and shortlist
+    # entry #1 (its oracle is o45's `pairs` CTE verbatim); see the
+    # retirement note at its site in operators/registry.py. A retired
+    # query owes no re-verification (test_registry_window.py restricts
+    # the bar to registered queries).
 ]
 
 
