@@ -814,7 +814,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     proportionally fewer rows instead of silently collecting GBs
     (round-7 advisor finding; the estimate costs no extra job — it rides
     the same aggregate that was already counting the edges)."""
-    fwd = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Symmetrize by EXPLODE, not self-union: union(fwd, fwd.swapped)
+    # evaluates the entire `pairs` subtree twice (Spark has no automatic
+    # subtree reuse — the round-12 shared-subtree law), and pairs is the
+    # expensive side here (for LSH input: shingle -> minhash -> band ->
+    # bucket join). One explode doubles rows map-side after a single
+    # evaluation; the distinct shuffle is unchanged.
+    #
     # NOTE on partitioning: pre-repartitioning edges on the join key does
     # let the per-round neighbor join skip its edges Exchange — but ONLY
     # with AQE off. Under AQE (the production session), the checkpoint's
@@ -822,9 +828,12 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     # requirement and EnsureRequirements re-exchanges anyway, so the extra
     # up-front shuffle would be pure cost. Measured, not assumed — see
     # test_plans.py history; we let AQE own the exchange placement.
-    edges = fwd.union(fwd.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"))) \
-               .distinct().localCheckpoint(eager=True)
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(id_a).alias("a"), F.col(id_b).alias("b")),
+                F.struct(F.col(id_b).alias("a"), F.col(id_a).alias("b"))))
+                .alias("e"))
+             .select("e.a", "e.b")
+             .distinct().localCheckpoint(eager=True))
     if driver_max_edges is not None and _edges_fit_driver(edges,
                                                           driver_max_edges):
         return _driver_union_find(pairs.sparkSession, edges)
