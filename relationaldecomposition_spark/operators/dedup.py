@@ -175,6 +175,20 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
     # shingle-less docs carry the sentinel signature: Jaccard over empty
     # shingle sets is undefined, so they never participate in pairing
     sigs = sigs.where(F.col("mh_0") != MERSENNE_P)
+    if not df.isStreaming:
+        # The signature subtree (md5 x shingles x n_hashes mins) is
+        # consumed 2-4x below — the band self-join reads it twice, and
+        # the slim path re-joins it twice more for scoring — and Spark
+        # has no automatic subtree reuse (the shared-subtree law, r12/
+        # r13). A LAZY localCheckpoint materializes the slim (id, mh_*)
+        # frame once on first action and serves every consumer from the
+        # truncated lineage. This is storable at 100 TB: id + n_hashes
+        # ints per doc — the signature INDEX, never the text (the
+        # ids-not-frames law constrains text frames, not code-sized
+        # ones). Measured r13: sf10 lsh_dedup 11.1 -> ~6 s, and the
+        # funnel's eager phase shed the re-derivations the CC
+        # symmetrization fix exposed.
+        sigs = sigs.localCheckpoint(eager=False)
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
     band_structs = _band_structs(mh_cols, bands)
     est_of = lambda pre_a, pre_b: sum(  # noqa: E731
