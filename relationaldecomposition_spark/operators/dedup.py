@@ -516,6 +516,13 @@ def hamming_pairs(sigs: DataFrame, id_col: str, sig_col: str,
     starts = [sum(widths[:i]) for i in range(n_blocks)]
     sigs = (sigs.where(F.col(sig_col).isNotNull())
             .select(F.col(id_col), F.col(sig_col).alias("_sig")))
+    if not sigs.isStreaming:
+        # the signature subtree upstream (simhash's token-explode bit-sum
+        # aggregate; image_phash's Arrow decode kernel) is consumed 2-3x
+        # below (block self-join sides a/b, plus the bucket-cap count) —
+        # same shared-subtree law + lazy-checkpoint remedy as
+        # lsh_candidate_pairs; the (id, sig) frame is 16 bytes/row
+        sigs = sigs.localCheckpoint(eager=False)
     params = F.array(*[
         F.struct(F.lit(i).alias("bi"), F.lit(starts[i]).alias("st"),
                  F.lit((1 << widths[i]) - 1).alias("mask"))
