@@ -659,6 +659,14 @@ def bigram_pmi(df: DataFrame, text_col: str, id_col: str,
            .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
     bi = (df.select(F.explode(word_shingles(c, 2)).alias("bigram"))
           .groupBy("bigram").agg(F.count(F.lit(1)).alias("cab")))
+    if not df.isStreaming:
+        # uni feeds three consumers (w1/w2 joins + the unigram total) and
+        # bi two (the bigram total + the PMI rows); each consumption
+        # re-ran the corpus explode + aggregate (shared-subtree law).
+        # Both frames are VOCABULARY-sized after their aggregates, so the
+        # lazy checkpoint is the 100 TB-legal materialization.
+        uni = uni.localCheckpoint(eager=False)
+        bi = bi.localCheckpoint(eager=False)
     tot_u = uni.agg(F.sum("cw").alias("tu"))
     tot_b = bi.agg(F.sum("cab").alias("tb"))
     parts = (bi.where(F.col("cab") >= min_count)
@@ -965,6 +973,16 @@ def xent_quality_buckets(df: DataFrame, text_col: str, id_col: str,
     xs = unigram_xent_score(df, text_col, id_col, smooth_k)
     base = (df.select(F.col(id_col), F.col(lang_col).alias("lang"))
             .join(xs.select(id_col, "xent"), id_col))
+    # base feeds the histogram AND the final join-back (shared-subtree
+    # law), but deliberately NOT checkpointed (r13 A/B): the full-output
+    # gain is only ~10% (2.24 -> 2.00 s at sf1 — the xent count window
+    # re-evaluates cheaply against its own shuffle), while a checkpoint
+    # here blocks Catalyst from pruning/pushing the caller's projections
+    # and filters through this operator into the text scan (a count-style
+    # consumer measured 0.8 -> 15.7 s WITH the checkpoint). The
+    # lsh/hamming/pmi checkpoints don't pay this: their materialized
+    # frames are internal to self-join pyramids where pushdown was
+    # already impossible and the re-evaluated subtrees are 4-40x dearer.
     hist = (base.where(F.col("xent").isNotNull())
             .groupBy("lang", "xent").agg(F.count(F.lit(1)).alias("_c")))
     w = Window.partitionBy("lang").orderBy(F.col("xent").asc())
