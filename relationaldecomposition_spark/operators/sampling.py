@@ -197,6 +197,13 @@ def rebalance_to_mixture(df: DataFrame, key_col: str, stratum_col: str,
     counts = (df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
               .withColumn("_p", p_expr)
               .where(F.col("_p").isNotNull()))
+    if not df.isStreaming:
+        # counts feeds the cap aggregate AND the threshold frame — each
+        # consumption re-scanned the corpus for the groupBy (shared-
+        # subtree law); the frame is strata-sized, internal, and the
+        # operator's output join still reads `df` directly (caller
+        # pushdown unaffected)
+        counts = counts.localCheckpoint(eager=False)
     cap = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_cap"))
     th = (counts.crossJoin(F.broadcast(cap))
           .select(F.col(stratum_col),
@@ -229,6 +236,11 @@ def temperature_mixture(df: DataFrame, key_col: str, stratum_col: str,
     from .text import round6
 
     counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    if not df.isStreaming:
+        # counts reaches the output through FOUR paths (w -> tot, j, cap,
+        # th) — each re-scanned the corpus (shared-subtree law); the
+        # strata-sized checkpoint makes the whole derivation one scan
+        counts = counts.localCheckpoint(eager=False)
     w = counts.withColumn(
         "_w", round6(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))))
     tot = w.agg(F.sum("_w").alias("_tw"))

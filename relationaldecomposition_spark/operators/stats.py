@@ -109,6 +109,11 @@ def skew_report(df: DataFrame, keys: list[str], top_n: int = 20) -> DataFrame:
     if top_n <= 0:
         raise ValueError("top_n must be positive")
     counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    # The total leg is NOT folded into counts via a checkpoint (r13 A/B):
+    # count(*) over a parquet relation is answered from footer row counts
+    # (no data scan), so the "shared subtree" here costs ~nothing to
+    # re-evaluate and the checkpoint overhead measured 0.32 -> 0.48 s at
+    # sf3 — the law's cheap-subtree counter-example, like line_dedup.
     total = df.agg(F.count(F.lit(1)).alias("_total"))
     order = [F.desc("n_rows")] + [F.asc(k) for k in keys]
     return (counts.crossJoin(F.broadcast(total))
