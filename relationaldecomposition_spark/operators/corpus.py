@@ -33,6 +33,7 @@ from ..functions.hashing import (
     exploded_shingles, portable_hash32, sql_hash32, sql_tokens,
     sql_word_shingles, tokens, word_shingles)
 from .text import round6, sql_round6
+from .materialize import local_materialize
 
 # -- decontamination ---------------------------------------------------------
 
@@ -665,8 +666,9 @@ def bigram_pmi(df: DataFrame, text_col: str, id_col: str,
         # re-ran the corpus explode + aggregate (shared-subtree law).
         # Both frames are VOCABULARY-sized after their aggregates, so the
         # lazy checkpoint is the 100 TB-legal materialization.
-        uni = uni.localCheckpoint(eager=False)
-        bi = bi.localCheckpoint(eager=False)
+        # Fault-tolerance knob: operators/materialize.py (ADVICE r13).
+        uni = local_materialize(uni, eager=False)
+        bi = local_materialize(bi, eager=False)
     tot_u = uni.agg(F.sum("cw").alias("tu"))
     tot_b = bi.agg(F.sum("cab").alias("tb"))
     parts = (bi.where(F.col("cab") >= min_count)

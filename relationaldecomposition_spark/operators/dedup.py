@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from .materialize import local_materialize
 from ..functions.hashing import (
     MERSENNE_P, affine_hash, exploded_shingles, minhash_params,
     portable_hash32, portable_hash64, tokens, word_shingles)
@@ -187,8 +188,9 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
         # ids-not-frames law constrains text frames, not code-sized
         # ones). Measured r13: sf10 lsh_dedup 11.1 -> ~6 s, and the
         # funnel's eager phase shed the re-derivations the CC
-        # symmetrization fix exposed.
-        sigs = sigs.localCheckpoint(eager=False)
+        # symmetrization fix exposed. Fault-tolerance tradeoff + the
+        # reliable/off knob: operators/materialize.py (ADVICE r13).
+        sigs = local_materialize(sigs, eager=False)
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
     band_structs = _band_structs(mh_cols, bands)
     est_of = lambda pre_a, pre_b: sum(  # noqa: E731
@@ -521,8 +523,9 @@ def hamming_pairs(sigs: DataFrame, id_col: str, sig_col: str,
         # aggregate; image_phash's Arrow decode kernel) is consumed 2-3x
         # below (block self-join sides a/b, plus the bucket-cap count) —
         # same shared-subtree law + lazy-checkpoint remedy as
-        # lsh_candidate_pairs; the (id, sig) frame is 16 bytes/row
-        sigs = sigs.localCheckpoint(eager=False)
+        # lsh_candidate_pairs; the (id, sig) frame is 16 bytes/row.
+        # Fault-tolerance knob: operators/materialize.py (ADVICE r13).
+        sigs = local_materialize(sigs, eager=False)
     params = F.array(*[
         F.struct(F.lit(i).alias("bi"), F.lit(starts[i]).alias("st"),
                  F.lit((1 << widths[i]) - 1).alias("mask"))

@@ -1254,6 +1254,31 @@ def read_cell_index(spark, path: str,
                          F.col(partition_col).cast("long"))
 
 
+def _is_stale_listing_error(e: Exception) -> bool:
+    """True iff ``e`` is the documented mid-compaction stale-listing
+    failure (``FAILED_READ_FILE.FILE_NOT_EXIST``).
+
+    Match order (ADVICE r13): the exception's captured errorClass when
+    PySpark surfaces one (authoritative — survives message re-wrapping),
+    else the ``FILE_NOT_EXIST`` class substring in the stringified
+    exception — bare, not requiring the ``FAILED_READ_FILE`` prefix,
+    because a task failure re-wrapped by an outer layer can keep only the
+    inner error class. A mistyped store path still does NOT retry — it
+    raises PATH_NOT_FOUND / "does not exist" with neither marker
+    (ADVICE r12), pinned in tests/test_gram.py."""
+    cls = None
+    get_cls = getattr(e, "getErrorClass", None)
+    if callable(get_cls):
+        try:
+            cls = get_cls()
+        except Exception:  # noqa: BLE001 - fall through to substrings
+            cls = None
+    if cls:
+        return "FILE_NOT_EXIST" in cls or cls.startswith("FAILED_READ_FILE")
+    msg = str(e)
+    return "FILE_NOT_EXIST" in msg
+
+
 def probe_cell_store(spark, path: str, probe,
                      partition_col: str = "cell",
                      index: DataFrame | None = None) -> list:
@@ -1280,15 +1305,7 @@ def probe_cell_store(spark, path: str, probe,
     try:
         return probe(df).collect()
     except Exception as e:
-        # Require the COMBINED marker: Spark raises the stale-listing
-        # failure as error class FAILED_READ_FILE.FILE_NOT_EXIST, so both
-        # substrings appear together. Either alone is a different failure
-        # (e.g. a mistyped store path raises PATH_NOT_FOUND / "does not
-        # exist" without FAILED_READ_FILE) and retrying it just pays a
-        # pointless second listing and reports the retry's error instead
-        # of the original (ADVICE r12).
-        msg = str(e)
-        if "FAILED_READ_FILE" not in msg or "FILE_NOT_EXIST" not in msg:
+        if not _is_stale_listing_error(e):
             raise
         try:
             fresh = read_cell_index(spark, path, partition_col)

@@ -29,6 +29,7 @@ pipeline bit-for-bit against DuckDB on the same sample.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from .materialize import local_materialize
 
 SAMPLE_MULT = 40503          # odd multiplier ~ 2^16 / golden ratio
 SAMPLE_MOD = 65536
@@ -202,8 +203,9 @@ def rebalance_to_mixture(df: DataFrame, key_col: str, stratum_col: str,
         # consumption re-scanned the corpus for the groupBy (shared-
         # subtree law); the frame is strata-sized, internal, and the
         # operator's output join still reads `df` directly (caller
-        # pushdown unaffected)
-        counts = counts.localCheckpoint(eager=False)
+        # pushdown unaffected). Fault-tolerance knob:
+        # operators/materialize.py (ADVICE r13).
+        counts = local_materialize(counts, eager=False)
     cap = counts.agg(F.min(F.col("_n") / F.col("_p")).alias("_cap"))
     th = (counts.crossJoin(F.broadcast(cap))
           .select(F.col(stratum_col),
@@ -239,8 +241,9 @@ def temperature_mixture(df: DataFrame, key_col: str, stratum_col: str,
     if not df.isStreaming:
         # counts reaches the output through FOUR paths (w -> tot, j, cap,
         # th) — each re-scanned the corpus (shared-subtree law); the
-        # strata-sized checkpoint makes the whole derivation one scan
-        counts = counts.localCheckpoint(eager=False)
+        # strata-sized checkpoint makes the whole derivation one scan.
+        # Fault-tolerance knob: operators/materialize.py (ADVICE r13).
+        counts = local_materialize(counts, eager=False)
     w = counts.withColumn(
         "_w", round6(F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))))
     tot = w.agg(F.sum("_w").alias("_tw"))

@@ -662,33 +662,70 @@ def test_probe_cell_store_recovers_across_compaction(emb, tmp_path):
                              lambda df: df.select("no_such_column"))
 
 
-def test_probe_cell_store_requires_combined_marker():
-    """The retry fires only on the COMBINED FAILED_READ_FILE +
-    FILE_NOT_EXIST marker (Spark's stale-listing error class); an error
-    carrying just one substring is a different failure and must propagate
-    without a second listing (ADVICE r12). spark=None proves no retry ran:
-    the retry path would raise AttributeError on read_cell_index instead
-    of the original error. The chained-retry contract is pinned too: when
-    the retry itself fails, the ORIGINAL stale-listing error is the
-    __cause__."""
+def test_probe_cell_store_retry_marker_policy():
+    """The retry fires on the stale-listing marker, matched errorClass-
+    first (ADVICE r13): a captured errorClass naming FILE_NOT_EXIST (or
+    the FAILED_READ_FILE family) retries even if the message was
+    re-wrapped; without an errorClass, the bare FILE_NOT_EXIST class
+    substring suffices (an outer layer can keep only the inner class),
+    while PATH_NOT_FOUND / "does not exist" (mistyped store path,
+    ADVICE r12) still propagates without a second listing. spark=None
+    proves which path ran: the retry path raises AttributeError on
+    read_cell_index instead of the original error. The chained-retry
+    contract is pinned too: when the retry itself fails, the ORIGINAL
+    stale-listing error is the __cause__."""
     import pytest
 
     class _Raises:
-        def __init__(self, msg):
+        def __init__(self, msg, error_class=None):
             self.msg = msg
+            self.error_class = error_class
 
         def probe(self, df):
-            raise RuntimeError(self.msg)
+            if self.error_class is None:
+                raise RuntimeError(self.msg)
 
-    one_marker = _Raises("something FILE_NOT_EXIST-flavored but not the "
-                         "stale-listing class")
-    with pytest.raises(RuntimeError, match="FILE_NOT_EXIST-flavored"):
-        ivf.probe_cell_store(None, "/no/such/store", one_marker.probe,
+            class _Captured(RuntimeError):
+                def getErrorClass(inner):
+                    return self.error_class
+
+            raise _Captured(self.msg)
+
+    # mistyped path: neither marker -> propagate, no retry
+    mistyped = _Raises("PATH_NOT_FOUND: /no/such/store does not exist")
+    with pytest.raises(RuntimeError, match="PATH_NOT_FOUND"):
+        ivf.probe_cell_store(None, "/no/such/store", mistyped.probe,
                              index=object())
 
+    # family prefix without the FILE_NOT_EXIST leaf (e.g. a corrupt-footer
+    # FAILED_READ_FILE sibling) -> different failure, propagate
+    sibling = _Raises("FAILED_READ_FILE.PARQUET_COLUMN_DATA_TYPE_MISMATCH")
+    with pytest.raises(RuntimeError, match="DATA_TYPE_MISMATCH"):
+        ivf.probe_cell_store(None, "/no/such/store", sibling.probe,
+                             index=object())
+
+    # combined marker -> retry (AttributeError: spark=None has no reader)
     both = _Raises("FAILED_READ_FILE.FILE_NOT_EXIST: gone mid-compaction")
     with pytest.raises(AttributeError) as exc_info:
         ivf.probe_cell_store(None, "/no/such/store", both.probe,
                              index=object())
     assert isinstance(exc_info.value.__cause__, RuntimeError)
     assert "FAILED_READ_FILE" in str(exc_info.value.__cause__)
+
+    # re-wrapped: only the inner error class survived in the message
+    bare = _Raises("Job aborted: FILE_NOT_EXIST while reading cell=3")
+    with pytest.raises(AttributeError):
+        ivf.probe_cell_store(None, "/no/such/store", bare.probe,
+                             index=object())
+
+    # captured errorClass is authoritative over the message text
+    cls_wins = _Raises("task failed; see executor logs",
+                       error_class="FAILED_READ_FILE.FILE_NOT_EXIST")
+    with pytest.raises(AttributeError):
+        ivf.probe_cell_store(None, "/no/such/store", cls_wins.probe,
+                             index=object())
+    not_stale = _Raises("mentions FILE_NOT_EXIST only in prose",
+                        error_class="PATH_NOT_FOUND")
+    with pytest.raises(RuntimeError, match="prose"):
+        ivf.probe_cell_store(None, "/no/such/store", not_stale.probe,
+                             index=object())
