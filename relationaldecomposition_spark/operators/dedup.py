@@ -290,15 +290,22 @@ def incremental_dedup(new_df: DataFrame, index: DataFrame, text_col: str,
     (band, sig)) plus batch-sized shuffles — previously the probe
     shuffled the ENTIRE index through a distinct every ingest.
     Batch-internal hits are a groupBy min + join back, never a self-join
-    — no quadratic term anywhere. The banded batch feeds three consumers
-    and is recomputed per consumer by default (the operator stays pure —
-    no hidden persist to leak); a pipeline that owns the lifecycle can
-    pass ``banded`` — a persisted `minhash_band_index(new_df, ...)` — to
-    shingle once."""
+    — no quadratic term anywhere. The banded batch feeds FOUR consumers
+    (probe keys, index hits, bucket minima, batch hits) — the
+    shared-subtree law (plans/subtree.py; flagged by the r14 static
+    auditor at x3-x4 on this very plan) — so when this operator derives
+    it itself it materializes the slim (band, sig, id) frame once with a
+    lazy local checkpoint, exactly like lsh_candidate_pairs' signature
+    frame (codes-sized: batch rows x bands of (int, short string, id);
+    never text). A pipeline that owns the lifecycle can still pass
+    ``banded`` — a persisted `minhash_band_index(new_df, ...)` — and no
+    second materialization happens."""
     assert n_hashes % bands == 0
     if banded is None:
         banded = minhash_band_index(new_df, text_col, id_col, n_hashes,
                                     bands, shingle_k, seed)
+        if not new_df.isStreaming:
+            banded = local_materialize(banded, eager=False)
     probe_keys = banded.select("band", "sig").distinct()
     idx_slice = (index.join(F.broadcast(probe_keys), ["band", "sig"],
                             "left_semi")
@@ -341,6 +348,13 @@ def band_index_merge(index: DataFrame, new_df: DataFrame, text_col: str,
     survivor ids). Returns (band, sig, id) like minhash_band_index."""
     banded = minhash_band_index(new_df, text_col, id_col, n_hashes,
                                 bands, shingle_k, seed)
+    if not new_df.isStreaming:
+        # banded feeds incremental_dedup's four consumers PLUS the
+        # write-back projection below — five evaluations of the minhash
+        # subtree without the slim materialization (shared-subtree law;
+        # r14 auditor flagged x4-x5 here). Fault-tolerance knob:
+        # operators/materialize.py.
+        banded = local_materialize(banded, eager=False)
     surv = (incremental_dedup(new_df, index, text_col, id_col, n_hashes,
                               bands, shingle_k, seed, banded=banded)
             .where(F.col("survives")).select(id_col))

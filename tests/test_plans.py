@@ -211,10 +211,15 @@ def test_incremental_dedup_never_self_joins(spark):
     out = dedup.incremental_dedup(docs.where("doc_id % 2 = 1"), idx,
                                   "text", "doc_id")
     p = plan_of(out)
-    # the batch-internal side aggregates to (band, sig, min id) before any
-    # join: a bucket self-join would show two band-explode generators
-    # feeding one join without an intermediate aggregate
-    assert p.count("Generate explode") >= 2, p
+    # Since r14 the banded batch is materialized once (lazy local
+    # checkpoint — shared-subtree law), so the plan reads it as an
+    # ExistingRDD leaf: the only explode generator left is the INDEX
+    # side's, and the batch-internal collision side aggregates that leaf
+    # to (band, sig, min id) before any join — a bucket self-join would
+    # instead show the banded leaf joined to itself with no intermediate
+    # aggregate.
+    assert p.count("Generate explode") == 1, p
+    assert "ExistingRDD" in p, p
     assert "partial_min" in p or "min(" in p, p
 
 
