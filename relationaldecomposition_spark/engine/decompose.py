@@ -231,47 +231,56 @@ class DecompositionValidator:
                     counts[c] = n
                     info.add(c, n)
 
-            acc_attrs = cl[0]
-            acc = projs[cl[0]]
-            acc_count = counts[cl[0]]
-            for i in range(1, len(cl)):
-                if stop():
-                    raise DecompositionCanceled("canceled during fold")
-                c2 = cl[i]
-                p2 = projs[c2].withColumnRenamed("cnt", "cnt_r")
-                join_cols = sorted_cols(acc_attrs & c2, self.schema_cols)
-                new_attrs = acc_attrs | c2
-                # attributes still needed: anything a remaining cluster mentions
-                needed = frozenset().union(*cl[i + 1:]) if i + 1 < len(cl) else frozenset()
-                group_cols = sorted_cols(needed & new_attrs, self.schema_cols)
-
-                left, right = acc, p2
-                if counts[c2] <= self.broadcast_max_rows:
-                    right = F.broadcast(right)
-                elif acc_count <= self.broadcast_max_rows:
-                    left = F.broadcast(left)
-                joined = (left.join(right, on=join_cols) if join_cols
-                          else left.crossJoin(right))
-                prod = (F.sum(F.col("cnt") * F.col("cnt_r"))).alias("cnt")
-                if group_cols:
-                    acc = joined.groupBy(*group_cols).agg(prod)
-                else:
-                    acc = joined.agg(prod)
-                acc_attrs = new_attrs
-                # after the group-by the running count is unknown; disable
-                # count-based broadcast of the accumulator from here on (AQE
-                # still upgrades it at runtime if it turns out small)
-                acc_count = self.broadcast_max_rows + 1
-
             if stop():
                 raise DecompositionCanceled("canceled before final aggregate")
-            row = acc.agg(F.sum("cnt").alias("total")).first()
+            row = self._fold_total_frame(cl, counts, projs).first()
             total = row["total"] or 0
         finally:
             for c in entries:
                 self._release_proj(c)
         info.spurious_tuples = int(total) - self.num_tuples
         return info
+
+    def _fold_total_frame(self, cl, counts, projs) -> DataFrame:
+        """The LAZY join-size fold: a single-row DataFrame with column
+        ``total`` = |⋈ projections| for the (already greedy-ordered)
+        cluster list. Extracted from process_decomposition so callers
+        validating SEVERAL candidate schemas can union the per-schema
+        totals into ONE Spark action (validate_schemas_concurrent): the
+        fold is join/agg plan construction only — no action — and on
+        tiny-per-action workloads the scheduling latency of one action
+        per candidate dominated wall time (the spurious_fold floor note
+        in bench.py)."""
+        acc_attrs = cl[0]
+        acc = projs[cl[0]]
+        acc_count = counts[cl[0]]
+        for i in range(1, len(cl)):
+            c2 = cl[i]
+            p2 = projs[c2].withColumnRenamed("cnt", "cnt_r")
+            join_cols = sorted_cols(acc_attrs & c2, self.schema_cols)
+            new_attrs = acc_attrs | c2
+            # attributes still needed: anything a remaining cluster mentions
+            needed = frozenset().union(*cl[i + 1:]) if i + 1 < len(cl) else frozenset()
+            group_cols = sorted_cols(needed & new_attrs, self.schema_cols)
+
+            left, right = acc, p2
+            if counts[c2] <= self.broadcast_max_rows:
+                right = F.broadcast(right)
+            elif acc_count <= self.broadcast_max_rows:
+                left = F.broadcast(left)
+            joined = (left.join(right, on=join_cols) if join_cols
+                      else left.crossJoin(right))
+            prod = (F.sum(F.col("cnt") * F.col("cnt_r"))).alias("cnt")
+            if group_cols:
+                acc = joined.groupBy(*group_cols).agg(prod)
+            else:
+                acc = joined.agg(prod)
+            acc_attrs = new_attrs
+            # after the group-by the running count is unknown; disable
+            # count-based broadcast of the accumulator from here on (AQE
+            # still upgrades it at runtime if it turns out small)
+            acc_count = self.broadcast_max_rows + 1
+        return acc.agg(F.sum("cnt").alias("total"))
 
     # -- A15 naive oracle -----------------------------------------------------
 
