@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .materialize import local_materialize
 from ..functions.hashing import (
-    MERSENNE_P, affine_hash, exploded_shingles, minhash_params,
+    H32_MOD, MERSENNE_P, affine_hash, exploded_shingles, minhash_params,
     portable_hash32, portable_hash64, tokens, word_shingles)
 
 DEFAULT_N_HASHES = 8
@@ -98,18 +98,34 @@ def exact_dedup(df: DataFrame, cols: list[str], id_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        n_hashes: int = DEFAULT_N_HASHES,
                        shingle_k: int = DEFAULT_SHINGLE_K,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42, kernel: str = "arrow") -> DataFrame:
     """(id, mh_0..mh_{n-1}): min over shingles of (a_i*h32(shingle)+b_i)%P.
     Documents with no shingles get sentinel P (impossible hash value).
 
-    Shingles come from exploded_shingles (posexplode + window-lead): the
-    alternative shapes both lose badly to codegen — map-only array_min
-    over transform lambdas is 4x slower (CodegenFallback traversals per
-    hash), and exploding the word_shingles array pays ~15us/row in the
-    generator (measured 39s vs 5s at sf1 for the same 2.6M shingles).
-    ONE exchange total: the shingle window shuffles token rows on the id,
-    and the signature groupBy reuses that partitioning (no second
-    exchange; partial-min combine still applies)."""
+    kernel="arrow" (default, r14): ONE map-only Arrow pass — per batch,
+    tokenize + shingle + md5 in C-speed Python, then the whole affine-min
+    bank as a vectorized numpy segment-min (np.minimum.reduceat over the
+    batch's concatenated shingle hashes). ZERO exchanges: the expr path's
+    shingle window shuffled the corpus at TOKEN volume (the largest
+    shuffle in the curation funnel — text-sized bytes on the wire at
+    100 TB), while this kernel's only data movement is the Arrow batch
+    hop the plan's Python stage already pays. Bit-identical signatures
+    (pinned in tests/test_operators.py::test_minhash_kernel_parity):
+    identical tokens (re.ASCII \\s+ == Java \\s+ == the DuckDB twin's
+    RE2 \\S+), identical md5-prefix hash, and the affine products stay
+    under 2^62 so int64 never wraps. Streaming-legal (mapInPandas).
+
+    kernel="expr": the r1-r13 JVM shape — exploded_shingles (posexplode +
+    window-lead; map-only array_min over transform lambdas is 4x slower
+    CodegenFallback, exploding the word_shingles array pays ~15us/row in
+    the generator) + a groupBy min bank riding the window's partitioning
+    (one exchange total). Kept as the pure-JVM oracle face the parity
+    test pins the kernel against."""
+    if kernel == "arrow":
+        return _arrow_minhash_signatures(df, text_col, id_col, n_hashes,
+                                         shingle_k, seed)
+    if kernel != "expr":
+        raise ValueError(f"unknown minhash kernel: {kernel!r}")
     params = minhash_params(n_hashes, seed)
     sh = exploded_shingles(df, text_col, id_col, shingle_k)
     h = sh.withColumn("h32", portable_hash32(F.col("shingle")))
@@ -120,6 +136,92 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     # sentinel for shingle-less docs so their bands never collide with real ones
     fills = {f"mh_{i}": MERSENNE_P + i for i in range(n_hashes)}
     return out.fillna(fills)
+
+
+def _arrow_minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                              n_hashes: int, shingle_k: int,
+                              seed: int) -> DataFrame:
+    """The Arrow minhash kernel (see minhash_signatures docstring).
+
+    Parity contract with the expr path, checked term by term:
+    - tokens: re.ASCII \\s+ split with empties dropped == Spark
+      split(trim(c), '\\s+') filtered != '' (Java \\s is ASCII-only by
+      default; leading/trailing runs produce empties both sides, dropped
+      both sides).
+    - shingle: ' '.join of k consecutive tokens == concat_ws(' ',
+      slice(toks, i, k)); fewer than k tokens -> no shingles.
+    - hash: int(md5(utf8 bytes).hexdigest()[:15], 16) % 2^32 ==
+      conv(substring(md5(cast as binary), 1, 15), 16, 10) % 2^32 — both
+      non-negative and < 2^32.
+    - affine min: a < 2^30, h32 < 2^32 => a*h32 + b < 2^62 — int64-exact
+      in numpy, ANSI-safe in Spark. Duplicate shingles cannot change a
+      min, so the per-doc set() dedup is free correctness-wise and
+      skips redundant md5 work.
+    - shingle-less / NULL docs: sentinel MERSENNE_P + i, the expr path's
+      fillna."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    params = minhash_params(n_hashes, seed)
+    av = np.array([a for a, _ in params], dtype=np.int64)
+    bv = np.array([b for _, b in params], dtype=np.int64)
+    k = int(shingle_k)
+    sentinel = np.array([MERSENNE_P + i for i in range(n_hashes)],
+                        dtype=np.int64)
+    out_schema = StructType(
+        [df.schema[id_col]]
+        + [StructField(f"mh_{i}", LongType(), False)
+           for i in range(n_hashes)])
+
+    def gen(batches):
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+
+        split = _re.compile(r"\s+", _re.ASCII).split
+        md5 = hashlib.md5
+        for pdf in batches:
+            m = len(pdf)
+            if not m:
+                continue
+            segs: list[np.ndarray] = []   # per-doc shingle hashes
+            seg_doc: list[int] = []       # batch row index per segment
+            for row_i, t in enumerate(pdf[text_col]):
+                if not isinstance(t, str):
+                    continue
+                toks = [x for x in split(t) if x]
+                if len(toks) < k:
+                    continue
+                hs = {md5(" ".join(toks[j:j + k]).encode())
+                      .hexdigest()[:15]
+                      for j in range(len(toks) - k + 1)}
+                segs.append(np.fromiter((int(h, 16) for h in hs),
+                                        dtype=np.int64, count=len(hs)))
+                seg_doc.append(row_i)
+            sig = np.tile(sentinel, (m, 1))
+            if segs:
+                all_h = np.concatenate(segs) % H32_MOD
+                lens = np.fromiter((len(s) for s in segs),
+                                   dtype=np.int64, count=len(segs))
+                starts = np.zeros(len(segs), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                rows = np.asarray(seg_doc, dtype=np.int64)
+                # chunk the hash bank so scratch stays ~16 x batch shingles
+                for c0 in range(0, n_hashes, 16):
+                    c1 = min(c0 + 16, n_hashes)
+                    vals = (av[c0:c1, None] * all_h[None, :]
+                            + bv[c0:c1, None]) % MERSENNE_P
+                    mins = np.minimum.reduceat(vals, starts, axis=1)
+                    sig[rows, c0:c1] = mins.T
+            data = {id_col: pdf[id_col].to_numpy()}
+            for i in range(n_hashes):
+                data[f"mh_{i}"] = sig[:, i]
+            yield pd.DataFrame(data)
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, out_schema)
 
 
 def _band_structs(mh_cols: list[str], bands: int) -> Column:

@@ -5,6 +5,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
+from conftest import load
 from relationaldecomposition_spark.operators import (
     dedup, multimodal, similarity, text)
 
@@ -40,6 +41,50 @@ def test_minhash_near_dup_similarity(docs):
     # empty/tiny docs get sentinel signatures, never colliding with real docs
     assert sigs[5] == sigs[6]
     assert sigs[5] != sigs[1]
+
+
+def test_minhash_kernel_parity(spark, docs, sf_dir):
+    """The r14 Arrow minhash kernel must be BIT-identical to the JVM expr
+    path — signatures reach oracle-pinned outputs (o03/o05/o17/o50/o59),
+    so this is a correctness pin, not a tolerance check. Covers the
+    planted fixture, adversarial token shapes (unicode whitespace that
+    Java \\s does NOT split, NBSP inside tokens, empty/whitespace-only/
+    NULL text, duplicate shingles, exactly-k tokens), both hash-bank
+    widths (8 and 33 — the >16 width exercises the chunked bank), and
+    the real documents table."""
+    from pyspark.sql import Row
+
+    def both(df, **kw):
+        a = {r[0]: tuple(r[1:]) for r in dedup.minhash_signatures(
+            df, "text", "doc_id", kernel="arrow", **kw).collect()}
+        e = {r[0]: tuple(r[1:]) for r in dedup.minhash_signatures(
+            df, "text", "doc_id", kernel="expr", **kw).collect()}
+        return a, e
+
+    a, e = both(docs)
+    assert a == e
+
+    tricky = spark.createDataFrame([
+        Row(doc_id=1, text="plain three token shingle case"),
+        Row(doc_id=2, text="  leading and trailing   runs  "),
+        Row(doc_id=3, text="tab\tand\nnewline\rseparated tokens here"),
+        Row(doc_id=4, text="nbsp inside one token pair here"),
+        Row(doc_id=5, text="dup dup dup dup dup dup"),
+        Row(doc_id=6, text="exactly three tokens"),
+        Row(doc_id=7, text="two tokens"),
+        Row(doc_id=8, text=""),
+        Row(doc_id=9, text="   \t  "),
+        Row(doc_id=10, text=None),
+        Row(doc_id=11, text="ünïcødé tökens ärè hàshéd as utf8 bytes"),
+    ])
+    a, e = both(tricky)
+    assert a == e
+    a, e = both(tricky, n_hashes=33, shingle_k=2, seed=7)
+    assert a == e
+
+    real = load(spark, "documents", sf_dir).limit(200)
+    a, e = both(real)
+    assert a == e
 
 
 def test_lsh_pairs_find_exact_dup(docs):
