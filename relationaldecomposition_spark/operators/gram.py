@@ -40,7 +40,8 @@ correctness rows; this kernel is the production scale path.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import DoubleType, StructField, StructType
+from pyspark.sql.types import (BooleanType, DoubleType, StructField,
+                               StructType)
 
 _BLOCK_ELEMS = 1 << 25  # ~256 MiB of float64 per gram block, worst case
 
@@ -165,6 +166,12 @@ def gram_group_pairs_cross(base: DataFrame, keys: list[str], id_col: str,
     re-compared against itself. Same ordering/dtype/zero-norm/dirty-data
     contract as gram_group_pairs (null vectors dropped, per-length
     scoring); id_a < id_b over the global id order.
+
+    Each pair row also carries ``new_a``/``new_b`` — the endpoints' flag
+    values, free inside the kernel (r14): the caller previously joined
+    the pair list back onto `base` TWICE to recover them, re-evaluating
+    the whole probe subtree (index scan included) per join — the
+    shared-subtree law at its most expensive.
     """
     import numpy as np
     import pandas as pd
@@ -173,7 +180,9 @@ def gram_group_pairs_cross(base: DataFrame, keys: list[str], id_col: str,
     out = StructType(
         [StructField(k, base.schema[k].dataType) for k in keys]
         + [StructField("id_a", id_type), StructField("id_b", id_type),
-           StructField("cosine", DoubleType())])
+           StructField("cosine", DoubleType()),
+           StructField("new_a", BooleanType()),
+           StructField("new_b", BooleanType())])
     key_cols = list(keys)
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -216,7 +225,8 @@ def gram_group_pairs_cross(base: DataFrame, keys: list[str], id_col: str,
                     hi = np.maximum(gi, bj)
                     frames.append(pd.DataFrame({
                         "id_a": ids[lo], "id_b": ids[hi],
-                        "cosine": c[bi, bj]}))
+                        "cosine": c[bi, bj],
+                        "new_a": new_mask[lo], "new_b": new_mask[hi]}))
         if not frames:
             return pd.DataFrame({f.name: pd.Series(dtype=object)
                                  for f in out.fields})

@@ -389,7 +389,8 @@ def _np_routed(df: DataFrame, vec_col: str, id_col: str,
 
 
 def _flat_base(df: DataFrame, vec_col: str, id_col: str,
-               centroids: list[tuple[int, list[float]]]) -> DataFrame:
+               centroids: list[tuple[int, list[float]]],
+               assign: DataFrame | None = None) -> DataFrame:
     """(id, v, n, cell) for the flat faces, built SELF-JOIN-SAFE.
 
     Self-joining a pure projection chain whose lambdas sit directly over
@@ -405,18 +406,30 @@ def _flat_base(df: DataFrame, vec_col: str, id_col: str,
     onto a fresh vector projection. The self-joined subtree then has the
     join shape, and the literal-argmin lambdas never face relation
     dedup."""
-    assign = (_fresh(df)
-              .select(F.col(id_col),
-                      F.col(vec_col).cast("array<double>").alias("_av"))
-              .select(F.col(id_col),
-                      F.element_at(_dist_structs("_av", centroids),
-                                   1)["cell"].alias("cell"))
-              .localCheckpoint())
+    if assign is None:
+        assign = _flat_assign(df, vec_col, id_col, centroids)
     return (_fresh(df)
             .select(F.col(id_col),
                     F.col(vec_col).cast("array<double>").alias("v"))
             .withColumn("n", _norm(F.col("v")))
             .join(assign, id_col))
+
+
+def _flat_assign(df: DataFrame, vec_col: str, id_col: str,
+                 centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """The thin (id, cell) eager localCheckpoint _flat_base joins back
+    (see its docstring for the self-join bug this materialization
+    works around). Exposed separately so survivor-face consumers can
+    read the assignment DIRECTLY instead of re-deriving it through a
+    second vectors join (r14 auditor: o45's plan carried the base join
+    x2)."""
+    return (_fresh(df)
+            .select(F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("_av"))
+            .select(F.col(id_col),
+                    F.element_at(_dist_structs("_av", centroids),
+                                 1)["cell"].alias("cell"))
+            .localCheckpoint())
 
 
 def _with_sub(base: DataFrame, id_col: str,
@@ -764,6 +777,38 @@ def _np_assigned_hier(df: DataFrame, vec_col: str, id_col: str,
                                 route_probes=route_probes)
 
 
+def _hier_base(df: DataFrame, vec_col: str, id_col: str,
+               coarse: list[tuple[int, list[float]]], k2: int,
+               route_probes: int = 1, return_slim: bool = False):
+    """(id, v, n, cell[, _rk]) for the hierarchical EXPR faces, built
+    evaluation-shared: the two-level assignment pyramid (route argmin +
+    sub-codebook join + sub argmin, with route_sub_codebook's window +
+    collect_list build inside) is computed ONCE and materialized as a
+    THIN (id, cell[, _rk]) eager localCheckpoint, then joined back onto
+    a fresh vector projection — the hierarchical twin of _flat_base. The
+    r14 subtree auditor flagged the un-shared shape at x2 (the pair
+    self-join) to x3 (apply's survivor projection / the sub-codebook
+    aggregate) on o56/o57/o75's plans; the checkpoint rows are 16-20
+    bytes each, the same bytes a shuffle of the assignment would cost.
+    Same eager-at-plan-construction + non-recomputable caveats as
+    _flat_base's checkpoint; the gram faces (_np_assigned_hier) stay
+    fully lazy."""
+    df = _fresh(df)
+    assigned = assign_cells_hier(df, vec_col, id_col, coarse,
+                                 route_sub_codebook(df, vec_col, id_col,
+                                                    coarse, k2),
+                                 route_probes=route_probes)
+    slim_cols = [F.col(id_col), F.col("cell")]
+    if route_probes > 1:
+        slim_cols.append(F.col("_rk"))
+    slim = assigned.select(*slim_cols).localCheckpoint()
+    base = (_fresh(df)
+            .select(F.col(id_col), _as_double(vec_col).alias("v"))
+            .withColumn("n", _norm(F.col("v")))
+            .join(slim, id_col))
+    return (base, slim) if return_slim else base
+
+
 def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
                         coarse: list[tuple[int, list[float]]],
                         k2: int, tau: float,
@@ -794,22 +839,14 @@ def semdedup_pairs_hier(df: DataFrame, vec_col: str, id_col: str,
         if kernel == "gram":
             base = _np_assigned_hier(df, vec_col, id_col, coarse, k2)
             return _cell_pairs(base, id_col, tau, max_cell, kernel)
-        df = _fresh(df)
-        assigned = assign_cells_hier(df, vec_col, id_col, coarse,
-                                     route_sub_codebook(df, vec_col, id_col,
-                                                        coarse, k2))
-        base = assigned.withColumn("n", _norm(F.col("v")))
+        base = _hier_base(df, vec_col, id_col, coarse, k2)
         return _cell_pairs(base, id_col, tau, max_cell, kernel)
     if kernel == "gram":
         base = _np_assigned_hier(df, vec_col, id_col, coarse, k2,
                                  route_probes=route_probes)
     else:
-        df = _fresh(df)
-        assigned = assign_cells_hier(df, vec_col, id_col, coarse,
-                                     route_sub_codebook(df, vec_col,
-                                                        id_col, coarse, k2),
-                                     route_probes=route_probes)
-        base = assigned.withColumn("n", _norm(F.col("v")))
+        base = _hier_base(df, vec_col, id_col, coarse, k2,
+                          route_probes=route_probes)
     pairs = _cell_pairs(base.drop("_rk"), id_col, tau, max_cell, kernel)
     return (pairs.groupBy("id_a", "id_b")
             .agg(F.min("cell").alias("cell"),
@@ -837,21 +874,22 @@ def semdedup_apply_hier(df: DataFrame, vec_col: str, id_col: str,
     if kernel == "gram":
         base = _np_assigned_hier(df, vec_col, id_col, coarse, k2,
                                  route_probes=route_probes)
+        slim = None
     else:
-        df = _fresh(df)
-        assigned = assign_cells_hier(df, vec_col, id_col, coarse,
-                                     route_sub_codebook(df, vec_col,
-                                                        id_col, coarse, k2),
-                                     route_probes=route_probes)
-        base = assigned.withColumn("n", _norm(F.col("v")))
+        base, slim = _hier_base(df, vec_col, id_col, coarse, k2,
+                                route_probes=route_probes,
+                                return_slim=True)
     if route_probes == 1:
-        primary = base
+        primary = slim if slim is not None else base
         pair_base = base
     else:
         # one shared probed subtree: pairs see every probed cell, the
-        # survivor rows only the primary assignment (recomputed map-only
-        # scan — the pair join dominates; no cache left behind)
-        primary = base.where(F.col("_rk") == 1)
+        # survivor rows only the primary assignment (for the expr face
+        # that's a filter over the thin checkpoint — zero re-derivation;
+        # the gram face recomputes its map-only scan, no cache left
+        # behind)
+        primary = (slim if slim is not None else base) \
+            .where(F.col("_rk") == 1)
         pair_base = base.drop("_rk")
     dropped = (_cell_pairs(pair_base, id_col, tau, kernel=kernel)
                .select(F.col("id_b").alias(id_col)).distinct())
@@ -874,11 +912,17 @@ def semdedup_apply(df: DataFrame, vec_col: str, id_col: str,
     whole pipeline is still two shuffles (cell, then id)."""
     if kernel == "gram":
         base = _np_assigned(df, vec_col, id_col, centroids)
+        survivors = base.select(id_col, "cell")
     else:
-        base = _flat_base(df, vec_col, id_col, centroids)
+        # survivor rows come straight from the thin assignment
+        # checkpoint — the former base.select(id, cell) re-ran the
+        # vectors scan + join a second time (r14 auditor, o45 x2)
+        assign = _flat_assign(df, vec_col, id_col, centroids)
+        base = _flat_base(df, vec_col, id_col, centroids, assign=assign)
+        survivors = assign
     dropped = (_cell_pairs(base, id_col, tau, kernel=kernel)
                .select(F.col("id_b").alias(id_col)).distinct())
-    return (base.select(id_col, "cell")
+    return (survivors
             .join(dropped.withColumn("_drop", F.lit(True)),
                   id_col, "left")
             .select(F.col(id_col), F.col("cell"),
@@ -1050,6 +1094,16 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
                                 F.col("route").alias("cell")))
         else:
             assigned = _np_assigned(new_df, vec_col, id_col, centroids)
+        # MEASURED BOUNDARY of the shared-subtree law (r14): the
+        # self-derived assignment is still consumed twice below (the
+        # touched-cell probe and the union branch), but materializing it
+        # — localCheckpoint AND persist both — strips the lineage whose
+        # selective predicate Spark's DynamicPartitionPruning rule
+        # requires, silently turning the partitioned store probe into a
+        # FULL index scan (pinned in tests/test_gram.py::
+        # test_cell_index_store_probe_uses_partition_pruning). One spare
+        # batch-sized BLAS pass is noise next to DPP on a 100 TB store;
+        # callers that own the lifecycle still pass ``assigned``.
     assigned = assigned.withColumn("_new", F.lit(True))
     if prune_index is None:
         prune_index = _plan_size_bytes(index) >= PRUNE_MIN_INDEX_BYTES
@@ -1062,21 +1116,20 @@ def semdedup_incremental(new_df: DataFrame, index: DataFrame, vec_col: str,
         pruned.select(F.col(id_col), F.col("v"), F.col("cell"))
               .withColumn("_new", F.lit(False)))
     both = _with_sub(both, id_col, max_cell)
+    # the cross kernel emits each pair's endpoint flags (new_a/new_b)
+    # directly — the r13 shape joined the pair list back onto `both`
+    # twice to recover them, re-evaluating the pruned-index subtree (an
+    # index scan!) per flags join (shared-subtree law, r14 auditor
+    # finding on o63/o64/o74).
     pairs = gram_group_pairs_cross(both, ["cell", "_sub"], id_col, "v",
                                    "_new", tau)
-    flags = both.select(F.col(id_col).alias("_fid"),
-                        F.col("_new").alias("_fnew"))
     if distinct_partners:
         # multi-probe: the same partner pair can co-occur in several
-        # probed cells, and a probed id has one flag row per probe —
-        # reduce both so hits count DISTINCT partners
+        # probed cells — reduce so hits count DISTINCT partners (the
+        # flags ride along: identical for every duplicate of a pair)
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
-        flags = flags.distinct()
-    tagged = (pairs
-              .join(flags.withColumnRenamed("_fid", "id_a")
-                         .withColumnRenamed("_fnew", "_new_a"), "id_a")
-              .join(flags.withColumnRenamed("_fid", "id_b")
-                         .withColumnRenamed("_fnew", "_new_b"), "id_b"))
+    tagged = pairs.withColumnRenamed("new_a", "_new_a") \
+                  .withColumnRenamed("new_b", "_new_b")
     one = F.lit(1).cast("long")
     per_new = (tagged.select(
         F.explode(F.array(
