@@ -895,15 +895,33 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
         dfreq = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
                  .where(F.col("_df") <= max_df).select("sh"))
         sh = sh.join(dfreq, "sh")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
+    # Per-document set sizes ride a COUNT WINDOW on the shingle frame
+    # instead of a separate groupBy + two post-intersection join-backs:
+    # the join shape evaluated the whole shingle subtree (explode + lead
+    # window + per-doc dedup shuffle) a THIRD time just to count set
+    # sizes (r14 subtree auditor: x2-x4 on o05's plan), and then joined
+    # the pair list twice to attach them. The window pays the same
+    # id-keyed shuffle the groupBy did, the sizes travel through the
+    # self-join as one long column per side, and min() in the pair
+    # aggregate recovers them (constant per id by construction). The two
+    # remaining evaluations are the self-join's own sides — inherent to
+    # an exact set-intersection join (shared-subtree law boundary: the
+    # shingle frame is TOKEN-volume, not codes-volume, so materializing
+    # it is the wrong trade at 100 TB).
+    from pyspark.sql import Window
+    sh = sh.withColumn("_sz", F.count(F.lit(1)).over(
+        Window.partitionBy(id_col)))
+    a = sh.select(F.col(id_col).alias("id_a"), "sh",
+                  F.col("_sz").alias("sz_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "sh",
+                  F.col("_sz").alias("sz_b"))
     inter = (a.join(b, ["sh"])
              .where(F.col("id_a") < F.col("id_b"))
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("inter"),
+                  F.min("sz_a").alias("sz_a"),
+                  F.min("sz_b").alias("sz_b")))
+    return (inter
             .select("id_a", "id_b",
                     (F.col("inter")
                      / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
