@@ -96,8 +96,16 @@ GUARD_ANN_MAX_BUCKET = 32
 # Round-13 note: the r13 rotation-debt set is the r11-green 50, which
 # contained ALL FIVE shortlist entries — round 13 retired #1
 # (o44_semdedup_pairs, window-legal; see the retirement note at its
-# site) for o78_pq_hier_collisions. Remaining pre-vetted candidates:
-# o56, o09, o11, o12 (check window membership each round).
+# site) for o78_pq_hier_collisions.
+#
+# Round-14 note: NO shortlist entry sits in the r14 debt set (o56, o09,
+# o11, o12 were all green in r13), so no retirement is window-legal this
+# round. The r13 ask-#6 surface (o79_band_ingest_loop, the continuous
+# band-ingest LOOP) is therefore BUILT AND QUEUED - query + DuckDB twin
+# defined below, stream==batch parity pinned in
+# tests/test_bucketed_and_stream_dedup.py - and registers in round 15,
+# when o56's r13 green row ages into the debt set and shortlist entry #2
+# becomes a legal donor (note at q_o56's site).
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -1648,6 +1656,94 @@ def _sql_band_cte(signame: str, name: str) -> str:
     return f"{name} AS ({' UNION ALL '.join(selects)})"
 
 
+def q_o79_band_ingest_loop(spark, sf_dir):
+    """The continuous-ingestion LOOP under the hard gate (r13 verdict ask
+    #6): batch twin of streaming.dedup.band_ingest_stream — TWO
+    sequential micro-batches against a persisted band-index store, where
+    batch 2 probes the index AS UPDATED by batch 1's survivors (the loop
+    property the flag-only o50/o59 single-step gates cannot see). Each
+    step is exactly the plan one foreachBatch invocation runs
+    (ingest_one_batch: read store -> dedup.ingest_batch -> idempotent
+    partition append; stream == batch pinned in
+    tests/test_bucketed_and_stream_dedup.py). Returns
+    (batch, doc_id, n_index_hits, n_batch_hits, survives) for both
+    batches; the DuckDB twin replays the two-step loop from the same
+    three-way split."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    b2 = docs.where(F.col("doc_id") % 3 == 2)
+    idx0 = dedup.minhash_band_index(corpus, "text", "doc_id", N_HASHES,
+                                    BANDS, SHINGLE_K, MINHASH_SEED)
+    stats1, rows1 = dedup.ingest_batch(b1, idx0, "text", "doc_id",
+                                       N_HASHES, BANDS, SHINGLE_K,
+                                       MINHASH_SEED)
+    idx1 = idx0.unionByName(rows1)
+    stats2 = dedup.incremental_dedup(b2, idx1, "text", "doc_id", N_HASHES,
+                                     BANDS, SHINGLE_K, MINHASH_SEED)
+    one, two = F.lit(1).cast("int"), F.lit(2).cast("int")
+    return (stats1.withColumn("batch", one)
+            .unionByName(stats2.withColumn("batch", two))
+            .select("batch", F.col("doc_id").cast("bigint").alias("doc_id"),
+                    "n_index_hits", "n_batch_hits", "survives"))
+
+
+def _oracle_band_ingest_loop() -> str:
+    """Twin of the two-step ingest loop: step 1 = the o50 contract over
+    the %3 split; the step-2 index = corpus buckets UNION batch-1
+    survivors' buckets."""
+    return f"""
+      WITH c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+      nb1 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+      nb2 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+      {_sql_minhash_sig_cte(src="c0", name="sig_c0")},
+      {_sql_minhash_sig_cte(src="nb1", name="sig_b1")},
+      {_sql_minhash_sig_cte(src="nb2", name="sig_b2")},
+      {_sql_band_cte("sig_c0", "band_c0")},
+      {_sql_band_cte("sig_b1", "band_b1")},
+      {_sql_band_cte("sig_b2", "band_b2")},
+      ibk0 AS (SELECT DISTINCT band, bsig FROM band_c0),
+      ih1 AS (SELECT n.doc_id, count(*) AS n_index_hits
+              FROM band_b1 n JOIN ibk0 USING (band, bsig) GROUP BY 1),
+      bmin1 AS (SELECT band, bsig, min(doc_id) AS m
+                FROM band_b1 GROUP BY 1, 2),
+      bh1 AS (SELECT n.doc_id, count(*) AS n_batch_hits
+              FROM band_b1 n JOIN bmin1 USING (band, bsig)
+              WHERE n.doc_id > bmin1.m GROUP BY 1),
+      st1 AS (SELECT d.doc_id,
+                     coalesce(ih1.n_index_hits, 0)::BIGINT AS n_index_hits,
+                     coalesce(bh1.n_batch_hits, 0)::BIGINT AS n_batch_hits,
+                     (coalesce(ih1.n_index_hits, 0) = 0
+                      AND coalesce(bh1.n_batch_hits, 0) = 0) AS survives
+              FROM nb1 d
+              LEFT JOIN ih1 ON d.doc_id = ih1.doc_id
+              LEFT JOIN bh1 ON d.doc_id = bh1.doc_id),
+      ibk1 AS (SELECT band, bsig FROM ibk0
+               UNION
+               SELECT band, bsig FROM band_b1
+               WHERE doc_id IN (SELECT doc_id FROM st1 WHERE survives)),
+      ih2 AS (SELECT n.doc_id, count(*) AS n_index_hits
+              FROM band_b2 n JOIN ibk1 USING (band, bsig) GROUP BY 1),
+      bmin2 AS (SELECT band, bsig, min(doc_id) AS m
+                FROM band_b2 GROUP BY 1, 2),
+      bh2 AS (SELECT n.doc_id, count(*) AS n_batch_hits
+              FROM band_b2 n JOIN bmin2 USING (band, bsig)
+              WHERE n.doc_id > bmin2.m GROUP BY 1),
+      st2 AS (SELECT d.doc_id,
+                     coalesce(ih2.n_index_hits, 0)::BIGINT AS n_index_hits,
+                     coalesce(bh2.n_batch_hits, 0)::BIGINT AS n_batch_hits,
+                     (coalesce(ih2.n_index_hits, 0) = 0
+                      AND coalesce(bh2.n_batch_hits, 0) = 0) AS survives
+              FROM nb2 d
+              LEFT JOIN ih2 ON d.doc_id = ih2.doc_id
+              LEFT JOIN bh2 ON d.doc_id = bh2.doc_id)
+      SELECT 1::INT AS batch, doc_id::BIGINT AS doc_id,
+             n_index_hits, n_batch_hits, survives FROM st1
+      UNION ALL
+      SELECT 2::INT AS batch, doc_id::BIGINT AS doc_id,
+             n_index_hits, n_batch_hits, survives FROM st2"""
+
+
 def _oracle_incremental_dedup() -> str:
     return f"""
       WITH corpus_h AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
@@ -1848,9 +1944,19 @@ HIER_SUB_K = 4             # k2 = 4 data-derived sub-cells per route
 
 def q_o56_semdedup_hier_pairs(spark, sf_dir):
     """Hierarchical SemDeDup pairs (ivf.semdedup_pairs_hier): coarse
-    literal routing + per-route sub-codebooks delivered by a JOIN — total
+    literal routing + per-route sub-codebooks delivered by a JOIN - total
     cells K1*k2 = 16 (comparable to o44's flat 16) at O(K1 + k2) per-row
-    assignment cost instead of O(cells)."""
+    assignment cost instead of O(cells).
+
+    QUEUED FOR RETIREMENT (r15): shortlist entry #2 - a strict
+    intermediate of the gated o57 pipeline (its oracle is o57's `pairs`
+    CTE verbatim) - but NOT window-legal in round 14: o56 is green in
+    r13, so it sits outside the r14 rotation-debt set, and retiring it
+    this round would strand one debt query beyond the 50-row window (the
+    window-slot law, round 12). In round 15 its green row ages into the
+    debt set and the retirement becomes legal; its slot is earmarked for
+    o79_band_ingest_loop (built, oracle'd, and stream-parity-pinned this
+    round - see q_o79_band_ingest_loop)."""
     emb = load_table(spark, sf_dir, "embeddings")
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
     out = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse,

@@ -896,10 +896,11 @@ _WINDOW_ROUND14: list[str] = [
     "o75_semdedup_multiprobe", "o76_pq_topk", "o77_pq_hier_topk",
     "s02_sessionize", "s03_user_stats", "s04_stream_enrich",
     # Exactly 50 entries — the complete r12-only-green complement of
-    # CORRECTNESS_r13's keys; no anchors and no new-query slots needed
-    # this round unless a retirement under the window-slot law frees one
-    # (donor must come from THIS debt set; see operators/registry.py
-    # shortlist head).
+    # CORRECTNESS_r13's keys. No new-query slot this round: no shortlist
+    # retirement donor sits in this debt set (o56/o09/o11/o12 are all
+    # r13-green — the window-slot law). The round-14 addition candidate
+    # o79_band_ingest_loop is built and queued in operators/registry.py,
+    # registering in r15 when o56 ages into the debt set.
 ]
 
 
