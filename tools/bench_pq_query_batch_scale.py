@@ -28,11 +28,19 @@ from relationaldecomposition_spark.session import get_spark  # noqa: E402
 from relationaldecomposition_spark.sources.synthetic import (  # noqa: E402
     hierarchical_embeddings)
 
-STORE_ROWS = 50_000
+import os
+
+# r14 ask #5: the 10x regime is STORE_ROWS=500k with cells scaled
+# proportionally (ROUTES=16, K2=250 -> 4000 cells, occupancy ~125 held
+# fixed) — set SPARK_GRAFT_PQ_SCALE=10x. Default reproduces the r12/r13
+# 50k-row protocol.
+if os.environ.get("SPARK_GRAFT_PQ_SCALE") == "10x":
+    STORE_ROWS, ROUTES, K2 = 500_000, 16, 250
+else:
+    STORE_ROWS, ROUTES, K2 = 50_000, 8, 50
+    # 400 cells -> ~125 rows/cell: candidate volume (batch x n_probes x
+    # occupancy) stays face-comparable without dominating the measurement
 DIM = 64
-ROUTES, K2 = 8, 50     # 400 cells -> ~125 rows/cell: candidate volume
-                       # (batch x n_probes x occupancy) stays face-
-                       # comparable without dominating the measurement
 M = 8
 BATCHES = (1_000, 10_000, 100_000)
 N_PROBES, ROUTE_PROBES = 4, 2
