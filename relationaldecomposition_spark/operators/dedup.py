@@ -138,6 +138,60 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return out.fillna(fills)
 
 
+def exploded_shingle_hashes(df: DataFrame, text_col: str, id_col: str,
+                            k: int) -> DataFrame:
+    """(id, _pos, _h): one row per k-token shingle OCCURRENCE, _h =
+    portable_hash64 of the shingle text, _pos = 0-based token position —
+    the Arrow map-side twin of `exploded_shingles` + md5 for consumers
+    that need HASHED occurrences (duplicate_spans /
+    remove_duplicate_spans). Same zero-exchange rationale as
+    _arrow_minhash_signatures: the expr shape paid a posexplode + lead
+    WINDOW (a token-volume shuffle) before the first real aggregation;
+    this kernel tokenizes + hashes per document map-side (re.ASCII \\s+
+    == Java \\s+; int(md5[:15],16) == conv(substring(md5(..),1,15),16,10)
+    — both < 2^60) and emits only the 20-byte occurrence rows. Docs with
+    fewer than k tokens emit nothing (the expr path's isNotNull
+    filter)."""
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([df.schema[id_col],
+                             StructField("_pos", IntegerType(), False),
+                             StructField("_h", LongType(), False)])
+    kk = int(k)
+
+    def gen(batches):
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        split = _re.compile(r"\s+", _re.ASCII).split
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, poss, hs = [], [], []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                if not isinstance(t, str):
+                    continue
+                toks = [x for x in split(t) if x]
+                n = len(toks)
+                if n < kk:
+                    continue
+                for j in range(n - kk + 1):
+                    ids.append(did)
+                    poss.append(j)
+                    hs.append(int(md5(" ".join(toks[j:j + kk]).encode())
+                                  .hexdigest()[:15], 16))
+            yield pd.DataFrame({
+                id_col: ids,
+                "_pos": np.asarray(poss, dtype=np.int32),
+                "_h": np.asarray(hs, dtype=np.int64)})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        gen, out_schema)
+
+
 def _arrow_minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                               n_hashes: int, shingle_k: int,
                               seed: int) -> DataFrame:
@@ -696,10 +750,11 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
         raise ValueError("min_count must be >= 2 (1 would flag every span)")
     from pyspark.sql import Window
 
-    occ = (exploded_shingles(df, text_col, id_col, shingle_k)
-           .where(F.col("shingle").isNotNull())
-           .select(F.col(id_col), portable_hash64(F.col("shingle"))
-                   .alias("_h")))
+    # r14: occurrences come from the zero-exchange Arrow kernel — the
+    # expr shape (exploded_shingles + md5) paid a token-volume lead
+    # window before the first aggregation
+    occ = exploded_shingle_hashes(df, text_col, id_col, shingle_k) \
+        .select(F.col(id_col), "_h")
     # count window over the shingle hash instead of groupBy + join-back:
     # one occ evaluation and one shuffle (same rework and measurement as
     # remove_duplicate_spans — see the note there)
@@ -740,16 +795,23 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     Returns (id, text, n_tokens, n_removed_tokens), one row per input
     document (token-less documents keep text '').
 
-    Scale shape — everything is linear, nothing is per-document
-    quadratic: shingle occurrences resolve to duplicated STARTS exactly
-    as in `duplicate_spans` (one count shuffle on the 8-byte shingle
-    hash, one equi-semi-join whose build side holds only repeated
-    hashes); coverage is then computed WITHOUT an interval join — each
-    start emits (+1 at s, -1 at s+k) boundary events, a per-document
-    running sum over (position, events-before-token) marks covered
-    tokens, and the final per-document rollup reuses the window's hash
-    partitioning. Worst case (a fully-duplicated document) stays
-    O(tokens) where a token×interval join would be O(tokens²).
+    Scale shape (r14 rewrite) — everything is linear, nothing is
+    per-document quadratic, and only DUPLICATED-START rows ever shuffle:
+    occurrences come from the zero-exchange Arrow kernel
+    (exploded_shingle_hashes), duplicated starts resolve through ONE
+    count shuffle on the 8-byte shingle hash (count window, no
+    join-back), the surviving starts roll up to per-document position
+    arrays (starts-sized shuffle — empty for a clean corpus), and
+    coverage + run-merging + excision + reassembly happen in one
+    map-side Arrow kernel over (text, starts). The r12-r13 shape paid
+    three more corpus-volume movements — the shingle lead WINDOW, the
+    token/boundary-event union through the coverage window, and the
+    collect_list reassembly shuffle of every token; all three are gone.
+    Worst case (a fully-duplicated corpus) degrades to a sort-merge join
+    of starts with the text scan — O(tokens) rows, still never
+    O(tokens²); the skew placement of the count window is unchanged
+    (measured under a planted 99%-one-token corpus, SCALING.json
+    count_window_skew_r13).
 
     ``min_span_tokens``: only excise maximal covered runs of at least
     this many tokens. Lee et al. excise ~50-token duplicated substrings;
@@ -770,103 +832,86 @@ def remove_duplicate_spans(df: DataFrame, text_col: str, id_col: str,
     if min_span_tokens < 1:
         raise ValueError("min_span_tokens must be >= 1")
     k = shingle_k
-    ex = df.select(F.col(id_col),
-                   F.posexplode_outer(tokens(F.col(text_col)))
-                    .alias("_pos", "_tok"))
     from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy("_pos")
-    leads = [F.lead("_tok", j).over(w) for j in range(1, k)]
-    last = leads[-1] if leads else F.col("_tok")
-    sh = F.when(last.isNotNull(), F.concat_ws(" ", F.col("_tok"), *leads))
-    occ = (ex.select(F.col(id_col), F.col("_pos"), sh.alias("_sh"))
-             .where(F.col("_sh").isNotNull())
-             .select(F.col(id_col), F.col("_pos"),
-                     portable_hash64(F.col("_sh")).alias("_h")))
+
+    occ = exploded_shingle_hashes(df, text_col, id_col, k)
     # duplicated starts via a COUNT WINDOW over the shingle hash, not a
     # groupBy + self-semi-join: the join shape evaluated the whole occ
-    # subtree (token explode + lead window + md5) TWICE — once as the
-    # count build, once as the probe — and shuffled both sides; the
-    # window pays ONE occ evaluation and ONE shuffle (round-12
-    # profiling: 22.0 -> 13.2 s at sf10, identical output). Skew note:
-    # a corpus-hot shingle lands its occurrences in one window
-    # partition, the same placement the sort-merge probe side had —
-    # bounded by the max shingle frequency either way (the o50 band
-    # index remains the tool for adversarial boilerplate).
+    # subtree TWICE - once as the count build, once as the probe - and
+    # shuffled both sides; the window pays ONE occ evaluation and ONE
+    # shuffle (round-12 profiling: 22.0 -> 13.2 s at sf10, identical
+    # output). Skew note: a corpus-hot shingle lands its occurrences in
+    # one window partition, the same placement the sort-merge probe side
+    # had - bounded by the max shingle frequency either way (the o50
+    # band index remains the tool for adversarial boilerplate).
     wh = Window.partitionBy("_h")
     starts = (occ.withColumn("_n", F.count(F.lit(1)).over(wh))
               .where(F.col("_n") >= min_count)
               .select(F.col(id_col), F.col("_pos")))
-    # both boundary events explode out of ONE pass over starts — a union
-    # of two selects would duplicate the whole starts subtree (shingle
-    # window + count shuffle + semi-join) per branch
-    ev = (starts.select(
-              F.col(id_col),
-              F.explode(F.array(
-                  F.struct(F.col("_pos").alias("_p"),
-                           F.lit(1).alias("_d")),
-                  F.struct((F.col("_pos") + F.lit(k)).alias("_p"),
-                           F.lit(-1).alias("_d")))).alias("_e"))
-          .select(F.col(id_col), F.col("_e._p").alias("_p"),
-                  F.col("_e._d").alias("_d"),
-                  F.lit(None).cast("string").alias("_tok")))
-    tok = (ex.where(F.col("_tok").isNotNull())
-             .select(F.col(id_col), F.col("_pos").alias("_p"),
-                     F.lit(0).alias("_d"), F.col("_tok")))
-    both = ev.unionByName(tok)
-    # boundary events sort BEFORE the token at the same position: a span
-    # starting at p covers token p (+1 first), a span ending at p = s+k
-    # does not cover token p (-1 first)
-    w2 = (Window.partitionBy(id_col)
-          .orderBy("_p", F.when(F.col("_d") == 0, 1).otherwise(0))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = both.withColumn("_cov", F.sum("_d").over(w2))
-    toksf = (cum.where(F.col("_d") == 0)
-             .select(F.col(id_col), "_p", "_tok",
-                     (F.col("_cov") > 0).alias("_c")))
-    if min_span_tokens > 1:
-        # merge-then-filter: token positions are consecutive, so a
-        # maximal covered run spans _first.._last; runs shorter than the
-        # threshold are kept whole. Forward and backward running extrema
-        # propagate the run boundaries without a per-run shuffle — both
-        # windows hash-partition on the document id the sort/agg below
-        # already use.
-        wf = Window.partitionBy(id_col).orderBy("_p")
-        wfr = wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        wbr = (Window.partitionBy(id_col).orderBy(F.col("_p").desc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        run_start = F.col("_c") & ~F.coalesce(F.lag("_c").over(wf),
-                                              F.lit(False))
-        run_end = F.col("_c") & ~F.coalesce(F.lead("_c").over(wf),
-                                            F.lit(False))
-        toksf = (toksf
-                 .withColumn("_rs", F.when(run_start, F.col("_p")))
-                 .withColumn("_re", F.when(run_end, F.col("_p"))))
-        toksf = (toksf
-                 .withColumn("_first", F.max("_rs").over(wfr))
-                 .withColumn("_last", F.min("_re").over(wbr)))
-        excise = F.col("_c") & ((F.col("_last") - F.col("_first") + 1)
-                                >= F.lit(int(min_span_tokens)))
-        toksf = toksf.withColumn("_x", excise)
-    else:
-        toksf = toksf.withColumn("_x", F.col("_c"))
-    kept_struct = F.when(~F.col("_x"),
-                         F.struct(F.col("_p").alias("p"),
-                                  F.col("_tok").alias("t")))
-    per = (toksf.groupBy(id_col)
-           .agg(F.concat_ws(" ", F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x["t"])).alias("text"),
-                F.count(F.lit(1)).alias("n_tokens"),
-                F.sum(F.col("_x").cast("long"))
-                 .alias("n_removed_tokens")))
-    zero = F.lit(0).cast("bigint")
-    return (df.select(id_col).join(per, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("text", F.lit("")).alias("text"),
-                    F.coalesce(F.col("n_tokens").cast("bigint"), zero)
-                     .alias("n_tokens"),
-                    F.coalesce(F.col("n_removed_tokens").cast("bigint"),
-                               zero).alias("n_removed_tokens")))
+    spans = starts.groupBy(id_col).agg(
+        F.collect_list("_pos").alias("_starts"))
+    # AQE broadcasts the starts arrays while they are small (the natural-
+    # corpus case: only duplicated spans survive); a pathological fully-
+    # duplicated corpus degrades to a sort-merge join - token-volume
+    # rows, never quadratic
+    joined = df.select(F.col(id_col), F.col(text_col)) \
+               .join(spans, id_col, "left")
+
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    out_schema = StructType([df.schema[id_col],
+                             StructField("text", StringType(), False),
+                             StructField("n_tokens", LongType(), False),
+                             StructField("n_removed_tokens", LongType(),
+                                         False)])
+    kk, mst = int(k), int(min_span_tokens)
+
+    def excise(batches):
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        split = _re.compile(r"\s+", _re.ASCII).split
+        for pdf in batches:
+            texts, ns, nrs = [], [], []
+            for t, st in zip(pdf[text_col], pdf["_starts"]):
+                toks = ([x for x in split(t) if x]
+                        if isinstance(t, str) else [])
+                n = len(toks)
+                if n == 0 or st is None or not len(st):
+                    texts.append(" ".join(toks))
+                    ns.append(n)
+                    nrs.append(0)
+                    continue
+                s = np.asarray(st, dtype=np.int64)
+                diff = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(diff, s, 1)
+                np.add.at(diff, np.minimum(s + kk, n), -1)
+                cov = np.cumsum(diff[:n]) > 0
+                if mst > 1:
+                    # maximal covered runs; excise only runs >= mst long
+                    d = np.diff(np.concatenate(
+                        ([0], cov.astype(np.int8), [0])))
+                    run_s = np.nonzero(d == 1)[0]
+                    run_e = np.nonzero(d == -1)[0]  # exclusive ends
+                    x = np.zeros(n, dtype=bool)
+                    for a, b in zip(run_s, run_e):
+                        if b - a >= mst:
+                            x[a:b] = True
+                else:
+                    x = cov
+                texts.append(" ".join(
+                    tk for tk, rm in zip(toks, x) if not rm))
+                ns.append(n)
+                nrs.append(int(x.sum()))
+            yield pd.DataFrame({
+                id_col: pdf[id_col], "text": texts,
+                "n_tokens": np.asarray(ns, dtype=np.int64),
+                "n_removed_tokens": np.asarray(nrs, dtype=np.int64)})
+
+    return joined.mapInPandas(excise, out_schema)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,

@@ -155,18 +155,24 @@ def test_simhash_pairs_validation_guard_and_plan(spark, docs):
 
 
 def test_duplicate_spans_single_evaluation_plan(spark):
-    """Round-12 double-evaluation law pin: duplicated starts come from a
-    count window over the shingle hash — ONE evaluation of the
-    explode+window+md5 occ subtree (the groupBy + self-semi-join shape
-    paid it twice, measured 22.0 -> 13.2 s at sf10). duplicate_spans: one
-    Generate total; remove_duplicate_spans: three (the shingle explode
-    plus the legitimate token-stream and boundary-event explodes)."""
+    """Plan-shape pin for the span operators (r12 count-window law + r14
+    Arrow-kernel rework): occurrences come from the zero-exchange
+    exploded_shingle_hashes kernel (NO Generate/posexplode, no lead
+    window), duplicated starts from ONE count window over the hash, and
+    remove_duplicate_spans' excision/reassembly is a second map-side
+    kernel (no boundary-event union, no coverage window, no collect_list
+    reassembly shuffle)."""
     docs = spark.createDataFrame([(1, "a b c d e f g h i j")],
                                  "doc_id long, text string")
-    n = lambda df: df._jdf.queryExecution().executedPlan() \
-        .toString().count("Generate ")
-    assert n(dedup.duplicate_spans(docs, "text", "doc_id")) == 1
-    assert n(dedup.remove_duplicate_spans(docs, "text", "doc_id")) == 3
+    plan = lambda df: df._jdf.queryExecution().executedPlan().toString()
+    p1 = plan(dedup.duplicate_spans(docs, "text", "doc_id"))
+    assert p1.count("Generate ") == 0, p1
+    assert p1.count("MapInPandas") == 1, p1
+    p2 = plan(dedup.remove_duplicate_spans(docs, "text", "doc_id"))
+    assert p2.count("Generate ") == 0, p2
+    assert p2.count("MapInPandas") == 2, p2  # occurrences + excision
+    # exactly one window remains in each: the corpus-wide count over _h
+    assert p1.count("Window ") == 1 and p2.count("Window ") == 1, (p1, p2)
 
 
 def test_duplicate_spans_brute_force(spark):
