@@ -466,6 +466,72 @@ def _collect_subs(subs: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
             for r in subs.collect()}
 
 
+def _probe_tables(coarse, subs_map):
+    """Padded numpy lookup tables for vectorized two-level probe
+    selection, shared by the collect face (`_hier_query_probes`) and the
+    kernel probe face (`_np_probe_frame`): (cids, cmat) the coarse
+    codebook in ascending-cell order, (scell, scent, svalid) the per-route
+    sub-cell id/centroid/validity arrays padded to the widest route. None
+    when no route has any sub-cell (no probes can exist)."""
+    import numpy as np
+
+    ordered = sorted(coarse)
+    cids = np.array([c for c, _ in ordered], dtype=np.int64)
+    cmat = np.asarray([v for _, v in ordered], dtype=np.float64)
+    nr, dim = cmat.shape
+    k2max = max((len(v) for v in subs_map.values()), default=0)
+    if k2max == 0:
+        return None
+    pad = np.iinfo(np.int64).max
+    scell = np.full((nr, k2max), pad, dtype=np.int64)
+    scent = np.zeros((nr, k2max, dim))
+    svalid = np.zeros((nr, k2max), dtype=bool)
+    for ri, rid in enumerate(cids):
+        for j, (cell, cv) in enumerate(subs_map.get(int(rid), [])):
+            scell[ri, j], scent[ri, j], svalid[ri, j] = cell, cv, True
+    return cids, cmat, scell, scent, svalid
+
+
+def _select_probes(qmat, tables, n_probes: int, route_probes: int):
+    """(ro, co, nv): per query row the globally nearest (route, cell)
+    probes — ro/co are (m, w) int64 with w = min(n_probes, candidate
+    width), nv the per-row count of VALID probes (first nv columns of
+    each row). The vectorized two-level selection: rank coarse routes by
+    squared L2 (stable argsort on ascending cids = (distance, route)
+    tie-break), then the candidate sub-cells of the route_probes nearest
+    routes by lexsort((cell, route, distance)) — byte-for-byte the
+    chunked math the collect face has pinned against the brute-force
+    replay since r12; chunked to bound the (m, p, k2max, dim) temp at
+    ~tens of MB."""
+    import numpy as np
+
+    cids, cmat, scell, scent, svalid = tables
+    w = min(n_probes, route_probes * scell.shape[1])
+    m_all = len(qmat)
+    ro = np.empty((m_all, w), dtype=np.int64)
+    co = np.empty((m_all, w), dtype=np.int64)
+    nv = np.empty(m_all, dtype=np.int64)
+    chunk = 2048
+    for lo in range(0, m_all, chunk):
+        q = qmat[lo:lo + chunk]
+        d = ((q[:, None, :] - cmat[None]) ** 2).sum(-1)       # (m, nr)
+        # cids ascend, so a STABLE argsort on d = order by (d, cid) —
+        # the loop form's lexsort((cids, d))
+        rsel = np.argsort(d, axis=1, kind="stable")[:, :route_probes]
+        dd = ((q[:, None, None, :] - scent[rsel]) ** 2).sum(-1)
+        m = len(q)
+        ddf = np.where(svalid[rsel], dd, np.inf).reshape(m, -1)
+        cellf = scell[rsel].reshape(m, -1)
+        routef = np.ascontiguousarray(np.broadcast_to(
+            cids[rsel][..., None], scell[rsel].shape)).reshape(m, -1)
+        order = np.lexsort((cellf, routef, ddf), axis=1)[:, :w]
+        ddo = np.take_along_axis(ddf, order, 1)
+        ro[lo:lo + m] = np.take_along_axis(routef, order, 1)
+        co[lo:lo + m] = np.take_along_axis(cellf, order, 1)
+        nv[lo:lo + m] = np.minimum(w, np.isfinite(ddo).sum(axis=1))
+    return ro, co, nv
+
+
 def _hier_query_probes(qrows, coarse, subs_map, n_probes: int,
                        route_probes: int):
     """[(query_id, route, cell)]: per query, rank the sub-cells of its
@@ -481,51 +547,22 @@ def _hier_query_probes(qrows, coarse, subs_map, n_probes: int,
     The result doubles as the STATIC pushdown lists for the store scan;
     for batches past driver scale, use the join face
     (``broadcast_queries=False``) instead. Distances here sum PAIRWISE
-    (numpy) while the join face folds left-to-right — see the FP parity
-    caveat on `_hier_probe_frame`."""
+    (numpy) while the join face's expr probe kernel folds left-to-right —
+    see the FP parity caveat on `_hier_probe_frame`."""
     import numpy as np
 
     if not qrows:
         return []
-    ordered = sorted(coarse)
-    cids = np.array([c for c, _ in ordered], dtype=np.int64)
-    cmat = np.asarray([v for _, v in ordered], dtype=np.float64)
-    nr, dim = cmat.shape
-    k2max = max((len(v) for v in subs_map.values()), default=0)
-    if k2max == 0:
+    tables = _probe_tables(coarse, subs_map)
+    if tables is None:
         return []
-    pad = np.iinfo(np.int64).max
-    scell = np.full((nr, k2max), pad, dtype=np.int64)
-    scent = np.zeros((nr, k2max, dim))
-    svalid = np.zeros((nr, k2max), dtype=bool)
-    for ri, rid in enumerate(cids):
-        for j, (cell, cv) in enumerate(subs_map.get(int(rid), [])):
-            scell[ri, j], scent[ri, j], svalid[ri, j] = cell, cv, True
     qids = [q for q, _ in qrows]
     qmat = np.asarray([v for _, v in qrows], dtype=np.float64)
+    ro, co, nv = _select_probes(qmat, tables, n_probes, route_probes)
     out = []
-    chunk = 2048  # bounds the (m, p, k2max, dim) temp at ~tens of MB
-    for lo in range(0, len(qmat), chunk):
-        q = qmat[lo:lo + chunk]
-        d = ((q[:, None, :] - cmat[None]) ** 2).sum(-1)       # (m, nr)
-        # cids ascend, so a STABLE argsort on d = order by (d, cid) —
-        # the loop form's lexsort((cids, d))
-        rsel = np.argsort(d, axis=1, kind="stable")[:, :route_probes]
-        dd = ((q[:, None, None, :] - scent[rsel]) ** 2).sum(-1)
-        m = len(q)
-        ddf = np.where(svalid[rsel], dd, np.inf).reshape(m, -1)
-        cellf = scell[rsel].reshape(m, -1)
-        routef = np.ascontiguousarray(np.broadcast_to(
-            cids[rsel][..., None], scell[rsel].shape)).reshape(m, -1)
-        order = np.lexsort((cellf, routef, ddf), axis=1)[:, :n_probes]
-        ddo = np.take_along_axis(ddf, order, 1)
-        ro = np.take_along_axis(routef, order, 1)
-        co = np.take_along_axis(cellf, order, 1)
-        for i in range(m):
-            nv = min(n_probes, int(np.isfinite(ddo[i]).sum()))
-            qid = qids[lo + i]
-            out.extend((qid, int(ro[i, j]), int(co[i, j]))
-                       for j in range(nv))
+    for i, qid in enumerate(qids):
+        out.extend((qid, int(ro[i, j]), int(co[i, j]))
+                   for j in range(int(nv[i])))
     return out
 
 
@@ -622,13 +659,76 @@ def _hier_probe_frame(q: DataFrame, codebooks: list[list[list[float]]],
                     F.col("p.cell").alias("cell")))
 
 
+def _np_probe_frame(q: DataFrame, codebooks: list[list[list[float]]],
+                    coarse: list[tuple[int, list[float]]],
+                    subs: DataFrame, n_probes: int, route_probes: int,
+                    carry: tuple[str, ...] = ()) -> DataFrame:
+    """(query_id[, carry...], luts, route, cell): the Arrow-KERNEL twin of
+    `_hier_probe_frame` — identical output contract, but the two-level
+    probe selection runs as ONE map-side mapInPandas pass over the query
+    batch instead of route_probes broadcast joins + interpreted HOF
+    distance expressions. The expr face pays O(batch × route_probes × k2
+    × dim) interpreted `F.aggregate`/`zip_with` lambdas, which at store
+    scale (k2 ~ hundreds) dominates the whole probe (measured,
+    SCALING.json `pq_store_scale_r14`); here the same candidate distances
+    are one vectorized numpy broadcast per Arrow batch — byte-for-byte
+    the `_select_probes` math the collect face is pinned on, so this face
+    selects bitwise-identical probes to the collect face (the expr face's
+    left-to-right fold is the one with the near-tie FP caveat). The
+    (route, cb) sub-codebook is collected ONCE into the closure — a
+    codebook-sized driver constant, the same K1·k2·dim doubles every hier
+    face already holds — so the kernel is map-only: still zero query-side
+    exchanges and still stream-legal (mapInPandas + row-local
+    expressions). LUT entries stay the `_lut_expr` EXPRESSION per probe
+    row — their values feed unrounded ADC comparisons downstream, and the
+    expression fold is the bit-parity face against the DuckDB twin;
+    only probe SELECTION (which cells get read) moves to numpy."""
+    import numpy as np
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    tables = _probe_tables(coarse, _collect_subs(subs))
+    out = StructType(
+        [q.schema["query_id"]] + [q.schema[c] for c in carry]
+        + [q.schema["qv"],
+           StructField("route", LongType()),
+           StructField("cell", LongType())])
+
+    def sel(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf) or tables is None:
+                continue
+            # NULL query vectors produce no probe rows — the expr face's
+            # explode(NULL probes) drop, the same contract
+            nz = np.flatnonzero(~pdf["qv"].isna().to_numpy())
+            if not len(nz):
+                continue
+            qmat = np.asarray([np.asarray(pdf["qv"].iloc[i],
+                                          dtype=np.float64) for i in nz])
+            ro, co, nv = _select_probes(qmat, tables, n_probes,
+                                        route_probes)
+            body = pdf.iloc[np.repeat(nz, nv)].reset_index(drop=True)
+            mask = np.arange(ro.shape[1])[None, :] < nv[:, None]
+            res = {c: body[c] for c in ["query_id", *carry, "qv"]}
+            res["route"] = ro[mask]
+            res["cell"] = co[mask]
+            yield pd.DataFrame(res)
+
+    probed = q.select("query_id", *carry, "qv").mapInPandas(sel, out)
+    return probed.select("query_id", *carry,
+                         _lut_expr("qv", codebooks).alias("luts"),
+                         "route", "cell")
+
+
 def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
                        id_col: str, k: int,
                        codebooks: list[list[list[float]]],
                        coarse: list[tuple[int, list[float]]],
                        subs: DataFrame, n_probes: int = 4,
                        route_probes: int = 2,
-                       broadcast_queries: bool = True) -> DataFrame:
+                       broadcast_queries: bool = True,
+                       probe_kernel: str = "np") -> DataFrame:
     """ADC top-k against a ROUTE-PARTITIONED `pq_cell_index_hier` store.
     The probe set — each query's n_probes nearest (route, cell) pairs
     under route_probes coarse routes — is computed driver-side from the
@@ -680,8 +780,22 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
         # prunes the store to O(probed cells)); switch to this face when
         # the batch is itself data-sized. Value parity is pinned in
         # tests/test_pq.py::test_join_probe_face_matches_collect_face.
-        probes = _hier_probe_frame(q, codebooks, coarse, subs,
-                                   n_probes, route_probes)
+        # probe_kernel picks HOW the probe set is computed: "np" (default
+        # — the Arrow kernel, vectorized selection bitwise-matching the
+        # collect face; at store-scale k2 the expr face's interpreted HOF
+        # distances dominated the whole probe, SCALING.json
+        # `pq_store_scale_r14`/`pq_probe_kernel_r14`) or "expr" (the
+        # broadcast-join + HOF face, whose left-to-right fold is the
+        # oracle-order selection — the face pq_collision_stream_hier's
+        # gate query keeps).
+        if probe_kernel == "np":
+            probes = _np_probe_frame(q, codebooks, coarse, subs,
+                                     n_probes, route_probes)
+        elif probe_kernel == "expr":
+            probes = _hier_probe_frame(q, codebooks, coarse, subs,
+                                       n_probes, route_probes)
+        else:
+            raise ValueError(f"unknown probe kernel: {probe_kernel!r}")
         scored = (index.join(probes, ["route", "cell"])
                   .where(F.col(id_col) != F.col("query_id"))
                   .select("query_id", F.col(id_col).alias("neighbor_id"),

@@ -347,9 +347,11 @@ def test_join_probe_face_matches_collect_face(spark, emb, codebooks):
     verdict ask #4): probe selection as DataFrame ops + a (route, cell)
     equi-join must return EXACTLY the collect face's rows — on a
     route_probes=1 store, a route_probes=2 store (the per-pair min-adc
-    reduce), partial probes, and probe-everything — and its plan must
-    contain no driver-derived static IN lists (the whole point: nothing
-    in it depends on collecting the query batch)."""
+    reduce), partial probes, and probe-everything — under BOTH probe
+    kernels (the r14 "np" Arrow selection kernel, the default, and the
+    r12 "expr" broadcast-join + HOF face) — and its plan must contain no
+    driver-derived static IN lists (the whole point: nothing in it
+    depends on collecting the query batch)."""
     from relationaldecomposition_spark.operators import ivf
 
     coarse = ivf.seed_centroids(emb, "embedding", "vec_id", CIDS)
@@ -368,11 +370,15 @@ def test_join_probe_face_matches_collect_face(spark, emb, codebooks):
             a = pq.pq_topk_index_hier(idx, queries, "embedding", "vec_id",
                                       K, codebooks, coarse, subs,
                                       n_probes=np_, route_probes=rp)
-            b = pq.pq_topk_index_hier(idx, queries, "embedding", "vec_id",
-                                      K, codebooks, coarse, subs,
-                                      n_probes=np_, route_probes=rp,
-                                      broadcast_queries=False)
-            assert canon(a) == canon(b), (store_probes, np_, rp)
+            for kern in ("expr", "np"):  # np last: the plan checks below
+                # then cover the default (kernel) face
+                b = pq.pq_topk_index_hier(idx, queries, "embedding",
+                                          "vec_id", K, codebooks, coarse,
+                                          subs, n_probes=np_,
+                                          route_probes=rp,
+                                          broadcast_queries=False,
+                                          probe_kernel=kern)
+                assert canon(a) == canon(b), (store_probes, np_, rp, kern)
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     # the collect face's static pruning predicates must NOT appear —

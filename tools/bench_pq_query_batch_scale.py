@@ -74,24 +74,31 @@ def main():
            "router": f"k1={ROUTES} k2={K2}",
            "n_probes": N_PROBES, "route_probes": ROUTE_PROBES,
            "batches": {}}
-    # warm both faces once (JIT + python workers)
-    for bq in (True, False):
+    # r14: the join face is measured under BOTH probe kernels — "expr"
+    # (the r12/r13 broadcast-join + interpreted-HOF face) and "np" (the
+    # r14 Arrow selection kernel) — interleaved in one session so the
+    # A/B is immune to cross-session host weather.
+    faces = (("collect_face", True, "np"),
+             ("join_face", False, "expr"),
+             ("join_face_np", False, "np"))
+    # warm every face once (JIT + python workers)
+    for _, bq, kern in faces:
         pq.pq_topk_index_hier(
             stored, emb.where(f"vec_id >= {STORE_ROWS} "
                               f"AND vec_id < {STORE_ROWS + 200}"),
             "embedding", "vec_id", K, cbs, coarse, subs,
             n_probes=N_PROBES, route_probes=ROUTE_PROBES,
-            broadcast_queries=bq).count()
+            broadcast_queries=bq, probe_kernel=kern).count()
     for n in BATCHES:
         queries = emb.where(f"vec_id >= {STORE_ROWS} "
                             f"AND vec_id < {STORE_ROWS + n}")
         row = {}
-        for name, bq in (("collect_face", True), ("join_face", False)):
+        for name, bq, kern in faces:
             t0 = time.time()
             cnt = pq.pq_topk_index_hier(
                 stored, queries, "embedding", "vec_id", K, cbs, coarse,
                 subs, n_probes=N_PROBES, route_probes=ROUTE_PROBES,
-                broadcast_queries=bq).count()
+                broadcast_queries=bq, probe_kernel=kern).count()
             row[name] = round(time.time() - t0, 2)
             row[f"{name}_rows"] = cnt
             print(f"batch {n} {name}: {row[name]}s", file=sys.stderr,
