@@ -775,10 +775,13 @@ def pq_topk_index_hier(index: DataFrame, queries: DataFrame, vec_col: str,
         # predicates, so the STORE scan is not directory-pruned — right
         # for service-scale query sets (millions of queries), where scan
         # cost amortizes over the batch and a driver collect would be
-        # the actual bottleneck. The crossover: use the default collect
-        # face while the batch fits comfortably on the driver (it also
-        # prunes the store to O(probed cells)); switch to this face when
-        # the batch is itself data-sized. Value parity is pinned in
+        # the actual bottleneck. Face choice after the r14 kernel
+        # (SCALING.json `pq_probe_kernel_r14`): the collect face is the
+        # one that PRUNES THE STORE (decisive when the store is huge and
+        # the batch probes few cells); this face with probe_kernel="np"
+        # is the throughput face — fastest at every measured batch size
+        # on the 10x store (156.7 vs 212.6 s at 100k queries) with no
+        # driver collect. Value parity is pinned in
         # tests/test_pq.py::test_join_probe_face_matches_collect_face.
         # probe_kernel picks HOW the probe set is computed: "np" (default
         # — the Arrow kernel, vectorized selection bitwise-matching the
