@@ -52,12 +52,24 @@ class MiningCancelled(RuntimeError):
     """Raised between entropy chunk jobs when the engine's stop_check flips
     (B18 cooperative cancellation — see SparkEntropyEngine.stop_check)."""
 
-# Cap on grouping sets per job: each set replicates the scan's rows into the
-# shuffle, so width w multiplies shuffle input by w. 16 matches the spirit of
-# the reference's RangeSize envelope (5-16, `search/MinimalJDGenerator.java:
-# 1142-1162`) and keeps a 100 TB scan's shuffle at ~1.6 PB worst case spread
-# over the cluster rather than unbounded.
-DEFAULT_MAX_GROUPING_SETS = 16
+# Cap on grouping sets per job: each set replicates the scan's rows into
+# partial aggregation, so width w multiplies ONE job's expand input by w —
+# but the TOTAL expand work over a request is width-invariant (sum over sets
+# of N rows, however they are chunked), so the cap trades per-job size
+# against the NUMBER of chunk jobs, each of which re-scans the input. The
+# r14 per-chunk profile at sf10 (SCALING.json entropy_chunk_profile_r14,
+# tools/profile_entropy_chunks.py) measured batch32 wall 17.8 s -> ~16 s
+# (jobs 5 -> 4) raising 16 -> 32, and neutral at sf0.1 (same 4-job
+# packing either way); at 100 TB fewer chunks = fewer corpus scans, which
+# dominates once the input outgrows cache. Shuffle OUTPUT stays guarded by
+# the group-mass budget (group_budget_rows), not by this cap; the original
+# 16 matched the reference's RangeSize envelope (5-16,
+# `search/MinimalJDGenerator.java:1142-1162`). Residual caveat: a COLD
+# chunk (no cached estimates) is budget-blind, so a wider cap doubles the
+# worst-case per-job partial-agg working set — in practice the
+# singles-first seeding chunk populates estimates before any wide chunk
+# runs.
+DEFAULT_MAX_GROUPING_SETS = 32
 
 
 def _powerset(cols: Sequence[str]):

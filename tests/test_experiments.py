@@ -69,7 +69,13 @@ def test_minsep_csv_and_sep_file(tmp_path, denorm4):
     assert int(row[14]) >= 1                    # cached entropies
     assert int(row[15]) > 0                     # tuples processed
     seps = [f for f in os.listdir(sep_dir) if f.endswith(".sep")]
-    assert seps == ["denorm4.TO.600.RANGE.16.THRESH.0.0.sep"]
+    # the RANGE component is the engine's grouping-sets cap (the reference's
+    # "Range Size" parameter) — derive it so the test pins the filename
+    # STRUCTURE, not one tuning value
+    from relationaldecomposition_spark.engine.entropy import (
+        DEFAULT_MAX_GROUPING_SETS)
+    expected = f"denorm4.TO.600.RANGE.{DEFAULT_MAX_GROUPING_SETS}.THRESH.0.0.sep"
+    assert seps == [expected]
     # the .sep parses back into at least one JD over this schema
     from relationaldecomposition_spark.sources.jd_io import read_jds
     jds = read_jds(os.path.join(sep_dir, seps[0]), denorm4.columns)
@@ -80,7 +86,11 @@ def test_schema_enum_csv(tmp_path, denorm4):
     sep_dir = str(tmp_path / "seps")
     run_minsep_experiment(denorm4, str(tmp_path / "m.csv"), sep_dir,
                           "denorm4", thresholds=(0.0,), timeout_sec=600)
-    sep = os.path.join(sep_dir, "denorm4.TO.600.RANGE.16.THRESH.0.0.sep")
+    from relationaldecomposition_spark.engine.entropy import (
+        DEFAULT_MAX_GROUPING_SETS)
+    sep = os.path.join(
+        sep_dir,
+        f"denorm4.TO.600.RANGE.{DEFAULT_MAX_GROUPING_SETS}.THRESH.0.0.sep")
     out = str(tmp_path / "denorm4.enum.out.csv")
     rows_out = run_schema_enumeration(denorm4, sep, out, max_schemas=3)
     rows = _read(out)
