@@ -325,6 +325,17 @@ class SparkEntropyEngine:
         est0 = self._est_log2_groups(head)
         cur_mass = (2.0 ** est0) if est0 is not None else 0.0
         cur_union: set[str] = set(head)
+        # Cold-wide clamp (ADVICE r14): a chunk headed by a WIDE set with
+        # no cached estimate is budget-blind (every unknown set costs 0
+        # toward the group budget), so the r14 width raise 16 -> 32 would
+        # double the worst-case partial-agg working set exactly where the
+        # budget can't see. Clamp such chunks to the old width of 16 —
+        # the reference's RangeSize ceiling. Batches with singletons are
+        # unaffected (singles seed estimates first, so every later chunk
+        # is warm and keeps the full width).
+        width_cap = self.max_grouping_sets
+        if est0 is None and len(head) > 1:
+            width_cap = min(width_cap, 16)
 
         def union_compact() -> bool:
             if thresh_bits is None:
@@ -333,7 +344,7 @@ class SparkEntropyEngine:
             return e is not None and e <= thresh_bits
 
         for x in todo[1:]:
-            if len(cur) >= self.max_grouping_sets:
+            if len(cur) >= width_cap:
                 break
             est = self._est_log2_groups(x)
             # singletons never share a chunk with wider unknown-estimate

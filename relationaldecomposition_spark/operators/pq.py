@@ -506,7 +506,13 @@ def _select_probes(qmat, tables, n_probes: int, route_probes: int):
     import numpy as np
 
     cids, cmat, scell, scent, svalid = tables
-    w = min(n_probes, route_probes * scell.shape[1])
+    # Candidate width is bounded by the ROUTES THAT EXIST, not the
+    # requested route_probes: argsort below yields at most len(cids)
+    # columns, so w computed from route_probes alone over-allocates ro/co
+    # and the chunk assignment raises a broadcast ValueError when
+    # route_probes > len(cids) and n_probes > nr*k2max (ADVICE r14 —
+    # the pre-refactor loop clipped per row and returned partial probes).
+    w = min(n_probes, min(route_probes, len(cids)) * scell.shape[1])
     m_all = len(qmat)
     ro = np.empty((m_all, w), dtype=np.int64)
     co = np.empty((m_all, w), dtype=np.int64)

@@ -190,6 +190,36 @@ def test_cost_aware_chunking(tiny):
         eng.unpersist()
 
 
+def test_cold_wide_chunk_clamped_to_16(spark):
+    """ADVICE r14: a COLD chunk headed by a wide (non-singleton) set has
+    no cached estimates, so the group budget can't bound it — the r14
+    width raise (16 -> 32) must not double that blind chunk's working
+    set. The planner clamps cold wide-headed chunks to the old width 16;
+    once estimates exist (singles cached) chunks keep the full width,
+    bounded by the group budget instead."""
+    cols = [f"c{i}" for i in range(7)]
+    # every column = the same 8-valued cycle: singleton H = 3 bits, so a
+    # pair estimates min(6, log2 64) = 6 bits — never union-compact
+    # (thresh = log2(64/8) = 3), which keeps the compactness skip out of
+    # this test's way; the budget is raised so it doesn't bind either
+    df = spark.createDataFrame(
+        [tuple(f"v{i % 8}" for _ in cols) for i in range(64)], cols)
+    eng = SparkEntropyEngine(df, max_grouping_sets=32,
+                             group_budget_rows=32.0)
+    try:
+        wide = [frozenset(c) for c in itertools.combinations(cols, 2)]
+        assert len(wide) == 21 > 16
+        # cold, wide-headed: clamped to the pre-r14 width
+        assert len(eng._next_chunk(wide)) == 16
+        # warm the singleton estimates
+        eng.entropies([frozenset((c,)) for c in cols])
+        # warm chunk keeps the FULL raised width (21 sets fit under both
+        # the 32 cap and the 32x budget: 21 x 2^6 = 1344 <= 2048)
+        assert len(eng._next_chunk(wide)) == 21
+    finally:
+        eng.unpersist()
+
+
 def test_entropy_from_counts_helper():
     assert entropy_from_counts([2, 2], 4) == pytest.approx(1.0)
     assert entropy_from_counts([1, 1, 1, 1], 4) == pytest.approx(2.0)

@@ -370,8 +370,7 @@ def test_join_probe_face_matches_collect_face(spark, emb, codebooks):
             a = pq.pq_topk_index_hier(idx, queries, "embedding", "vec_id",
                                       K, codebooks, coarse, subs,
                                       n_probes=np_, route_probes=rp)
-            for kern in ("expr", "np"):  # np last: the plan checks below
-                # then cover the default (kernel) face
+            for kern in ("expr", "np"):
                 b = pq.pq_topk_index_hier(idx, queries, "embedding",
                                           "vec_id", K, codebooks, coarse,
                                           subs, n_probes=np_,
@@ -379,11 +378,15 @@ def test_join_probe_face_matches_collect_face(spark, emb, codebooks):
                                           broadcast_queries=False,
                                           probe_kernel=kern)
                 assert canon(a) == canon(b), (store_probes, np_, rp, kern)
-    plan = b._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan
-    # the collect face's static pruning predicates must NOT appear —
-    # this face is defined by not knowing the probe set driver-side
-    assert "cell IN" not in plan and "In(cell" not in plan
+                # plan shape checks on EVERY kernel face (ADVICE r14: the
+                # former last-frame-only check silently dropped the r12
+                # plan guarantee for the expr face)
+                plan = b._jdf.queryExecution().executedPlan().toString()
+                assert "CartesianProduct" not in plan, kern
+                # the collect face's static pruning predicates must NOT
+                # appear — this face is defined by not knowing the probe
+                # set driver-side
+                assert "cell IN" not in plan and "In(cell" not in plan, kern
 
 
 def test_hier_probe_frame_matches_driver_selection(spark, emb, emb_np,
@@ -489,6 +492,35 @@ def test_hier_query_probes_random_geometries():
                 for _, r in routes for cell, cv in subs_map.get(r, []))
             exp.extend((qid, r, cell) for _, r, cell in cand[:n_probes])
         assert got == exp, (trial, dim, nr, n_probes, route_probes)
+
+
+def test_select_probes_route_probes_exceed_coarse():
+    """ADVICE r14 regression: route_probes > len(coarse) with n_probes >
+    nr*k2max must return the partial probe set (every existing cell, at
+    most nr routes), not raise — the pre-r14 per-row loop clipped via nv;
+    the vectorized refactor sized ro/co from route_probes alone and the
+    chunk assignment raised a broadcast ValueError. Covers both callers
+    (the collect face's _hier_query_probes and, transitively, the np
+    probe kernel — both route through _select_probes)."""
+    rng = np.random.default_rng(7)
+    dim = 3
+    coarse = [(i * 10, list(rng.normal(size=dim))) for i in range(2)]
+    subs_map = {0: [(1, list(rng.normal(size=dim))),
+                    (2, list(rng.normal(size=dim)))],
+                10: [(11, list(rng.normal(size=dim)))]}
+    qrows = [(q, list(rng.normal(size=dim))) for q in range(5)]
+    # route_probes=4 > nr=2; n_probes=8 > nr*k2max=4 — the crash geometry
+    got = pq._hier_query_probes(qrows, coarse, subs_map, 8, 4)
+    cents = sorted(coarse)
+    exp = []
+    for qid, qv in qrows:
+        q = np.asarray(qv, dtype=np.float64)
+        routes = sorted(((float(((q - np.asarray(cv)) ** 2).sum()), cid)
+                         for cid, cv in cents))[:4]
+        cand = sorted((float(((q - np.asarray(cv)) ** 2).sum()), r, cell)
+                      for _, r in routes for cell, cv in subs_map.get(r, []))
+        exp.extend((qid, r, cell) for _, r, cell in cand[:8])
+    assert got == exp
 
 
 def test_hier_store_lifecycle_append_compact_probe(spark, emb, codebooks,
