@@ -106,6 +106,12 @@ GUARD_ANN_MAX_BUCKET = 32
 # tests/test_bucketed_and_stream_dedup.py - and registers in round 15,
 # when o56's r13 green row ages into the debt set and shortlist entry #2
 # becomes a legal donor (note at q_o56's site).
+#
+# Round-15 note: executed exactly as queued — o56's r13-green row aged
+# into the r15 debt set (green(r13) - green(r14) contains it), so
+# shortlist entry #2 became the legal donor: o56 RETIRED (note at its
+# former site), o79_band_ingest_loop registered in its slot. Rotation
+# invariant preserved: r14 ∩ r15 window = ∅, union = all 100 registered.
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -1669,6 +1675,8 @@ def q_o79_band_ingest_loop(spark, sf_dir):
     (batch, doc_id, n_index_hits, n_batch_hits, survives) for both
     batches; the DuckDB twin replays the two-step loop from the same
     three-way split."""
+    from .materialize import local_materialize
+
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 3 == 0)
     b1 = docs.where(F.col("doc_id") % 3 == 1)
@@ -1678,6 +1686,15 @@ def q_o79_band_ingest_loop(spark, sf_dir):
     stats1, rows1 = dedup.ingest_batch(b1, idx0, "text", "doc_id",
                                        N_HASHES, BANDS, SHINGLE_K,
                                        MINHASH_SEED)
+    # The real loop WRITES between steps (ingest_one_batch's idempotent
+    # partition append), so step 2 probes a MATERIALIZED store, never
+    # step 1's live plan. Mirror that store boundary with slim lazy
+    # checkpoints — stats1 is (id, 2 longs, bool), rows1 is
+    # (band, sig, id), both codes-sized — otherwise the composed gate
+    # plan re-evaluates the whole step-1 probe pyramid inside step 2
+    # AND again in the final union (r15 subtree auditor: x2-x4 dups).
+    stats1 = local_materialize(stats1, eager=False)
+    rows1 = local_materialize(rows1, eager=False)
     idx1 = idx0.unionByName(rows1)
     stats2 = dedup.incremental_dedup(b2, idx1, "text", "doc_id", N_HASHES,
                                      BANDS, SHINGLE_K, MINHASH_SEED)
@@ -1942,28 +1959,20 @@ HIER_COARSE_IDS = list(range(0, 480, 120))  # K1 = 4 coarse routes
 HIER_SUB_K = 4             # k2 = 4 data-derived sub-cells per route
 
 
-def q_o56_semdedup_hier_pairs(spark, sf_dir):
-    """Hierarchical SemDeDup pairs (ivf.semdedup_pairs_hier): coarse
-    literal routing + per-route sub-codebooks delivered by a JOIN - total
-    cells K1*k2 = 16 (comparable to o44's flat 16) at O(K1 + k2) per-row
-    assignment cost instead of O(cells).
-
-    QUEUED FOR RETIREMENT (r15): shortlist entry #2 - a strict
-    intermediate of the gated o57 pipeline (its oracle is o57's `pairs`
-    CTE verbatim) - but NOT window-legal in round 14: o56 is green in
-    r13, so it sits outside the r14 rotation-debt set, and retiring it
-    this round would strand one debt query beyond the 50-row window (the
-    window-slot law, round 12). In round 15 its green row ages into the
-    debt set and the retirement becomes legal; its slot is earmarked for
-    o79_band_ingest_loop (built, oracle'd, and stream-parity-pinned this
-    round - see q_o79_band_ingest_loop)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    coarse = ivf.seed_centroids(emb, "embedding", "vec_id", HIER_COARSE_IDS)
-    out = ivf.semdedup_pairs_hier(emb, "embedding", "vec_id", coarse,
-                                  HIER_SUB_K, SEMDEDUP_TAU)
-    return out.select(F.col("cell").cast("bigint").alias("cell"),
-                      "id_a", "id_b",
-                      F.round("cosine", ROUND).alias("cosine"))
+# o56_semdedup_hier_pairs RETIRED (round 15): shortlist entry #2
+# (round-10 verdict ask #8) — a STRICT INTERMEDIATE of the gated o57
+# pipeline whose oracle is embedded VERBATIM in o57's
+# (_oracle_semdedup_hier builds both faces from one base; o56's entire
+# query was o57's `pairs` CTE), so the driver was value-checking the
+# hier pair set twice. Window-slot law satisfied: o56 is in the
+# round-15 ROTATION-DEBT set (green only in r13), so retiring it frees
+# both a registry slot and a window slot — the r14 round explicitly
+# deferred this swap until the debt aging made it legal (r14 note
+# above). The operator stays covered: the hier pairs face is exercised
+# by o57's gate, o75's multiprobe gate, and the tests/test_ivf.py
+# semdedup_pairs_hier suite. Its slot went to o79_band_ingest_loop
+# (the r13 verdict ask-#6 surface: the two-step continuous band-ingest
+# LOOP, built + stream-parity-pinned in r14, registered here).
 
 
 def q_o75_semdedup_multiprobe(spark, sf_dir):
@@ -2757,7 +2766,6 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o42_kmv_distinct": q_o42_kmv_distinct,
     "o43_hll_distinct": q_o43_hll_distinct,
     "o45_semdedup_apply": q_o45_semdedup_apply,
-    "o56_semdedup_hier_pairs": q_o56_semdedup_hier_pairs,
     "o57_semdedup_hier_apply": q_o57_semdedup_hier_apply,
     "o46_line_dedup": q_o46_line_dedup,
     "o47_bloom_semi_join": q_o47_bloom_semi_join,
@@ -2786,6 +2794,9 @@ OPERATOR_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "o76_pq_topk": q_o76_pq_topk,
     "o77_pq_hier_topk": q_o77_pq_hier_topk,
     "o78_pq_hier_collisions": q_o78_pq_hier_collisions,
+    # round-15 addition (slot from the o56 retirement — see the RETIRED
+    # note at its former site)
+    "o79_band_ingest_loop": q_o79_band_ingest_loop,
 }
 
 OPERATOR_ORACLES: dict[str, str] = {
@@ -2864,7 +2875,6 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o43_hll_distinct": sketches.sql_hll_distinct(
         "lineitem", SKETCH_GROUP, SKETCH_VALUE, HLL_P),
     "o45_semdedup_apply": _oracle_semdedup("apply"),
-    "o56_semdedup_hier_pairs": _oracle_semdedup_hier("pairs"),
     "o57_semdedup_hier_apply": _oracle_semdedup_hier("apply"),
     "o46_line_dedup": _oracle_line_dedup(),
     "o47_bloom_semi_join": _oracle_bloom_semi_join(),
@@ -2904,4 +2914,5 @@ OPERATOR_ORACLES: dict[str, str] = {
     "o76_pq_topk": _oracle_pq_topk(),
     "o77_pq_hier_topk": _oracle_pq_hier_topk(),
     "o78_pq_hier_collisions": _oracle_pq_hier_collisions(),
+    "o79_band_ingest_loop": _oracle_band_ingest_loop(),
 }

@@ -868,39 +868,38 @@ ORACLES.update(OPERATOR_ORACLES)
 # latest file — rotation-debt must be inside the window) apart from
 # judge time (window == latest file — the debt belongs to the NEXT round's
 # window, which does not exist yet).
-WINDOW_ROUND = 14
+WINDOW_ROUND = 15
 
-_WINDOW_ROUND14: list[str] = [
-    # the 50 queries whose only green row is r12 (rotated out of the
-    # round-13 window) rotate back in so CORRECTNESS_r14 re-verifies them
-    # under the "r{N} ∪ r{N-1} covers all" bar. List = the round-13
-    # judge's rotation-debt set (VERDICT.md "Next round #1"), recomputed
-    # from the raw CORRECTNESS files:
-    #   sorted(green(r12) - green(r13)) — exactly 50, no anchors needed.
-    "a02_attr_count", "a05_groupby_count_having", "a11_all_entropies",
-    "a12_projection_distinct", "a15_naive_spurious", "a16_distinct_count",
-    "a18_fd_measures", "a20_jd_measures", "a21_decomp_metrics",
-    "a22_sampled_entropy", "a23_mm_entropy",
-    "b03_mine_mvds", "b11_min_seps", "b15_enumerate_schemas",
-    "o01_exact_dedup", "o03_lsh_pairs", "o04_simhash",
-    "o05_ngram_jaccard", "o06_cosine_pairs", "o08_lsh_topk",
-    "o15_ann_topk", "o17_lsh_pairs_guard", "o18_ann_topk_guard",
-    "o21_dedup_clusters", "o23_cosine_lsh_pairs", "o24_asof_join",
-    "o25_doc_chunks", "o26_stratified_sample", "o33_interval_join",
-    "o34_weighted_sample", "o35_group_quantiles", "o36_numeric_profile",
-    "o37_skew_report", "o40_cluster_sizes", "o42_kmv_distinct",
-    "o51_pack_sequences", "o52_rebalance_mixture",
-    "o63_semdedup_incremental", "o64_semdedup_incr_hier",
-    "o65_simhash_pairs", "o66_duplicate_spans", "o67_xent_buckets",
-    "o73_image_phash_pairs", "o74_cell_store_probe",
-    "o75_semdedup_multiprobe", "o76_pq_topk", "o77_pq_hier_topk",
-    "s02_sessionize", "s03_user_stats", "s04_stream_enrich",
-    # Exactly 50 entries — the complete r12-only-green complement of
-    # CORRECTNESS_r13's keys. No new-query slot this round: no shortlist
-    # retirement donor sits in this debt set (o56/o09/o11/o12 are all
-    # r13-green — the window-slot law). The round-14 addition candidate
-    # o79_band_ingest_loop is built and queued in operators/registry.py,
-    # registering in r15 when o56 ages into the debt set.
+_WINDOW_ROUND15: list[str] = [
+    # the 50-slot round-15 window: the rotation-debt set — queries whose
+    # only green row is r13, i.e. sorted(green(r13) - green(r14)),
+    # recomputed from the raw CORRECTNESS files (r13 ∩ r14 = ∅, so this
+    # is exactly CORRECTNESS_r13's key set) — MINUS the retired
+    # o56_semdedup_hier_pairs (its r15 debt membership is what made the
+    # retirement window-legal; see the RETIRED note in
+    # operators/registry.py) PLUS the newly registered
+    # o79_band_ingest_loop, which has no green row yet and must gate
+    # this round.
+    "a03_dict_encode", "a07_entropy_single", "a08_entropy_batch",
+    "a13_spurious_fold", "a14_spurious_tree", "a19_mvd_measures",
+    "b01_fd_search",
+    "o07_cosine_topk", "o09_token_counts", "o10_lang_id", "o11_quality",
+    "o12_fingerprint", "o13_media_features", "o14_frame_sample",
+    "o16_ivf_topk", "o19_ppm_decode", "o20_bpe_tokens", "o22_dedup_apply",
+    "o27_decontaminate", "o28_pii_redact", "o29_repetition",
+    "o30_tfidf_topk", "o31_ppm_pixels", "o32_doc_profile",
+    "o38_snapshot_diff", "o39_vocabulary", "o41_corpus_report",
+    "o43_hll_distinct", "o45_semdedup_apply", "o46_line_dedup",
+    "o47_bloom_semi_join", "o48_approx_quantiles", "o49_fuzzy_decon",
+    "o50_incremental_dedup", "o53_group_top_values", "o54_unigram_xent",
+    "o55_random_projection", "o57_semdedup_hier_apply", "o58_bigram_pmi",
+    "o59_band_index_merge", "o60_semdedup_gram_pairs",
+    "o62_shard_shuffle", "o68_curation_funnel", "o69_decompose_summary",
+    "o70_remove_dup_spans", "o71_temperature_mix", "o72_kmv_threshold",
+    "o78_pq_hier_collisions", "o79_band_ingest_loop",
+    "s01_windowed_counts",
+    # Exactly 50 entries. Union with the r14 window = all 100 registered
+    # queries; intersection = ∅ (o79 was never in a window before).
 ]
 
 
@@ -914,7 +913,7 @@ def _reorder(d: dict, head: list[str]) -> dict:
     return out
 
 
-QUERIES = _reorder(QUERIES, _WINDOW_ROUND14)
+QUERIES = _reorder(QUERIES, _WINDOW_ROUND15)
 # oracle order mirrors query order end-to-end (driver zips them by key, but
 # aligned ordering keeps the artifacts diffable round-over-round)
 _unknown_oracles = set(ORACLES) - set(QUERIES)

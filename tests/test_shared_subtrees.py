@@ -37,11 +37,18 @@ ALLOWED_EXPENSIVE = {
     # thin (id, cell) checkpoint (r14); materializing the vector side
     # would cache embeddings-volume data.
     "o45_semdedup_apply": {("Join", 2)},
-    "o56_semdedup_hier_pairs": {("Join", 2)},
+    # (o56 retired r15 — its {("Join", 2)} entry left with it)
     "o57_semdedup_hier_apply": {("Join", 2)},
     "o75_semdedup_multiprobe": {("Join", 2)},
     # single-row total over the r13-checkpointed strata counts, twice.
     "o71_temperature_mix": {("Aggregate", 2)},
+    # the two-step ingest loop: each step's probe derives a distinct
+    # (band, sig) key set from ITS OWN batch's banded checkpoint — the
+    # two checkpoint leaves print identically once exprIds are stripped,
+    # so the per-step distincts fingerprint as one subtree x2. Slim
+    # codes-volume aggregates over already-materialized leaves; the
+    # step-1 pyramid itself is checkpointed at the store boundary (r15).
+    "o79_band_ingest_loop": {("Aggregate", 2)},
     # measured NEUTRAL at sf10 (SCALING.json subtree_fixes_r14
     # measured_boundaries): the once-evaluated md5 scan dominates; the
     # duplicated ACD estimate/rank frames are ~1 s inside noise.
