@@ -562,6 +562,40 @@ def build_queries(spark, sf_dir: str):
                   "user_id", "ts", "ts", ["event_id", "value"],
                   tiebreak="event_id", payload_prefix="click_"))
 
+    def pq_join_probe():
+        # round-15 addition (r14 verdict ask #4): the DISTRIBUTED hier
+        # probe face — broadcast_queries=False with the r14 Arrow probe
+        # kernel (probe_kernel="np", the default). The round-14 win
+        # (2-2.3x at the 10x store, SCALING.json pq_probe_kernel_r14)
+        # lived on a path no bench row timed: pq_topk/pq_hier_store both
+        # exercise collect faces. This row probes the LIVE hier cell
+        # index (store write/read cost belongs to pq_hier_store) with a
+        # service-scale query batch (10% of the corpus — the regime the
+        # join face exists for; a driver collect of the batch would be
+        # the bottleneck), so PERF can see the kernel: plan shape is
+        # MapInPandas probe selection + one (route, cell) equi-join, no
+        # broadcast-join cascade, no driver-derived static IN lists.
+        from relationaldecomposition_spark.operators import ivf as _ivf
+        from relationaldecomposition_spark.operators import pq as _pq
+        from relationaldecomposition_spark.operators.registry import (
+            PQ_HIER_N_PROBES, PQ_HIER_ROUTE_PROBES, PQ_M)
+        emb = load_table(spark, sf_dir, "embeddings")
+        coarse = _ivf.seed_centroids(emb, "embedding", "vec_id",
+                                     HIER_COARSE_IDS)
+        subs = _ivf.hier_codebook(emb, "embedding", "vec_id", coarse,
+                                  HIER_SUB_K).localCheckpoint(eager=True)
+        codebooks = _pq.pq_seed_codebooks(emb, "embedding", "vec_id",
+                                          PQ_M, IVF_CENTROID_IDS)
+        index = _pq.pq_cell_index_hier(emb, "embedding", "vec_id",
+                                       codebooks, coarse, subs)
+        queries = emb.where(F.col("vec_id") % 10 == 3)
+        _force(_pq.pq_topk_index_hier(
+            index, queries, "embedding", "vec_id", 5,
+            codebooks, coarse, subs,
+            n_probes=PQ_HIER_N_PROBES,
+            route_probes=PQ_HIER_ROUTE_PROBES,
+            broadcast_queries=False, probe_kernel="np"))
+
     def curation_e2e():
         # the product story end-to-end (pipeline.curate_corpus): exact dedup
         # -> LSH near-dup + CC -> quality/repetition gates -> benchmark
@@ -629,6 +663,8 @@ def build_queries(spark, sf_dir: str):
         "pq_topk": pq_topk_q,
         # round-12 addition
         "pq_hier_store": pq_hier_store_q,
+        # round-15 addition (r14 verdict ask #4)
+        "pq_join_probe": pq_join_probe,
     }
 
 
@@ -682,6 +718,30 @@ def _run_calibration_io(spark) -> None:
            .agg(F.bit_xor(F.xxhash64("l_suppkey", "c", "h"))).collect())
 
 
+def _run_calibration_sched(spark) -> None:
+    """Tiny-job SCHEDULER sentinel (round-14 verdict ask #2). The CPU and
+    IO sentinels model steady-state throughput, but the sub-2 s bench rows
+    (mining rows especially) live in a many-tiny-stages scheduler-latency
+    regime those sentinels don't track: in r14 the suite whipsawed 17%
+    while both sentinels stayed flat (CPU 0.871 vs 0.859 s, IO 1.893 vs
+    1.861 s), leaving the untouched-cohort regressions adjudicable only by
+    post-hoc A/Bs. This sentinel is FIXED work in that regime: 24
+    back-to-back near-empty jobs, each a 256-row/8-partition range ->
+    16-key shuffle -> collect (2-3 stages each, ~60 tiny stages total,
+    AQE-coalesced reduce side) — wall time is almost pure job-submission
+    + stage-scheduling + result-collection latency, sf-independent.
+    Cross-round normalization: use whichever of the three sentinels
+    tracks that round's untouched-query cohort (this one for the
+    latency-bound rows with 8-core scaling ratios <= 1)."""
+    from pyspark.sql import functions as F
+
+    for _ in range(24):
+        (spark.range(0, 256, 1, 8)
+            .groupBy((F.col("id") % 16).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.bit_xor(F.xxhash64("k", "c"))).collect())
+
+
 def run_bench(spark, sf_dir: str, repeats: int = 1,
               only: list[str] | None = None,
               calibrate: bool = True) -> dict[str, float]:
@@ -728,6 +788,17 @@ def run_bench(spark, sf_dir: str, repeats: int = 1,
                 print(f"[bench] {sf_dir} _calibration_io: "
                       f"{out['_calibration_io']:.2f}s",
                       file=sys.stderr, flush=True)
+        _run_calibration_sched(spark)  # unmeasured warm-up, same rule
+        cal_sched = []
+        for _ in range(repeats):
+            t0 = time.time()
+            _run_calibration_sched(spark)
+            cal_sched.append(time.time() - t0)
+        out["_calibration_sched"] = statistics.median(cal_sched)
+        if verbose:
+            print(f"[bench] {sf_dir} _calibration_sched: "
+                  f"{out['_calibration_sched']:.2f}s",
+                  file=sys.stderr, flush=True)
     for name, fn in queries.items():
         samples = []
         for _ in range(repeats):
@@ -795,6 +866,15 @@ def _vs_prev_note(record: dict) -> dict:
         note["calibration_io_ratio"] = round(io_ratio, 3)
         note["normalized_total_ratio_io"] = round(
             now_total / prev_total / io_ratio, 3)
+    # third, tiny-job scheduler sentinel (r14 verdict ask #2): available
+    # from round 15 onward — the one that tracks the latency-bound rows
+    prev_cal_sched = (prev.get("calibration_sched") or {}).get("sec")
+    now_cal_sched = record.get("calibration_sched", {}).get("sec")
+    if prev_cal_sched and now_cal_sched:
+        sched_ratio = now_cal_sched / prev_cal_sched
+        note["calibration_sched_ratio"] = round(sched_ratio, 3)
+        note["normalized_total_ratio_sched"] = round(
+            now_total / prev_total / sched_ratio, 3)
     return {"vs_prev": note}
 
 
@@ -815,6 +895,7 @@ def main() -> None:
 
     calibration = timings.pop("_calibration", None)
     calibration_io = timings.pop("_calibration_io", None)
+    calibration_sched = timings.pop("_calibration_sched", None)
     total = sum(timings.values())
     record = {
         "metric": "headline_queries_wall_clock",
@@ -840,6 +921,15 @@ def main() -> None:
                      "sentinel twin (r12 verdict ask #3) — normalize by "
                      "whichever sentinel tracks the round's "
                      "untouched-query cohort"),
+        }
+    if calibration_sched is not None:
+        record["calibration_sched"] = {
+            "sec": round(calibration_sched, 3),
+            "work": ("fixed: 24 near-empty 2-3-stage jobs (256-row range "
+                     "-> 16-key shuffle -> collect) — the tiny-job "
+                     "scheduler-latency sentinel (r14 verdict ask #2); "
+                     "normalize the latency-bound rows (8-core scaling "
+                     "ratio <= 1) by this one"),
         }
     if calibration is not None:
         record.update(_vs_prev_note(record))
