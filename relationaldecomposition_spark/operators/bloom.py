@@ -161,6 +161,19 @@ BLOOM_MIN_BITS = 1024
 # SAME bitmap rides an executor broadcast variable instead (see
 # bloom_probe_broadcast) — the dispatch changes delivery, never values.
 BLOOM_LITERAL_MAX_BITS = 8 * 1024 * 1024
+# PROBE-side dispatch (r15): the literal probe's per-row cost — k
+# interpreted affine bit-tests + element_at dispatched through the
+# CodegenFallback transform-lambda binding — is ~2x the Arrow face's
+# vectorized numpy per row AT EVERY BITMAP SIZE (measured interleaved on
+# sf0.1 lineitem, 600k rows: literal 2.9/2.4/2.8 s vs broadcast
+# 1.4/1.4/1.1 s at m_bits = 16k/300k/2M — the per-row wall is the
+# interpreted expression, not the bitmap size). Above this estimated
+# probe-side scan size the Arrow probe's fixed Python-stage cost
+# amortizes and bloom_semi_join uses it regardless of m_bits; below it
+# the literal face stays fastest (sf0.001: 0.34 vs 0.45 s — spin-up
+# dominates; crossover measured ~1 MB / 60k rows, gate set 4x above it
+# so dimension-scale gate inputs keep the zero-dependency literal plan).
+BLOOM_ARROW_PROBE_MIN_BYTES = 4 * 1024 * 1024
 
 
 def bloom_probe_broadcast(df: DataFrame, key_col: str, words: list[int],
@@ -203,8 +216,9 @@ def bloom_probe_broadcast(df: DataFrame, key_col: str, words: list[int],
 def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
                     small_key: str, m_bits: int | None = None, k: int = 5,
                     seed: int = BLOOM_SEED,
-                    literal_max_bits: int = BLOOM_LITERAL_MAX_BITS
-                    ) -> DataFrame:
+                    literal_max_bits: int = BLOOM_LITERAL_MAX_BITS,
+                    arrow_probe_min_bytes: int | None =
+                    BLOOM_ARROW_PROBE_MIN_BYTES) -> DataFrame:
     """Rows of `big` whose key *may* appear in `small` (no false
     negatives; deterministic false positives at ~(1-e^{-kn/m})^k). NULL
     keys never pass, matching semi-join semantics.
@@ -212,23 +226,43 @@ def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
     m_bits=None (default) sizes the bitmap from the build-side count at
     BLOOM_BITS_PER_KEY — an undersized bitmap saturates silently and the
     "filter" passes everything. Pass explicit m_bits only when a
-    cross-engine oracle needs a data-independent constant.
+    cross-engine oracle needs a data-independent constant. Auto-sizing
+    materializes the filtered key column once (a thin localCheckpoint)
+    so the count job and the bitmap build share ONE scan of the build
+    side instead of two (guide §3.2 counts the build-side double-scan as
+    the pattern's main cost; r15 the auto-sizing path paid it 3x).
 
-    SIZE DISPATCH: bitmaps up to `literal_max_bits` ride the plan as one
-    parsed literal (zero-copy map-only probe, DuckDB-twin-able); larger
-    builds switch to the broadcast-variable + vectorized-Arrow probe —
-    same bitmap, same surviving rows, different delivery. Builds so large
+    SIZE DISPATCH (delivery): bitmaps up to `literal_max_bits` ride the
+    plan as one parsed literal (zero-copy map-only probe,
+    DuckDB-twin-able); larger builds switch to the broadcast-variable +
+    vectorized-Arrow probe — same bitmap, same surviving rows, different
+    delivery. PROBE DISPATCH (per-row cost, r15): when the PROBE side's
+    estimated scan exceeds `arrow_probe_min_bytes`, the Arrow probe is
+    used regardless of m_bits — its vectorized bit-tests are ~2x the
+    interpreted literal expression per row (see
+    BLOOM_ARROW_PROBE_MIN_BYTES), and on a 100 TB probe side the per-row
+    term is everything. Pass arrow_probe_min_bytes=None to disable the
+    probe-side gate (the pre-r15 m_bits-only dispatch). Builds so large
     that even ~10 bits/key is unaffordable should shrink to a budget
     (higher FP rate) or fall back to a shuffle semi-join."""
     if m_bits is None:
-        n = small.where(F.col(small_key).isNotNull()).count()
+        keys = (small.where(F.col(small_key).isNotNull())
+                .select(small_key).localCheckpoint())
+        n = keys.count()
         m_bits = max(BLOOM_MIN_BITS,
                      -(-(n * BLOOM_BITS_PER_KEY) // WORD_BITS) * WORD_BITS)
-    words = bloom_build(small, small_key, m_bits, k, seed)
-    if m_bits <= literal_max_bits:
-        probe = bloom_probe_expr(big_key, words, k, seed)
+        words = bloom_build(keys, small_key, m_bits, k, seed)
     else:
+        words = bloom_build(small, small_key, m_bits, k, seed)
+    use_arrow = m_bits > literal_max_bits
+    if not use_arrow and arrow_probe_min_bytes is not None:
+        from .ivf import _plan_size_bytes
+
+        use_arrow = _plan_size_bytes(big) >= arrow_probe_min_bytes
+    if use_arrow:
         probe = bloom_probe_broadcast(big, big_key, words, k, seed)
+    else:
+        probe = bloom_probe_expr(big_key, words, k, seed)
     return big.where(F.col(big_key).isNotNull() & probe)
 
 

@@ -178,3 +178,41 @@ def test_dispatch_threshold_picks_broadcast_for_large_builds(spark, li,
                                  m_bits=M_BITS, k=K, literal_max_bits=0) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
+
+
+def test_probe_side_gate_picks_arrow_for_big_probe_sides(spark, li, small):
+    """r15 probe dispatch: when the PROBE side's estimated scan exceeds
+    arrow_probe_min_bytes, the Arrow probe engages even for a
+    literal-sized bitmap (its vectorized bit-tests measured ~2x the
+    interpreted literal expression per row at every m_bits), and the
+    surviving rows stay bit-identical to the literal face."""
+    gated = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                  m_bits=M_BITS, k=K,
+                                  arrow_probe_min_bytes=0)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    # still map-only: the gate changes the evaluation engine, not the shape
+    assert plan.count("Exchange") == 0
+    lit = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                m_bits=M_BITS, k=K,
+                                arrow_probe_min_bytes=None)
+    assert sorted(r["l_orderkey"] for r in gated.select("l_orderkey")
+                  .collect()) == \
+        sorted(r["l_orderkey"] for r in lit.select("l_orderkey").collect())
+
+
+def test_auto_sizing_single_scan_values_unchanged(spark, li, small):
+    """r15 build fuse: auto-sizing materializes the filtered key column
+    once (count + build share one scan). The bitmap — and therefore the
+    surviving row set, false positives included — must match a manual
+    count -> explicit-m_bits build exactly."""
+    n = small.where(F.col("o_orderkey").isNotNull()).count()
+    m = max(bloom.BLOOM_MIN_BITS,
+            -(-(n * bloom.BLOOM_BITS_PER_KEY) // 32) * 32)
+    auto = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey")
+    manual = bloom.bloom_semi_join(li, "l_orderkey", small, "o_orderkey",
+                                   m_bits=m, k=5)
+    assert sorted(r["l_orderkey"] for r in auto.select("l_orderkey")
+                  .collect()) == \
+        sorted(r["l_orderkey"] for r in manual.select("l_orderkey")
+               .collect())
