@@ -227,10 +227,15 @@ def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
     BLOOM_BITS_PER_KEY — an undersized bitmap saturates silently and the
     "filter" passes everything. Pass explicit m_bits only when a
     cross-engine oracle needs a data-independent constant. Auto-sizing
-    materializes the filtered key column once (a thin localCheckpoint)
-    so the count job and the bitmap build share ONE scan of the build
-    side instead of two (guide §3.2 counts the build-side double-scan as
-    the pattern's main cost; r15 the auto-sizing path paid it 3x).
+    costs one COUNT job over the build side before the build scan; a
+    key-checkpoint fuse that shared one scan between them was tried and
+    REVERTED (r15, measured interleaved): against a plain pushed-filter
+    parquet scan the block-store materialization + row-oriented re-read
+    of ~3M keys LOST 5 s at sf10 (21.9 vs 16.5 s end-to-end) for a
+    ~0.2 s sf0.1 gain — the guide-§5 caching caveat (cache only when
+    recompute is dearer). Callers whose build side IS expensive to
+    derive (filters over joins, UDF gates) should materialize it
+    themselves before calling.
 
     SIZE DISPATCH (delivery): bitmaps up to `literal_max_bits` ride the
     plan as one parsed literal (zero-copy map-only probe,
@@ -246,14 +251,10 @@ def bloom_semi_join(big: DataFrame, big_key: str, small: DataFrame,
     that even ~10 bits/key is unaffordable should shrink to a budget
     (higher FP rate) or fall back to a shuffle semi-join."""
     if m_bits is None:
-        keys = (small.where(F.col(small_key).isNotNull())
-                .select(small_key).localCheckpoint())
-        n = keys.count()
+        n = small.where(F.col(small_key).isNotNull()).count()
         m_bits = max(BLOOM_MIN_BITS,
                      -(-(n * BLOOM_BITS_PER_KEY) // WORD_BITS) * WORD_BITS)
-        words = bloom_build(keys, small_key, m_bits, k, seed)
-    else:
-        words = bloom_build(small, small_key, m_bits, k, seed)
+    words = bloom_build(small, small_key, m_bits, k, seed)
     use_arrow = m_bits > literal_max_bits
     if not use_arrow and arrow_probe_min_bytes is not None:
         from .ivf import _plan_size_bytes

@@ -201,11 +201,13 @@ def test_probe_side_gate_picks_arrow_for_big_probe_sides(spark, li, small):
         sorted(r["l_orderkey"] for r in lit.select("l_orderkey").collect())
 
 
-def test_auto_sizing_single_scan_values_unchanged(spark, li, small):
-    """r15 build fuse: auto-sizing materializes the filtered key column
-    once (count + build share one scan). The bitmap — and therefore the
-    surviving row set, false positives included — must match a manual
-    count -> explicit-m_bits build exactly."""
+def test_auto_sizing_matches_manual_count_build(spark, li, small):
+    """Auto-sizing (count -> m_bits formula -> build) must produce the
+    bitmap — and therefore the surviving row set, false positives
+    included — of a manual count -> explicit-m_bits build exactly.
+    (Guards the auto-size path's mechanics: a key-checkpoint fuse of the
+    count and build scans was tried and reverted in r15 on a measured
+    sf10 regression; this pin keeps any future rework value-identical.)"""
     n = small.where(F.col("o_orderkey").isNotNull()).count()
     m = max(bloom.BLOOM_MIN_BITS,
             -(-(n * bloom.BLOOM_BITS_PER_KEY) // 32) * 32)
