@@ -823,8 +823,14 @@ def _vs_prev_note(record: dict) -> dict:
     paths = glob.glob(os.path.join(repo, "BENCH_r*.json"))
     if not paths:
         return {}
-    prev_path = max(paths, key=lambda p: int(
-        re.search(r"_r(\d+)", os.path.basename(p)).group(1)))
+    # highest round wins; among same-round artifacts prefer the exact
+    # `BENCH_r{N}.json` (the 32-core driver record) over suffixed
+    # variants like `BENCH_r{N}_c8.json` — r15 bugfix: max() on the
+    # round number alone compared a 32-core run against the 8-core
+    # artifact when both existed
+    prev_path = max(paths, key=lambda p: (
+        int(re.search(r"_r(\d+)", os.path.basename(p)).group(1)),
+        bool(re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p)))))
     try:
         with open(prev_path) as f:
             prev = json.load(f)
